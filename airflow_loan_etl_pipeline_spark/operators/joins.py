@@ -1,0 +1,41 @@
+"""Join operators (SURVEY.md §2.3 + §7 phase 2).
+
+The reference has no in-engine joins — its only join-shaped logic is a
+Python-set anti-join of candidate files vs the processed ledger
+(/root/reference/airflow/dags/drive_auto_compress_email.py:184, :207).
+Here that becomes a broadcast ``left_anti`` join, and the engine exposes
+the full join surface through ``df.join`` so Catalyst/AQE pick
+broadcast vs shuffled-hash vs sort-merge at runtime.
+
+Scale notes: dimension tables (region/nation/supplier/part at typical
+ratios) are broadcast explicitly; fact-fact joins shuffle on the join
+key and rely on AQE skew-join splitting for hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ledger_anti_join(
+    candidates: DataFrame, ledger: DataFrame, key: str = "file_id"
+) -> DataFrame:
+    """F3/J1: keep candidates whose key is NOT in the ledger. The ledger
+    is tiny → broadcast, so no shuffle of the candidate side."""
+    return candidates.join(F.broadcast(ledger), on=key, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on, broadcast: bool = False) -> DataFrame:
+    right = F.broadcast(right) if broadcast else right
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on, broadcast: bool = False) -> DataFrame:
+    right = F.broadcast(right) if broadcast else right
+    return left.join(right, on=on, how="left_anti")
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact-to-dimension equi-join with an explicit broadcast hint."""
+    return fact.join(F.broadcast(dim), on=on, how=how)

@@ -1,0 +1,513 @@
+"""Query registry: every operator exposed as (Spark callable, oracle SQL).
+
+This is the engine's public query surface and its correctness gate: the
+driver executes ``QUERIES[name](spark, sf_dir)`` and the matching
+``ORACLE[name]`` in DuckDB over the same parquet tables, comparing
+row-count + schema + order-insensitive value hash (SURVEY.md §5.2).
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, 2)`` on both sides (summation order
+  differs between engines; rounding absorbs last-ulp drift);
+- any top-k has a fully deterministic total order (explicit tie-breaks);
+- timestamps cross the boundary as epoch seconds or DATE, never as
+  engine-local timestamp renderings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.operators.aggregates import (
+    cube_metrics,
+    grouped_metrics,
+    rollup_metrics,
+)
+from airflow_loan_etl_pipeline_spark.operators.cleaning import column_modes
+from airflow_loan_etl_pipeline_spark.operators.dates import split_datetime
+from airflow_loan_etl_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
+from airflow_loan_etl_pipeline_spark.operators.topk import top_k, top_k_per_group
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference analytic core (SURVEY.md §2.2/2.4/2.6: A1-A6, P1-P4, D1-D3, T1-T3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "loan_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS loan_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def loan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: multi-key hash aggregate (reference loan_spark_etl.py:110-129)."""
+    aggs = grouped_metrics(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        amount_col="o_totalprice",
+    )
+    return aggs.withColumn("total_amount", F.round("total_amount", 2))
+
+
+@query(
+    "loan_agg_global",
+    oracle="""
+    SELECT count(*) AS loan_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    """,
+)
+def loan_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global fallback when no grouping columns exist
+    (reference loan_spark_etl.py:115-120)."""
+    aggs = grouped_metrics(
+        _t(spark, sf_dir, "orders"), [], amount_col="o_totalprice"
+    )
+    return aggs.withColumn("total_amount", F.round("total_amount", 2))
+
+
+@query(
+    "mode_per_column",
+    oracle="""
+    WITH melted AS (
+        SELECT 'o_orderstatus' AS col_name, cast(o_orderstatus AS varchar) AS value
+        FROM orders WHERE o_orderstatus IS NOT NULL
+        UNION ALL
+        SELECT 'o_orderpriority', cast(o_orderpriority AS varchar)
+        FROM orders WHERE o_orderpriority IS NOT NULL
+        UNION ALL
+        SELECT 'o_custkey', cast(o_custkey AS varchar)
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    counted AS (
+        SELECT col_name, value, count(*) AS cnt FROM melted GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT col_name, value, cnt,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY cnt DESC, value ASC) AS rn
+        FROM counted
+    )
+    SELECT col_name, value AS mode_value, cnt FROM ranked WHERE rn = 1
+    """,
+)
+def mode_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 single-pass multi-column mode — replaces the reference's
+    per-column scan loop (loan_spark_etl.py:48-68) with one melt+agg."""
+    modes = column_modes(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+    return modes.withColumnRenamed("column", "col_name")
+
+
+@query(
+    "date_split",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderdate AS date) AS created_date,
+           strftime(o_orderdate, '%H:%M:%S') AS created_time,
+           cast(year(o_orderdate) AS int) AS created_year,
+           cast(month(o_orderdate) AS int) AS created_month
+    FROM orders
+    """,
+)
+def date_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D3/P1-P2: datetime decomposition (loan_spark_etl.py:71-88)."""
+    df = split_datetime(_t(spark, sf_dir, "orders"), source_col="o_orderdate")
+    return df.select(
+        "o_orderkey", "created_date", "created_time", "created_year", "created_month"
+    )
+
+
+@query(
+    "topk_segments",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS loan_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY loan_count DESC, o_orderstatus ASC, o_orderpriority ASC
+    LIMIT 10
+    """,
+)
+def topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: top-10 segments by loan_count (loan_spark_etl.py:211-214) with
+    deterministic tie-breaks; plans to TakeOrderedAndProject."""
+    aggs = loan_agg(spark, sf_dir)
+    return top_k(
+        aggs,
+        10,
+        F.col("loan_count").desc(),
+        F.col("o_orderstatus").asc(),
+        F.col("o_orderpriority").asc(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (§7 phase 2): TPC-H-style scans/joins/aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg, fully codegen'd, partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style join pipeline. customer is the small side → broadcast;
+    orders⋈lineitem shuffles on the order key with AQE skew handling."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = dim_join(
+        li.join(o, li.l_orderkey == o.o_orderkey),
+        c,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    rev = (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    return top_k(rev, 10, F.col("revenue").desc(), F.col("c_custkey").asc())
+
+
+@query(
+    "nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style star join: dims broadcast, single fact-fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = dim_join(
+        dim_join(c, n, on=F.col("c_nationkey") == F.col("n_nationkey")),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    joined = dim_join(
+        li.join(o, li.l_orderkey == o.o_orderkey),
+        dims,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style anti-join (ledger pattern, reference
+    drive_auto_compress_email.py:184/:207 re-expressed in-engine)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, on="c_custkey").select("c_custkey")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(c, o, on="c_custkey").select("c_custkey")
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS loan_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (§2.4 extension)."""
+    out = rollup_metrics(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        "o_totalprice",
+    )
+    return out.withColumn("total_amount", F.round("total_amount", 2))
+
+
+@query(
+    "cube_lineitem_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS loan_count,
+           round(sum(l_quantity), 2) AS total_amount
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cube_metrics(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+    return out.withColumn("total_amount", F.round("total_amount", 2))
+
+
+@query(
+    "window_topk_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               cast(row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS int) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 per-group top-k via row_number (one shuffle on the key)."""
+    out = top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        3,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer — frame-based window aggregate."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "nation_keys_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ops breadth (§2.7)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "nation_keys_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+@query(
+    "union_all_files",
+    oracle="""
+    SELECT o_orderkey AS record_key, 'orders' AS src FROM orders
+    UNION ALL
+    SELECT l_orderkey * 100000 + l_linenumber AS record_key, 'lineitem' AS src
+    FROM lineitem
+    """,
+)
+def union_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1: the reference's multi-file glob is an implicit UNION ALL
+    (loan_spark_etl.py:152-155); explicit unionByName equivalent."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("record_key"), F.lit("orders").alias("src")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100000 + F.col("l_linenumber")).alias("record_key"),
+        F.lit("lineitem").alias("src"),
+    )
+    return o.unionByName(li)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth (§2.8): json, string, math
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS int) AS k_value
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J/S1: JSON decode of the props payload (reference ledger JSON,
+    drive_auto_compress_email.py:93-95, re-expressed in-engine)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
+    )
+
+
+@query(
+    "events_tumbling_10min",
+    oracle="""
+    SELECT cast(floor(epoch(ts) / 600) * 600 AS bigint) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST/§2.9: tumbling event-time window. Uses the same F.window
+    operator the streaming path uses; bucket crosses the oracle boundary
+    as epoch seconds."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+Replaces the reference's per-call session builder
+(/root/reference/airflow/include/loan_spark_etl.py:27-45, :206 — which
+spins up a *second* JVM just to read a few hundred rows) with a single
+shared, config-pinned session:
+
+- UTC session timezone (reference loan_spark_etl.py:37) so timestamps
+  compare cleanly against UTC-naive oracles.
+- Parquet datetime rebase CORRECTED (reference loan_spark_etl.py:39-40).
+- LEGACY time parser is NOT set globally — the reference pins it globally
+  (loan_spark_etl.py:42) but it only matters for sloppy CSV date strings;
+  we confine lenient parsing to the CSV ingest path (io.py) instead.
+- AQE on with partition coalescing + skew-join handling: at 100 TB the
+  right shuffle partitioning is data-dependent, so let the runtime
+  re-plan; the static `spark.sql.shuffle.partitions` is only the upper
+  bound AQE coalesces down from.
+- Arrow enabled for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Upper bound for shuffle parallelism; AQE coalesces downward at runtime.
+# Local default: ~cores. On a real cluster this should be set to
+# ~2-3x total executor cores (e.g. 2000+ for a 1000-executor job).
+_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "airflow_loan_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    One session per process — the reference builds a fresh session per
+    entry point (loan_spark_etl.py:134-189 and :192-220), paying JVM
+    startup twice; ``getOrCreate`` makes this idempotent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,94 @@
+"""Sources and sinks (SURVEY.md §2.1: S1-S3, K1-K4, SET1).
+
+Reference behaviors re-expressed Spark-first:
+
+- S1  CSV directory scan (reference loan_spark_etl.py:152-155): glob over
+  ``*.csv`` with header. The glob IS the implicit UNION ALL (SET1). We
+  take an explicit schema (schemas.py) instead of ``inferSchema=True`` —
+  inference double-scans the input, fatal at scale. The reference's
+  LEGACY lenient timestamp parsing (loan_spark_etl.py:42) is confined to
+  this path via a per-read conf, not session-global.
+- S3  empty probe: ``df.isEmpty()`` — the reference hops through
+  ``df.rdd.isEmpty()`` (loan_spark_etl.py:157) which forces an RDD
+  conversion; the native form short-circuits on the first partition.
+- K1/K2 parquet sinks with overwrite mode (loan_spark_etl.py:178-184).
+- K3  ``coalesce(1)`` is OPT-IN here (the reference defaults to it,
+  loan_spark_etl.py:139) — a single output file serializes the write on
+  one task; at scale you want one file per partition plus
+  ``partitionBy`` for partition pruning on re-read.
+- K4  compression: expressed as writer codec options instead of a
+  driver-side gzip loop (reference drive_auto_compress_email.py:294-298).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    lenient_timestamps: bool = True,
+) -> DataFrame:
+    """Read every CSV under ``path`` (glob union, SET1) with a header row.
+
+    With ``schema=None`` falls back to inference (reference parity;
+    loan_spark_etl.py:155) — avoid for large inputs.
+    """
+    reader = spark.read.option("header", True)
+    if lenient_timestamps:
+        # Reference pins spark.sql.legacy.timeParserPolicy=LEGACY globally
+        # (loan_spark_etl.py:42); scoping leniency to CSV parse options
+        # keeps the rest of the engine on the CORRECTED parser.
+        reader = reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def is_empty(df: DataFrame) -> bool:
+    """S3 empty-input probe without the reference's RDD hop."""
+    return df.isEmpty()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """K1/K2 parquet sink. ``coalesce`` only for small report outputs."""
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    header: bool = True,
+) -> None:
+    """K4 compressed CSV sink — distributed gzip via writer codec instead
+    of the reference's single-threaded driver-side gzip loop
+    (drive_auto_compress_email.py:294-298)."""
+    writer = df.write.mode(mode).option("header", header)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)

@@ -1,0 +1,124 @@
+"""Local mirror of the driver's differential-oracle gate.
+
+Runs every registry query on Spark AND its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and values
+(rows sorted, column order normalized by name). Floats compare both
+exactly and with a 1e-9 relative tolerance so we can see whether the
+driver's exact value-hash would pass.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from airflow_loan_etl_pipeline_spark import registry  # noqa: E402
+from airflow_loan_etl_pipeline_spark.catalog import TABLE_NAMES  # noqa: E402
+from airflow_loan_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def sort_key(row):
+    return tuple(
+        (x is None, str(type(x).__name__), str(x)) for x in row
+    )
+
+
+def compare(name, spark_df, duck_rel) -> tuple[bool, bool, str]:
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_rel.columns)
+    if s_cols != d_cols:
+        return False, False, f"columns differ: spark={s_cols} duck={d_cols}"
+    s_rows = [tuple(r[c] for c in s_cols) for r in spark_df.collect()]
+    d_idx = [duck_rel.columns.index(c) for c in s_cols]
+    d_rows = [tuple(canon(r[i]) for i in d_idx) for r in duck_rel.fetchall()]
+    s_rows = [tuple(canon(x) for x in r) for r in s_rows]
+    if len(s_rows) != len(d_rows):
+        return False, False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    s_rows.sort(key=sort_key)
+    d_rows.sort(key=sort_key)
+    exact = True
+    for sr, dr in zip(s_rows, d_rows):
+        for sv, dv in zip(sr, dr):
+            if sv == dv:
+                continue
+            exact = False
+            if isinstance(sv, float) and isinstance(dv, float):
+                if math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9):
+                    continue
+            return False, False, f"value mismatch: spark={sr} duck={dr}"
+    return True, exact, f"{len(s_rows)} rows"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duck_conn(sf_dir)
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        if only and name not in only:
+            continue
+        sql = registry.ORACLE.get(name)
+        if sql is None:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  ~  {name}: rows-only ({n} rows)")
+            except Exception as e:
+                print(f"  ✗  {name}: SPARK ERROR {e}")
+                failures.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+        except Exception as e:
+            print(f"  ✗  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            print(f"  ✗  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        try:
+            ok, exact, msg = compare(name, sdf, rel)
+        except Exception as e:
+            ok, exact, msg = False, False, f"compare error: {e}"
+        tag = "✓" if ok else "✗"
+        ex = "exact" if exact else ("tol" if ok else "")
+        print(f"  {tag}  {name}: {msg} {ex}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(registry.QUERIES) - len(failures)}/{len(registry.QUERIES)} pass")
+    if failures:
+        print("FAILURES:", ", ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
