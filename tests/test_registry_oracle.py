@@ -1,0 +1,61 @@
+"""Differential-oracle harness: every registry query vs its DuckDB SQL at
+sf0.001 — the in-repo mirror of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from airflow_loan_etl_pipeline_spark import registry
+from airflow_loan_etl_pipeline_spark.catalog import TABLE_NAMES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple((x is None, type(x).__name__, str(x)) for x in row)
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLE))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    cols = sorted(sdf.columns)
+    rel = duck.sql(registry.ORACLE[name])
+    assert sorted(rel.columns) == cols, "column names must match the oracle"
+    s_rows = sorted(
+        ([_canon(r[c]) for c in cols] for r in sdf.collect()), key=_key
+    )
+    idx = [rel.columns.index(c) for c in cols]
+    d_rows = sorted(
+        ([_canon(r[i]) for i in idx] for r in rel.fetchall()), key=_key
+    )
+    assert len(s_rows) == len(d_rows)
+    for sr, dr in zip(s_rows, d_rows):
+        for sv, dv in zip(sr, dr):
+            if isinstance(sv, float) and isinstance(dv, float):
+                assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9), (sr, dr)
+            else:
+                assert sv == dv, (sr, dr)
+
+
+@pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLE)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    assert registry.QUERIES[name](spark, sf_dir).count() >= 0
