@@ -1,0 +1,171 @@
+"""Deduplication operators (SURVEY.md §7 phase 4): exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- **Exact** dedup groups by an md5 fingerprint, not the raw text — the
+  shuffle moves 16-byte keys instead of documents.
+- **MinHash+LSH**: signatures are a pure projection (no shuffle); the
+  only shuffle is the band-bucket self-join, whose fan-out is bounded by
+  bucket sizes. This is the standard shingle→minhash→band→bucket-join
+  pipeline; at 100 TB you'd additionally drop mega-buckets (stop-shingle
+  analogue) before the self-join.
+- **SimHash** is a single aggregation pass per document (32 conditional
+  sums over exploded tokens in one hash-aggregate).
+
+All hashes are md5-derived (``conv(substr(md5(x),1,8),16,10)``) so an
+ANSI-SQL oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
+# a*h < 2^50 never overflows int64.
+MINHASH_P = 4_294_967_311
+MINHASH_A = (3, 7, 13, 31, 61, 127, 251, 509, 1021, 2039, 4093, 8191, 16381, 32749, 65521, 131071)
+MINHASH_B = (17, 29, 43, 71, 101, 151, 223, 337, 499, 743, 1109, 1657, 2477, 3709, 5563, 8341)
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+SHINGLE_EXPR = (
+    "CASE WHEN size(split({text}, ' ')) >= {n} THEN "
+    "array_distinct(transform(sequence(1, size(split({text}, ' ')) - {n_minus_1}), "
+    "i -> concat_ws(' ', slice(split({text}, ' '), i, {n})))) "
+    "ELSE array({text}) END"
+)
+
+HASH32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) AS bigint)"
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (pure projection)."""
+    expr = SHINGLE_EXPR.format(text=text_col, n=n, n_minus_1=n - 1)
+    return df.withColumn("shingles", F.expr(expr))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one representative (min id) per
+    distinct text. Groups by md5(text), not text itself."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sig array of 16 minhashes) — single projection, no shuffle."""
+    sh = shingles(df, text_col, n)
+    hashed = sh.withColumn(
+        "hh", F.expr(f"transform(shingles, s -> {HASH32.format(x='s')})")
+    )
+    sig_items = ", ".join(
+        f"array_min(transform(hh, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return hashed.select(F.col(id_col), F.expr(f"array({sig_items})").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    band of their MinHash signature. Output: (doc_a, doc_b), doc_a<doc_b.
+
+    Physical shape: project signatures → explode to (band_id, band_key)
+    → self-equi-join on the band key (shuffle bounded by bucket sizes,
+    AQE handles skewed buckets) → distinct pairs.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    bands = ", ".join(
+        f"named_struct('band_id', {j}, 'band_key', "
+        f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
+        for j in range(N_BANDS)
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
+    ).select(id_col, "b.band_id", "b.band_key")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Shuffle is on the shingle key; frequency-bounded because shingles
+    are distinct-per-doc. At 100 TB you'd first drop shingles whose
+    document frequency exceeds a cap (they generate quadratic pairs but
+    carry no signal).
+    """
+    sh = shingles(df, text_col, n).select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.s") == F.col("r.s"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """Per-document SimHash over token hashes: one explode + one
+    hash-aggregate with ``bits`` conditional sums (single shuffle on id).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.expr(HASH32.format(x="tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN cast({1 << b} AS bigint) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(sim).alias("simhash"))

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (SURVEY.md §7 phase 4).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the exactness baseline. The query
+  vector rides into the executors as a literal/broadcast; scoring is a
+  pure projection (zip_with + aggregate, JVM-side, no Python); the
+  top-k is ``TakeOrderedAndProject`` (per-partition heap, no full sort).
+  At 100 TB this is one scan, embarrassingly parallel.
+- **LSH-bucketed ANN** — the scale path. Random-hyperplane signatures
+  bucket vectors; the query probes only its own bucket. Hyperplanes are
+  deterministic (seeded ±1 weights generated from md5 in Python and
+  embedded as literals), so an ANSI-SQL oracle reproduces the result
+  exactly. On a cluster the bucketed table would be written
+  partitioned-by-bucket so a probe prunes to one partition.
+
+All arithmetic is double-precision with sequential left-to-right sums
+on both engines, so results are bit-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights from md5 — reproducible in
+    any engine (and cheap enough to inline as literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane_{p}_{i}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_weights()
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 AS double), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x AS double))"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """cos(a,b) = dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — identical formula
+    and evaluation order to the oracle SQL."""
+    return (
+        f"{DOT.format(a=a, b=b)} / "
+        f"sqrt({DOT.format(a=a, b=a)} * {DOT.format(a=b, b=b)})"
+    )
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector of ``query_id``.
+
+    The 1-row query side is broadcast (a crossJoin with a broadcast side
+    is a BroadcastNestedLoopJoin — effectively a map-side constant).
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    q = (
+        base.filter(F.col(id_col) == query_id)
+        .select(F.col("v").alias("qv"))
+    )
+    scored = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bucket_expr(vec_col: str = "v", planes: list[list[int]] = PLANES) -> str:
+    """LSH bucket id: bit p = sign(dot(plane_p, v)). Pure projection."""
+    bits = []
+    for p, w in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({x} AS double)" for x in w) + ")"
+        bits.append(
+            f"(CASE WHEN {DOT.format(a=arr, b=vec_col)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's hyperplane bucket.
+
+    Approximate (recall < 1) but deterministic. Scale path: persist
+    ``bucket`` as a partition column; a probe prunes the scan to one
+    bucket (~1/256 of the data for 8 planes).
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
+        "bucket", F.expr(bucket_expr("v"))
+    )
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(
+            id_col,
+            "bucket",
+            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,103 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7 phase 4):
+tokenization, quality scoring, language ID, document fingerprinting.
+
+All operators are native Spark expressions (split / array lambdas / md5)
+— no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly with no shuffle (pure map-side projection). That matters at
+100 TB: a per-row Python UDF here would serialize every document across
+the JVM↔Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny English function-word lexicon for the n-gram/stopword heuristic.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(F.col(col), " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting + lexical diversity, one codegen'd projection."""
+    t = tokens(text_col)
+    return df.select(
+        id_col,
+        F.length(F.col(text_col)).alias("n_chars_m"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 4).alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, mean token length, stopword
+    ratio, lexical diversity, and a blended score."""
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    t = f"split({text_col}, ' ')"
+    n_tok = f"size({t})"
+    # Score blends the UNROUNDED ratios: blending pre-rounded 4-decimal
+    # values lands on exact decimal halves (e.g. 0.47455) where engines'
+    # float rounding direction diverges.
+    raw = df.selectExpr(
+        id_col,
+        f"{n_tok} AS n_tokens",
+        f"aggregate(transform({t}, x -> length(x)), 0, (acc, x) -> acc + x)"
+        f" / {n_tok} AS _mtl",
+        f"size(filter({t}, x -> x IN ({sw}))) / {n_tok} AS _swr",
+        f"size(array_distinct({t})) / {n_tok} AS _dr",
+    )
+    return raw.select(
+        id_col,
+        "n_tokens",
+        F.round("_mtl", 4).alias("mean_token_len"),
+        F.round("_swr", 4).alias("stopword_ratio"),
+        F.round("_dr", 4).alias("distinct_ratio"),
+        # floor-scaling instead of round(): the blend of small rationals
+        # regularly lands on exact decimal halves (x.xxxx5) where decimal
+        # rounding of a binary double is engine-dependent; floor on the
+        # identical double is not.
+        (
+            F.floor(
+                (
+                    0.4 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+                    + 0.3 * F.col("_dr")
+                    + 0.3 * F.least(F.col("_swr") * 5.0, F.lit(1.0))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-free heuristic language ID: English function-word density.
+
+    A real pipeline would swap in fastText/CLD3 behind the same column
+    contract; the heuristic keeps the operator oracle-comparable.
+    """
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    t = f"split({text_col}, ' ')"
+    scored = df.selectExpr(
+        id_col,
+        f"round(size(filter({t}, x -> x IN ({sw}))) / size({t}), 4) AS en_score",
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(F.col("en_score") >= 0.05, F.lit("en")).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint (md5) — the exact-dedup key.
+    At scale: group/partition by this 128-bit key, never by raw text
+    (shuffling full documents to compare equality wastes the network)."""
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )

@@ -1,0 +1,246 @@
+"""Registry entries for the training-data operators (text analysis,
+dedup, similarity). Oracle SQL is GENERATED from the same constants the
+Spark operators use (minhash perms, LSH planes, stopword lexicon) so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.operators import dedup as D
+from airflow_loan_etl_pipeline_spark.operators import similarity as S
+from airflow_loan_etl_pipeline_spark.operators import text as X
+from airflow_loan_etl_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_TOKS = "str_split(text, ' ')"
+_SW = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+_HASH32_DUCK = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SHINGLES_DUCK = (
+    "CASE WHEN len({toks}) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len({toks}) - 2), "
+    "i -> array_to_string(({toks})[i:i+2], ' '))) "
+    "ELSE [text] END"
+).format(toks=_TOKS)
+
+_SIG_ITEMS_DUCK = ", ".join(
+    f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {D.MINHASH_P}))"
+    for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+)
+
+_SIG_CTE = f"""
+    tok AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    hashed AS (SELECT doc_id,
+        list_transform(shingles, s -> {_HASH32_DUCK.format(x='s')}) AS hh
+        FROM tok),
+    sig AS (SELECT doc_id, [{_SIG_ITEMS_DUCK}] AS sig FROM hashed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_unique_tokens,
+           round(len(list_distinct({_TOKS})) / len({_TOKS}), 4) AS distinct_ratio
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_quality",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           round(_mtl, 4) AS mean_token_len,
+           round(_swr, 4) AS stopword_ratio,
+           round(_dr, 4) AS distinct_ratio,
+           floor((0.4 * least(n_tokens / 64.0, 1.0)
+               + 0.3 * _dr
+               + 0.3 * least(_swr * 5.0, 1.0)) * 10000) / 10000 AS quality_score
+    FROM (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                     / len({_TOKS}) AS _mtl,
+               len(list_filter({_TOKS}, x -> x IN ({_SW})))
+                     / len({_TOKS}) AS _swr,
+               len(list_distinct({_TOKS})) / len({_TOKS}) AS _dr
+        FROM documents
+    )
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_lang_id",
+    oracle=f"""
+    SELECT doc_id, en_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM (
+        SELECT doc_id,
+               round(len(list_filter({_TOKS}, x -> x IN ({_SW})))
+                     / len({_TOKS}), 4) AS en_score
+        FROM documents
+    )
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band_id, "
+            f"array_to_string(sig[{j * D.ROWS_PER_BAND + 1}:{(j + 1) * D.ROWS_PER_BAND}], '-') AS band_key "
+            f"FROM sig"
+            for j in range(D.N_BANDS)
+        )}
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+        FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+    FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "docs_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_HASH32_DUCK.format(x='tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM bits
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_DUCK = (
+    "list_dot_product(v, qv) / "
+    "sqrt(list_dot_product(v, v) * list_dot_product(qv, qv))"
+)
+
+
+@query(
+    "embeddings_cosine_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0)
+    SELECT vec_id, round({_COS_DUCK}, 6) AS cosine
+    FROM base, q WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+def _planes_duck() -> str:
+    rows = []
+    for p, w in enumerate(S.PLANES):
+        arr = "[" + ", ".join(f"{x}.0" for x in w) + "]"
+        rows.append(
+            f"(CASE WHEN list_dot_product({arr}, {{v}}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(rows)
+
+
+@query(
+    "embeddings_lsh_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id, bucket, round({_COS_DUCK}, 6) AS cosine
+    FROM bucketed, q
+    WHERE vec_id != 0 AND bucket = qbucket
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
