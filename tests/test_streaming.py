@@ -1,0 +1,115 @@
+"""Streaming semantics (SURVEY.md §2.9): a real readStream → memory-sink
+drive of the windowed aggregations, and the batch-incremental ledger."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_loan_etl_pipeline_spark.streaming.file_source import (
+    incremental_batch,
+    load_ledger,
+    settled_files,
+    update_ledger,
+)
+from airflow_loan_etl_pipeline_spark.streaming.windows import tumbling
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """Drive the SAME window builder through a real streaming query
+    (parquet file source → memory sink) and through batch; results must
+    agree (Trigger.AvailableNow ≡ the reference's drain-everything poll).
+    """
+    src = str(tmp_path / "stream_src")
+    rows = [
+        ("2024-01-01 00:01:00", 1, 10.0),
+        ("2024-01-01 00:04:00", 1, 5.0),
+        ("2024-01-01 00:12:00", 2, 7.0),
+        ("2024-01-01 00:25:00", 1, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(src)
+    agg = tumbling(stream, duration="10 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"].minute, r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = {
+        (r["w"]["start"].minute, r["n_events"], r["total_value"])
+        for r in tumbling(spark.read.parquet(src), duration="10 minutes").collect()
+    }
+    assert got == batch == {(0, 2, 15.0), (10, 1, 7.0), (20, 1, 3.0)}
+
+
+def _write_csv(path: str, rows: list[str], header: str = "loan_id,amount") -> None:
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(r + "\n")
+
+
+def test_incremental_batch_ledger_exactly_once(spark, tmp_path):
+    """ST2/F3: each file is consumed exactly once across polls; a second
+    poll with no new files yields nothing; late files are picked up."""
+    land = str(tmp_path / "landing")
+    ledger = str(tmp_path / "ledger.parquet")
+    os.makedirs(land)
+    schema = T.StructType(
+        [T.StructField("loan_id", T.StringType()), T.StructField("amount", T.DoubleType())]
+    )
+    _write_csv(f"{land}/loan_a.csv", ["L1,100.0", "L2,200.0"])
+
+    data, fresh = incremental_batch(spark, land, ledger, schema, prefix="loan_")
+    assert data is not None and data.count() == 2
+    update_ledger(spark, ledger, fresh)
+
+    # poll 2: nothing new
+    data2, _ = incremental_batch(spark, land, ledger, schema, prefix="loan_")
+    assert data2 is None
+
+    # poll 3: one late file arrives; only it is read (multi-file union SET1
+    # would apply if several arrived)
+    _write_csv(f"{land}/loan_b.csv", ["L3,300.0"])
+    data3, fresh3 = incremental_batch(spark, land, ledger, schema, prefix="loan_")
+    assert data3 is not None and data3.count() == 1
+    assert [r["file_id"] for r in fresh3.collect()] == ["loan_b.csv"]
+    update_ledger(spark, ledger, fresh3)
+    assert load_ledger(spark, ledger).count() == 2
+
+
+def test_settle_age_gate(spark, tmp_path):
+    """F4: files younger than the settle window are not offered."""
+    land = str(tmp_path / "landing2")
+    os.makedirs(land)
+    _write_csv(f"{land}/loan_new.csv", ["L1,1.0"])
+    now = time.time()
+    assert settled_files(spark, land, prefix="loan_", min_age_seconds=3600, now=now).count() == 0
+    assert settled_files(spark, land, prefix="loan_", min_age_seconds=0, now=now).count() == 1
+    # name predicate (F2)
+    _write_csv(f"{land}/other.csv", ["L9,9.0"])
+    got = settled_files(spark, land, prefix="loan_", min_age_seconds=0, now=now)
+    assert [r["file_id"] for r in got.collect()] == ["loan_new.csv"]
