@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §7 phase 4).
+
+Assets are opaque ``binary`` payloads + typed metadata (schemas.MEDIA).
+The Spark-side machinery — schema contract, Arrow-batched
+``mapInPandas`` pipelines, batch shaping, partition sizing — is real and
+tested; the actual codec work (image decode, resampling, frame
+extraction) is stubbed behind ``_decode_payload`` with a deterministic
+fake, because media libraries aren't in this container. Swapping the
+fake for PIL/torchaudio/pyav changes ONE function; the distributed plan
+is unchanged.
+
+Scale notes: payloads dominate row width, so these operators
+deliberately run ``mapInPandas`` (streamed Arrow batches, bounded
+memory) rather than ``collect``-side loops; binary columns are pruned
+unless requested (metadata-only queries never deserialize payloads);
+``spark.sql.files.maxPartitionBytes`` governs scan parallelism for
+binary-file ingest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes int, checksum string, "
+    "width int, height int, duration_ms int"
+)
+
+THUMB_SCHEMA = "asset_id long, thumb binary, thumb_width int, thumb_height int"
+
+FRAME_SCHEMA = "asset_id long, frame_index int, frame binary"
+
+
+def _decode_payload(media_type: str, payload: bytes) -> dict:
+    """STUB: deterministic fake decode.
+
+    A real implementation decodes with PIL / soundfile / pyav. The fake
+    derives stable pseudo-dimensions from the payload bytes so tests are
+    deterministic end-to-end. Raises for unknown media types, mirroring
+    a codec error path.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    n = len(payload)
+    head = payload[:4].ljust(4, b"\0")
+    seed = int.from_bytes(head, "big")
+    if media_type == "image":
+        return {"width": 16 + seed % 1024, "height": 16 + (seed >> 10) % 1024,
+                "duration_ms": 0}
+    return {"width": 0, "height": 0, "duration_ms": 1 + seed % 600000}
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Per-asset features via Arrow-batched mapInPandas: byte size,
+    checksum, decoded dimensions. One pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                meta = _decode_payload(row["media_type"], payload)
+                out.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "duration_ms": meta["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[
+                "asset_id", "media_type", "n_bytes", "checksum",
+                "width", "height", "duration_ms",
+            ])
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnail pipeline shape. STUB resize: truncates the payload
+    deterministically (a real impl decodes + resamples); the Arrow
+    batch contract and output schema are the real thing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "thumb": pdf["payload"].map(
+                        lambda p: bytes(p)[: max_side * max_side] if p is not None else b""
+                    ),
+                    "thumb_width": max_side,
+                    "thumb_height": max_side,
+                }
+            )
+            yield out[["asset_id", "thumb", "thumb_width", "thumb_height"]]
+
+    return df.mapInPandas(op, schema=THUMB_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling shape: one input row fans out to ≤max_frames
+    rows (mapInPandas may change cardinality — that's the point). STUB
+    frame extraction slices the payload at fixed strides."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf[pdf["media_type"] == "video"].iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    rows.append(
+                        {
+                            "asset_id": row["asset_id"],
+                            "frame_index": i,
+                            "frame": payload[i * every_n_bytes : (i + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame"])
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: the Spark-side machinery is real (schemas,
+Arrow batches, fan-out cardinality); decode is a deterministic stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_loan_etl_pipeline_spark import schemas
+from airflow_loan_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGxxxxxxxx" * 10, {"src": "cam"}),
+        (2, "audio", b"RIFFyyyy" * 100, {"src": "mic"}),
+        (3, "video", b"\x00\x00\x01\xba" * 2048, {"src": "cam"}),
+        (4, "image", None, {}),
+    ]
+    return spark.createDataFrame(rows, schemas.MEDIA)
+
+
+def test_extract_features(media):
+    feats = {r["asset_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 120
+    assert feats[1]["width"] >= 16 and feats[1]["height"] >= 16
+    assert feats[2]["duration_ms"] > 0
+    assert feats[4]["n_bytes"] == 0
+    assert len(feats[3]["checksum"]) == 32
+    # deterministic across runs
+    again = {r["asset_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["checksum"] == again[1]["checksum"]
+
+
+def test_resize_images_filters_to_images(media):
+    thumbs = resize_images(media, max_side=8).collect()
+    assert {r["asset_id"] for r in thumbs} == {1, 4}
+    assert all(r["thumb_width"] == 8 for r in thumbs)
+    assert all(len(r["thumb"]) <= 64 for r in thumbs)
+
+
+def test_sample_frames_fans_out(media):
+    frames = sample_frames(media, every_n_bytes=1024, max_frames=4).collect()
+    assert {r["asset_id"] for r in frames} == {3}
+    assert [r["frame_index"] for r in sorted(frames, key=lambda r: r["frame_index"])] == list(range(4))
+    assert all(len(r["frame"]) == 1024 for r in frames)
+
+
+def test_unknown_media_type_raises(spark):
+    bad = spark.createDataFrame([(9, "hologram", b"x", {})], schemas.MEDIA)
+    with pytest.raises(Exception, match="hologram"):
+        extract_features(bad).collect()
