@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from airflow_loan_etl_pipeline_spark import registry
 from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401  (registers queries)
 from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401  (registers queries)
+from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401  (registers queries)
 from airflow_loan_etl_pipeline_spark.plans.loan_etl import run_loan_etl
 
 SF0001 = "/root/testdata/sf0.001"

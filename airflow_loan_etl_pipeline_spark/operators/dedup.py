@@ -30,20 +30,37 @@ MINHASH_B = (17, 29, 43, 71, 101, 151, 223, 337, 499, 743, 1109, 1657, 2477, 370
 N_BANDS = 4
 ROWS_PER_BAND = 4
 
-SHINGLE_EXPR = (
-    "CASE WHEN size(split({text}, ' ')) >= {n} THEN "
-    "array_distinct(transform(sequence(1, size(split({text}, ' ')) - {n_minus_1}), "
-    "i -> concat_ws(' ', slice(split({text}, ' '), i, {n})))) "
-    "ELSE array({text}) END"
-)
-
 HASH32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) AS bigint)"
+# 60-bit variant for join/groupBy keys where 32-bit birthday collisions
+# would perturb exact counts (15 hex digits < 2^61).
+HASH60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (pure projection)."""
-    expr = SHINGLE_EXPR.format(text=text_col, n=n, n_minus_1=n - 1)
-    return df.withColumn("shingles", F.expr(expr))
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, repartition: bool = True
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (pure projection).
+
+    Tokenization is materialized ONCE as a column before the per-index
+    lambda — inlining ``split`` inside ``transform`` re-tokenizes for
+    every shingle position (O(tokens²) per document). ``repartition``
+    spreads the CPU-heavy projection across cores when the source is a
+    few large files (a single parquet row-group otherwise pins the whole
+    corpus to one task); at real scale input file count already provides
+    parallelism, and the extra round-robin shuffle of raw text can be
+    disabled.
+    """
+    if repartition:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
+    toks = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    expr = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))) "
+        f"ELSE array({text_col}) END"
+    )
+    return toks.withColumn("shingles", F.expr(expr)).drop("_toks")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -90,24 +107,30 @@ def minhash_lsh_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
     ).select(id_col, "b.band_id", "b.band_key")
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+    # Bucket members are gathered with ONE groupBy and pairs expanded
+    # in-expression — no self-join, so the signature pipeline is computed
+    # exactly once and nothing needs caching. Bucket size bounds the
+    # expansion (at 100 TB: cap/drop mega-buckets before expanding —
+    # they're stop-shingle noise). Numbered repartition keeps AQE from
+    # serializing the expansion (see ngram_jaccard_pairs).
+    exploded = exploded.repartition(
+        exploded.sparkSession.sparkContext.defaultParallelism,
+        "band_id", "band_key",
+    )
+    buckets = exploded.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -127,18 +150,46 @@ def ngram_jaccard_pairs(
     sh = shingles(df, text_col, n).select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
-    ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("s"))
-    l, r = ex.alias("l"), ex.alias("r")
+    # Shuffle 8-byte shingle hashes, not shingle strings (HASH60: the
+    # 2^61 space keeps exact counts collision-safe at realistic corpus
+    # sizes; the oracle applies the identical hash).
+    ex = sh.select(
+        id_col,
+        "n_sh",
+        F.expr(f"transform(shingles, s -> {HASH60.format(x='s')})").alias("hh"),
+    ).select(id_col, "n_sh", F.explode("hh").alias("s"))
+    # Same no-self-join shape as minhash_lsh_pairs: gather each shingle's
+    # posting list with one groupBy, expand (doc_a, doc_b) pairs
+    # in-expression, then count shared shingles per pair. Two shuffles
+    # total; the expansion is bounded by per-shingle document frequency
+    # (at 100 TB, cap the posting-list length first).
+    # Explicit numbered repartition on the key: the pair expansion
+    # MULTIPLIES data ~10x after this shuffle, and AQE — which sizes
+    # partitions by shuffle INPUT bytes — would coalesce the small input
+    # to one task and serialize the expansion. REPARTITION_BY_NUM is
+    # exempt from AQE coalescing; the following groupBy reuses the
+    # partitioning (no extra shuffle).
+    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    postings = ex.groupBy("s").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
+        ).alias("ids")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
+        "'na', x.n_sh, 'nb', y.n_sh))))"
+    )
     inter = (
-        l.join(r, on=[F.col("l.s") == F.col("r.s"),
-                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-        .groupBy(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.n_sh").alias("na"),
-            F.col("r.n_sh").alias("nb"),
-        )
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            F.col("doc_a"), F.col("doc_b"),
+            F.col("na"), F.col("nb"), F.col("inter"),
+        )
     )
     return (
         inter.withColumn(

@@ -154,7 +154,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
     inter AS (
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                l.n_sh AS na, r.n_sh AS nb, count(*) AS inter

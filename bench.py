@@ -16,6 +16,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_loan_etl_pipeline_spark import registry
+from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -31,6 +34,16 @@ HEADLINE = [
     "window_running_spend",
     "events_tumbling_10min",
     "events_json_extract",
+    "events_sliding_10m_5m",
+    "events_session_5m",
+    "events_asof_click_view",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "docs_simhash",
+    "docs_quality",
+    "embeddings_cosine_topk",
+    "embeddings_lsh_topk",
 ]
 
 
