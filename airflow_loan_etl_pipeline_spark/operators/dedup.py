@@ -220,3 +220,58 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         for b in range(bits)
     )
     return agg.select(F.col(id_col), F.expr(sim).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Banded LSH on the signature: the ``bits`` are split into
+    ``max_hamming + 1`` contiguous bands, so by pigeonhole any pair
+    within the distance budget agrees EXACTLY on at least one band —
+    banding is a lossless candidate filter, and the result equals the
+    brute-force O(n²) answer. Candidates are gathered with one groupBy
+    per band key (no self-join — the signature aggregation runs once)
+    and verified with an exact popcount on the XOR. At 100 TB, bucket
+    size bounds the pair expansion; cap mega-buckets (constant-ish
+    documents) before expanding.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sig = simhash(df, id_col, text_col, bits)
+    bands = ", ".join(
+        f"named_struct('band_id', {b}, "
+        f"'band_key', (simhash div {1 << (b * band_bits)}) % {1 << band_bits})"
+        for b in range(n_bands)
+    )
+    exploded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.expr(f"array({bands})")).alias("b"),
+    ).select(id_col, "simhash", "b.band_id", "b.band_key")
+    exploded = exploded.repartition(
+        exploded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+    )
+    buckets = exploded.groupBy("band_id", "band_key").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+        ).alias("ids")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
+        "'hamming', cast(bit_count(x.sh ^ y.sh) AS int)))))"
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

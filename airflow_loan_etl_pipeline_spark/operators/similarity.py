@@ -132,3 +132,92 @@ def lsh_bucketed_topk(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize to the nearest centroid,
+    probe only the query's ``nprobe`` nearest inverted lists.
+
+    Centroids are the ``n_centroids`` lowest-id data vectors —
+    deterministic (no k-means RNG), so the oracle reproduces the
+    assignment exactly. The centroid table is broadcast; assignment is
+    a map-side nested-loop + one row_number shuffle on the vector id.
+    Scale path: persist ``cid`` as a partition column so a probe prunes
+    the scan to nprobe/n_centroids of the data; recall improves by
+    raising nprobe, cost-transparently.
+    """
+    from pyspark.sql import Window
+
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cid", F.expr(cosine_expr("v", "cv")).alias("ccos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(id_col, "v", "cid")
+    qprobe = ranked.filter(
+        (F.col(id_col) == query_id) & (F.col("rn") <= nprobe)
+    ).select(F.col("cid").alias("pcid"), F.col("v").alias("qv"))
+    return (
+        assigned.join(F.broadcast(qprobe), F.col("cid") == F.col("pcid"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            "cid",
+            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Candidates are restricted to vectors sharing a hyperplane bucket
+    (same planes as ``lsh_bucketed_topk``), so the quadratic pair
+    expansion is bounded per-bucket instead of global — the only shape
+    that survives 100 TB. Pairs are expanded in-expression from one
+    groupBy (no self-join: the scan + bucket projection run once), then
+    verified with the exact cosine. Deterministic and SQL-expressible,
+    so the oracle reproduces it bit-for-bit.
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
+        "bucket", F.expr(bucket_expr("v"))
+    )
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, "bucket"
+    )
+    buckets = base.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")))
+        ).alias("ids")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('vec_a', x.id, 'vec_b', y.id, "
+        f"'cosine', round({cosine_expr('x.v', 'y.v')}, 6)))))"
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -183,17 +183,36 @@ _SIMHASH_VAL = " + ".join(
 )
 
 
+_SIMHASH_CTE = f"""
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_HASH32_DUCK.format(x='tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM bits)
+"""
+
+
 @query(
     "docs_simhash",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-    h AS (SELECT doc_id, {_HASH32_DUCK.format(x='tok')} AS h FROM tok),
-    bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
-    SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM bits
-    """,
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_pairs",
+    # Banding is a lossless filter for hamming <= 3 over 4 bands
+    # (pigeonhole), so the oracle is the O(n^2) brute force.
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -247,3 +266,58 @@ def _planes_duck() -> str:
 )
 def embeddings_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+_COS_LR = (
+    "list_dot_product({l}, {r}) / "
+    "sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r}))"
+)
+
+
+@query(
+    "embeddings_ivf_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    scored AS (
+        SELECT vec_id, v, cid, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid,
+                     {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
+              FROM base b, cents c)
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+    qprobe AS (SELECT cid AS pcid, v AS qv FROM scored
+               WHERE vec_id = 0 AND rn <= 2)
+    SELECT a.vec_id, a.cid, round({_COS_LR.format(l='a.v', r='q.qv')}, 6) AS cosine
+    FROM assigned a JOIN qprobe q ON a.cid = q.pcid
+    WHERE a.vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+@query(
+    "embedding_dup_pairs",
+    oracle=f"""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base)
+    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           round(list_dot_product(l.v, r.v) /
+                 sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+                 6) AS cosine
+    FROM bucketed l JOIN bucketed r
+      ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(list_dot_product(l.v, r.v) /
+                sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+                6) >= 0.35
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
