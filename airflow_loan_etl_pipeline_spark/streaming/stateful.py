@@ -1,0 +1,87 @@
+"""Arbitrary stateful streaming operators (SURVEY.md §2.9 extension).
+
+The reference's only state is the processed-file ledger (ST2,
+/root/reference/airflow/dags/drive_auto_compress_email.py:85-111) —
+per-KEY running state has no analogue there, but it is the building
+block every training-data pipeline needs (per-user counters, dedup
+state, quota tracking). Implemented the idiomatic Spark way:
+``applyInPandasWithState`` — state lives in the executor's state store,
+keyed and partitioned by the grouping key, checkpointed with the query;
+Arrow batches keep the Python hop vectorized.
+
+At scale: state is hash-partitioned by key across executors; the state
+store (RocksDB in prod configs) spills off-heap, so per-key running
+aggregates shuffle each micro-batch ONCE on the key and touch only the
+keys present in that batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into (count, sum) state and
+    emit the updated running totals."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) over a stream of (ts, user_id,
+    value) events; one updated row per user per micro-batch.
+
+    Works on both streaming and batch frames (batch = a single "batch"
+    fold, which equals a plain groupBy — handy for differential tests).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_archive(
+    out_dir: str, summaries: list[dict] | None = None
+):
+    """The reference's compress→archive→report chain (K4/K5/K7,
+    drive_auto_compress_email.py:287-309, :353-517) as a ``foreachBatch``
+    sink: each micro-batch is archived to parquet and a per-batch
+    summary row is recorded at the report edge (collect of ONE row —
+    aggregate metadata, not data).
+
+    Returns a callable for ``.writeStream.foreachBatch(...)``.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(out_dir)
+            if summaries is not None:
+                # count(*) — the reference's per-batch summary metric
+                # (loan_spark_etl.py:118-126); one aggregate row only.
+                row = batch_df.agg(F.count("*").alias("n_rows")).collect()[0]
+                summaries.append({"batch_id": batch_id, "n_rows": row["n_rows"]})
+        finally:
+            batch_df.unpersist()
+
+    return sink
