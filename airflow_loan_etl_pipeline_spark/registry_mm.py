@@ -1,0 +1,259 @@
+"""Registry entries: multimodal features, stateful-streaming totals, and
+relational breadth (percentiles, date arithmetic, array functions,
+full-outer / cross joins).
+
+The multimodal entry drives the Arrow-batched ``mapInPandas`` pipeline
+from operators/multimodal.py over real table data (documents text as the
+binary payload — the decode stub is deterministic, so the byte-level
+features are oracle-checkable in DuckDB). The stateful entry runs a real
+Structured Streaming query (``applyInPandasWithState``) with
+``Trigger.AvailableNow``: a single micro-batch over a static table makes
+the running totals equal a plain GROUP BY, which gives the stateful
+execution path a differential oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.operators.multimodal import extract_features
+from airflow_loan_etl_pipeline_spark.registry import query
+from airflow_loan_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over a real table (SURVEY.md §7 phase 4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level asset features via the mapInPandas multimodal pipeline
+    (documents text re-encoded as the opaque binary payload). One pass,
+    no shuffle; payload column pruned after feature extraction so only
+    the small feature rows survive the stage boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "checksum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming with a differential oracle (SURVEY.md §2.9 extension)
+# ---------------------------------------------------------------------------
+
+_MEM_NAMES = itertools.count()
+
+
+@query(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals computed by the REAL streaming path
+    (applyInPandasWithState + AvailableNow). Over a static source this
+    is one micro-batch, so the final state equals a plain GROUP BY —
+    which is exactly what the oracle asserts. Projection pushes only
+    (user_id, value) through the stream, skipping the NANOS ts column.
+    """
+    name = f"rt_oracle_{next(_MEM_NAMES)}"
+    # The file source lists a DIRECTORY; events.parquet is one file, so
+    # stream the sf_dir with a glob filter selecting just that file.
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rt_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: percentiles, date arithmetic, arrays, outer/cross joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "lineitem_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           list_transform(
+               quantile_cont(round(l_extendedprice * 100), [0.25, 0.5, 0.75]),
+               x -> x / 100.0) AS price_quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's `percentile`
+    (sort-based exact) vs DuckDB `quantile_cont`, identical
+    pos = p*(n-1) linear interpolation. Interpolating over integer
+    CENTS keeps every intermediate exactly representable (quartile
+    fractions of integers), so both engines produce bit-identical
+    doubles — no rounding, no decimal-half ambiguity. At 100 TB swap
+    for `percentile_approx` (t-digest, mergeable partial aggregation);
+    the approx variant is benchmarked separately via
+    event_type_stats_approx."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "transform(percentile(round(l_extendedprice * 100),"
+            " array(0.25D, 0.5D, 0.75D)), x -> x / 100.0)"
+        ).alias("price_quartiles"),
+    )
+
+
+@query(
+    "orders_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate::DATE AS od,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS qtr,
+           weekofyear(o_orderdate) AS iso_week,
+           datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3m,
+           date_trunc('month', o_orderdate)::DATE AS month_start,
+           last_day(o_orderdate::DATE) AS month_end
+    FROM orders
+    """,
+)
+def orders_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (SURVEY.md §2.8 D1-D4 extension): extract,
+    diff, offset (month-end clamped on both engines), trunc, last_day.
+    Pure projection — whole-stage codegen, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.to_date("o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        "od",
+        F.year("od").alias("y"),
+        F.quarter("od").alias("qtr"),
+        F.weekofyear("od").alias("iso_week"),
+        F.datediff("od", F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.add_months("od", 3).alias("plus_3m"),
+        F.trunc("od", "month").alias("month_start"),
+        F.last_day("od").alias("month_end"),
+    )
+
+
+@query(
+    "embeddings_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1:3] AS first3,
+           embedding[-1] AS last_elem,
+           list_min(embedding) AS min_elem
+    FROM embeddings
+    """,
+)
+def embeddings_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over ArrayType(Float): slice, negative
+    element_at, min. Element passthrough (no float arithmetic) so the
+    comparison is exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice("embedding", 1, 3).alias("first3"),
+        F.element_at("embedding", -1).alias("last_elem"),
+        F.array_min("embedding").alias("min_elem"),
+    )
+
+
+@query(
+    "acctbal_full_outer",
+    oracle="""
+    WITH poor AS (
+        SELECT c_nationkey AS nk, count(*) AS n_poor_cust
+        FROM customer WHERE c_acctbal < -900 GROUP BY c_nationkey
+    ), rich AS (
+        SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+        FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey
+    )
+    SELECT coalesce(poor.nk, rich.nk) AS nation_key,
+           n_poor_cust, n_rich_supp
+    FROM poor FULL OUTER JOIN rich ON poor.nk = rich.nk
+    """,
+)
+def acctbal_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two sparse per-nation aggregates (disjoint key
+    sets force nulls on BOTH sides). Aggregate-before-join keeps the
+    shuffle tiny: the join inputs are ≤ |nations| rows regardless of
+    fact-table scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    poor = (
+        cust.filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_poor_cust"))
+    )
+    rich = (
+        supp.filter(F.col("s_acctbal") > 9900)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    joined = poor.join(rich, on="nk", how="full_outer")
+    # `on="nk"` coalesces the key for us in full-outer joins.
+    return joined.select(
+        F.col("nk").alias("nation_key"), "n_poor_cust", "n_rich_supp"
+    )
+
+
+@query(
+    "region_cross_pairs",
+    oracle="""
+    SELECT a.r_name AS name_a, b.r_name AS name_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+def region_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered region pairs via cross join (|R|² is tiny; Spark plans
+    BroadcastNestedLoopJoin). The guard r_name < r_name' halves the
+    square and removes self-pairs."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_name").alias("name_b"))
+    return a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))

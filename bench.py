@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_loan_etl_pipeline_spark import registry
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.session import get_spark
@@ -44,6 +45,9 @@ HEADLINE = [
     "docs_quality",
     "embeddings_cosine_topk",
     "embeddings_lsh_topk",
+    "multimodal_features",
+    "stateful_running_totals",
+    "lineitem_percentiles",
 ]
 
 
