@@ -5,9 +5,10 @@ Scale design:
 
 - **Exact** dedup groups by an md5 fingerprint, not the raw text — the
   shuffle moves 16-byte keys instead of documents.
-- **MinHash+LSH**: signatures are a pure projection (no shuffle); the
-  only shuffle is the band-bucket self-join, whose fan-out is bounded by
-  bucket sizes. This is the standard shingle→minhash→band→bucket-join
+- **MinHash+LSH**: signatures cost one ~1-row-per-doc shuffle (map-side
+  partial agg over co-located exploded shingles); the only data-sized
+  shuffle is the band-bucket join, whose fan-out is bounded by bucket
+  sizes. This is the standard shingle→minhash→band→bucket-join
   pipeline; at 100 TB you'd additionally drop mega-buckets (stop-shingle
   analogue) before the self-join.
 - **SimHash** is a single aggregation pass per document (32 conditional
@@ -19,8 +20,11 @@ ANSI-SQL oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
 # a*h < 2^50 never overflows int64.
@@ -53,14 +57,83 @@ def shingles(
     if repartition:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
-    toks = df.withColumn("_toks", F.split(F.col(text_col), " "))
-    expr = (
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n})))) "
-        f"ELSE array({text_col}) END"
+
+    # Arrow-batched Pandas UDF, NOT a Catalyst higher-order function:
+    # `transform(sequence(...), i -> concat_ws(...))` runs as an
+    # interpreted lambda per shingle position (no whole-stage codegen
+    # for HOF bodies) and measured ~0.5 ms/shingle; the vectorized
+    # Python loop is ~3.5x faster on the same corpus. Semantics match
+    # the SQL oracle exactly: whitespace split, first-occurrence
+    # distinct, whole text as the lone shingle for short docs.
+    #
+    # NOTE: reference the `shingles` column ONCE downstream.
+    # CollapseProject inlines a deterministic UDF into every reference
+    # (size(shingles) + explode(shingles) = two Python evaluations of
+    # the same doc); consumers needing flat (n_sh, shingle) rows should
+    # use shingle_rows() below, which emits them in a single pass.
+    @pandas_udf("array<string>")
+    def _shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            if len(toks) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([t])
+        return pd.Series(out)
+
+    return df.withColumn("shingles", _shingle(F.col(text_col)))
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    repartition: bool = True,
+) -> DataFrame:
+    """Flat (id, n_sh, shingle) rows — one ``mapInPandas`` pass.
+
+    The array-returning :func:`shingles` needs TWO references downstream
+    (``size`` for the shingle count + ``explode`` for the rows), and
+    CollapseProject duplicates the Python evaluation per reference.
+    Emitting already-exploded rows with the per-doc count attached keeps
+    the UDF subtree single-evaluation AND canonically deterministic, so
+    a self-join over it can reuse one shuffle exchange for both sides.
+    """
+    if repartition:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
+
+    def op(batches):
+        for pdf in batches:
+            ids, counts, shs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.split(" ")
+                if len(toks) >= n:
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[j : j + n])
+                            for j in range(len(toks) - n + 1)
+                        )
+                    )
+                else:
+                    sh = [t]
+                ids.extend([i] * len(sh))
+                counts.extend([len(sh)] * len(sh))
+                shs.extend(sh)
+            yield pd.DataFrame({id_col: ids, "n_sh": counts, "s_str": shs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} long, n_sh int, s_str string"
     )
-    return toks.withColumn("shingles", F.expr(expr)).drop("_toks")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -76,16 +149,26 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, sig array of 16 minhashes) — single projection, no shuffle."""
-    sh = shingles(df, text_col, n)
-    hashed = sh.withColumn(
-        "hh", F.expr(f"transform(shingles, s -> {HASH32.format(x='s')})")
+    """(id, sig array of 16 minhashes).
+
+    Physical shape: explode shingles → flat md5 hash (codegen) →
+    ``groupBy(id).agg(16 × min)`` — every expression whole-stage
+    codegen'd, unlike the in-array ``array_min(transform(...))``
+    formulation whose 16 lambdas run interpreted per shingle (~3x
+    slower measured). The groupBy shuffle is ~1 row/doc: each doc's
+    shingles are co-located (exploded from one row), so map-side
+    partial aggregation collapses them before the exchange."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    hashed = sh.select(id_col, F.expr(HASH32.format(x="s_str")).alias("h"))
+    mins = [
+        F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_A))]).alias("sig"),
     )
-    sig_items = ", ".join(
-        f"array_min(transform(hh, h -> ({a} * h + {b}) % {MINHASH_P}))"
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    )
-    return hashed.select(F.col(id_col), F.expr(f"array({sig_items})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -107,28 +190,23 @@ def minhash_lsh_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
     ).select(id_col, "b.band_id", "b.band_key")
-    # Bucket members are gathered with ONE groupBy and pairs expanded
-    # in-expression — no self-join, so the signature pipeline is computed
-    # exactly once and nothing needs caching. Bucket size bounds the
-    # expansion (at 100 TB: cap/drop mega-buckets before expanding —
-    # they're stop-shingle noise). Numbered repartition keeps AQE from
-    # serializing the expansion (see ngram_jaccard_pairs).
+    # Pair generation as a self-equi-join on the band key — codegen'd
+    # hash join + distinct, where a collect_list posting expansion runs
+    # as an interpreted lambda (and, when AQE coalesces the tiny
+    # post-shuffle stage to one partition, runs SERIALLY — measured 3x
+    # slower end-to-end). Numbered repartition pins the exchange that
+    # both join sides reuse. Bucket size bounds the join fan-out (at
+    # 100 TB: cap/drop mega-buckets first — they're stop-shingle noise).
     exploded = exploded.repartition(
         exploded.sparkSession.sparkContext.defaultParallelism,
         "band_id", "band_key",
     )
-    buckets = exploded.groupBy("band_id", "band_key").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
-    )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> named_struct('doc_a', x, 'doc_b', y))))"
-    )
+    a = exploded.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+    b = exploded.select("band_id", "band_key", F.col(id_col).alias("doc_b"))
     return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -147,49 +225,39 @@ def ngram_jaccard_pairs(
     document frequency exceeds a cap (they generate quadratic pairs but
     carry no signal).
     """
-    sh = shingles(df, text_col, n).select(
-        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
-    )
-    # Shuffle 8-byte shingle hashes, not shingle strings (HASH60: the
-    # 2^61 space keeps exact counts collision-safe at realistic corpus
-    # sizes; the oracle applies the identical hash).
+    sh = shingle_rows(df, id_col, text_col, n)
+    # Hash AFTER the explode, on a flat string column: a hash inside
+    # `transform(shingles, ...)` runs as an interpreted lambda per array
+    # element, while a flat projection stays in whole-stage codegen
+    # (~5x cheaper for the same md5 count). The shuffle then moves
+    # 8-byte hashes, not shingle strings (HASH60: the 2^61 space keeps
+    # exact counts collision-safe at realistic corpus sizes; the oracle
+    # applies the identical hash).
     ex = sh.select(
-        id_col,
-        "n_sh",
-        F.expr(f"transform(shingles, s -> {HASH60.format(x='s')})").alias("hh"),
-    ).select(id_col, "n_sh", F.explode("hh").alias("s"))
-    # Same no-self-join shape as minhash_lsh_pairs: gather each shingle's
-    # posting list with one groupBy, expand (doc_a, doc_b) pairs
-    # in-expression, then count shared shingles per pair. Two shuffles
-    # total; the expansion is bounded by per-shingle document frequency
-    # (at 100 TB, cap the posting-list length first).
-    # Explicit numbered repartition on the key: the pair expansion
-    # MULTIPLIES data ~10x after this shuffle, and AQE — which sizes
+        F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
+    )
+    # Numbered repartition on the key: the pair expansion MULTIPLIES
+    # data ~5-10x downstream of this shuffle, and AQE — which sizes
     # partitions by shuffle INPUT bytes — would coalesce the small input
-    # to one task and serialize the expansion. REPARTITION_BY_NUM is
-    # exempt from AQE coalescing; the following groupBy reuses the
-    # partitioning (no extra shuffle).
+    # and serialize the expansion. REPARTITION_BY_NUM is exempt from AQE
+    # coalescing, and it satisfies the self-join's required hash
+    # distribution, so the join adds no exchange of its own.
     ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
-    postings = ex.groupBy("s").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
-        ).alias("ids")
-    )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
-        "'na', x.n_sh, 'nb', y.n_sh))))"
-    )
+    # Pair generation as a self-equi-join on the shingle hash. The
+    # entire subtree below the exchange runs ONCE (ReusedExchange on the
+    # other side), and the join + pair-count aggregate are codegen'd —
+    # measured ~3x faster than gathering posting lists with collect_list
+    # and expanding pairs with interpreted transform/slice lambdas. The
+    # join fan-out is Σ df² over shingle document frequencies; at 100 TB,
+    # cap/drop high-df shingles first (they generate quadratic pairs but
+    # carry no signal).
+    a = ex.select("s", F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    b = ex.select("s", F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     inter = (
-        postings.filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .select(
-            F.col("doc_a"), F.col("doc_b"),
-            F.col("na"), F.col("nb"), F.col("inter"),
-        )
     )
     return (
         inter.withColumn(

@@ -106,6 +106,46 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same running totals as stateful_running_totals, but via Spark's
+    NATIVE streaming aggregation (JVM stateful HashAggregate + state
+    store) instead of applyInPandasWithState. This is the right tool
+    when the state is expressible as built-in aggregates: no per-key
+    Arrow round-trip to Python (~10x faster for this shape); reserve
+    the Pandas state path for state machines built-ins can't express.
+    """
+    name = f"st_native_{next(_MEM_NAMES)}"
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth: percentiles, date arithmetic, arrays, outer/cross joins
 # ---------------------------------------------------------------------------

@@ -46,7 +46,7 @@ HEADLINE = [
     "embeddings_cosine_topk",
     "embeddings_lsh_topk",
     "multimodal_features",
-    "stateful_running_totals",
+    "streaming_user_totals",
     "lineitem_percentiles",
 ]
 

@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the properties that
+make these queries survive a 100 TB scale-up — predicate pushdown to the
+parquet scan, column pruning, broadcast joins for dims, TakeOrdered
+top-k (no full sort), partial+final aggregation, whole-stage codegen.
+
+Catching a regression here (a filter that stops pushing down, a dim
+join that silently becomes a sort-merge shuffle) matters as much as a
+wrong answer: at sf0.001 both plans give identical rows; at 100 TB one
+of them doesn't finish.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark import registry
+from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushes_down_to_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+
+def test_column_pruning_reaches_read_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema lists ONLY the projected columns — a scan that reads all
+    # 11 lineitem columns for a 2-column projection is wrong.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(registry.QUERIES["nation_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered_not_full_sort(spark, sf_dir):
+    plan = _plan(registry.QUERIES["topk_segments"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = _plan(registry.QUERIES["loan_agg"](spark, sf_dir))
+    # map-side partial + post-shuffle final
+    assert plan.count("HashAggregate") >= 2
+    # Codegen spans only materialize in the explain output once AQE has
+    # finalized stages; flip AQE off to assert the static plan compiles
+    # whole-stage codegen for the aggregate pipeline.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = _plan(registry.QUERIES["loan_agg"](spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen and "Found 0" not in codegen
+
+
+def test_anti_join_ledger_broadcasts(spark, sf_dir):
+    plan = _plan(registry.QUERIES["customers_without_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
