@@ -52,7 +52,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLE_NAMES:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            # via load_table: events needs the TIMESTAMP(NANOS) rebuild.
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -18,6 +18,14 @@ Reference behaviors re-expressed Spark-first:
   ``partitionBy`` for partition pruning on re-read.
 - K4  compression: expressed as writer codec options instead of a
   driver-side gzip loop (reference drive_auto_compress_email.py:294-298).
+- K5  object-store archival (reference drive_auto_compress_email.py:
+  144-153 downloads locally, re-uploads via the MinIO client): every
+  reader/writer here accepts any Hadoop-filesystem URI — pass
+  ``s3a://bucket/prefix`` (or ``gs://``/``abfss://``) as ``path`` and
+  the executors write straight to object storage in parallel, no
+  driver-side copy hop. Credentials/endpoint come from the standard
+  ``spark.hadoop.fs.s3a.*`` confs; not exercised in this container
+  (no object store), but no code path differs from local paths.
 """
 
 from __future__ import annotations

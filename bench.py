@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from airflow_loan_etl_pipeline_spark import registry
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_sql  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.session import get_spark
@@ -48,6 +49,10 @@ HEADLINE = [
     "multimodal_features",
     "streaming_user_totals",
     "lineitem_percentiles",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "salted_event_type_counts",
 ]
 
 

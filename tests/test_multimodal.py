@@ -54,3 +54,28 @@ def test_unknown_media_type_raises(spark):
     bad = spark.createDataFrame([(9, "hologram", b"x", {})], schemas.MEDIA)
     with pytest.raises(Exception, match="hologram"):
         extract_features(bad).collect()
+
+
+def test_read_binary_assets_ingests_files(spark, tmp_path):
+    """binaryFile ingest (S5 analogue): parallel read, extension-derived
+    media_type, asset contract columns feeding extract_features."""
+    from airflow_loan_etl_pipeline_spark.operators.multimodal import (
+        read_binary_assets,
+    )
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8JPEGBODY" * 8)
+    (tmp_path / "b.wav").write_bytes(b"RIFFWAVE" * 16)
+    (tmp_path / "c.dat").write_bytes(b"\x00\x01")
+
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert rows["a.jpg"]["media_type"] == "image"
+    assert rows["b.wav"]["media_type"] == "audio"
+    assert rows["c.dat"]["media_type"] == "unknown"
+    assert rows["a.jpg"]["n_bytes"] == 80
+    assert bytes(rows["b.wav"]["payload"]) == b"RIFFWAVE" * 16
+    # feeds straight into the feature pipeline
+    feats = extract_features(
+        assets.filter(assets.media_type == "image")
+    ).collect()
+    assert len(feats) == 1 and feats[0]["n_bytes"] == 80
