@@ -100,3 +100,28 @@ def write_csv(
     if compression:
         writer = writer.option("compression", compression)
     writer.csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on ``bucket_by`` at WRITE time, so every later
+    equi-join or aggregation on those keys skips its shuffle entirely —
+    the scan is already hash-distributed. This is the 100 TB answer for
+    a fact table joined on the same key by many queries: pay the
+    partitioning once, amortize it across every downstream query.
+    ``sort_by`` additionally orders within buckets (sort-merge joins
+    then skip their sort too). Bucketing requires ``saveAsTable``
+    (metastore records the layout; a bare parquet path can't)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
