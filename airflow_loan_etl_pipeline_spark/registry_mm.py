@@ -297,3 +297,29 @@ def region_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = r.select(F.col("r_name").alias("name_a"))
     b = r.select(F.col("r_name").alias("name_b"))
     return a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
+
+
+@query(
+    "user_value_ewma",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, value),
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) surface: recursive per-user EWMA —
+    each output depends on the previous OUTPUT, so no window frame can
+    express it. The DuckDB oracle evaluates the identical left fold
+    with list_reduce over the time-ordered value list; both engines run
+    the same IEEE sequence, so round(…,4) matches exactly."""
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        user_value_ewma,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = user_value_ewma(ev)
+    return out.select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))

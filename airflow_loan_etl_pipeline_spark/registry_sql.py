@@ -120,3 +120,146 @@ def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.round(F.sum("pv"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth: maps, FILTER aggregates, string agg, posexplode
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_map_props",
+    oracle="""
+    SELECT event_id,
+           list_sort(json_keys(props)) AS prop_keys,
+           len(json_keys(props)) AS n_props,
+           json_extract(props, '$.k')::BIGINT AS k_val
+    FROM events
+    """,
+)
+def events_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY.md §2.8 gap): JSON props → typed map,
+    key listing, direct value access. Pure projection, codegen,
+    no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@query(
+    "orders_filtered_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+               AS finished_value,
+           round(avg(o_totalprice), 2) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation + min/max/avg breadth in
+    one partial+final hash aggregate pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("count(*) FILTER (WHERE o_totalprice > 200000)").alias("n_big"),
+        F.round(
+            F.expr("sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')"), 2
+        ).alias("finished_value"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "region_nation_list",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with deterministic order: collect_list is
+    order-nondeterministic under parallelism, so sort in-array before
+    joining — the distributed-safe equivalent of ORDER BY inside
+    string_agg."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "embedding_elements",
+    oracle="""
+    SELECT vec_id, u.s.pos AS pos, u.s.val AS val
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding,
+                      (x, i) -> {'pos': i - 1, 'val': x})) AS s
+        FROM embeddings
+        WHERE vec_id < 5
+    ) u
+    """,
+)
+def embedding_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows. The generator runs
+    inside the scan stage (no shuffle); the vec_id predicate pushes to
+    parquet so only 5 vectors are read."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    )
+
+
+@query(
+    "customer_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_tier,
+           greatest(c_acctbal, 0.0) AS nonneg_bal,
+           least(c_acctbal, 1000.0) AS capped_bal
+    FROM customer
+    """,
+)
+def customer_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/conditional scalar breadth: nullif, coalesce, CASE ladder,
+    greatest/least — all codegen projections."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_tier"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("nonneg_bal"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("capped_bal"),
+    )

@@ -53,6 +53,9 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "salted_event_type_counts",
+    "orders_filtered_aggs",
+    "events_map_props",
+    "user_value_ewma",
 ]
 
 
