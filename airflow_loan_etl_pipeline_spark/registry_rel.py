@@ -202,3 +202,119 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "status_multiset_ops",
+    oracle="""
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def status_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set-op semantics: INTERSECT ALL keeps duplicate
+    multiplicity min(l, r) — a different operator from the set-semantics
+    intersect (nation_keys_intersect). Spark plans both as aggregates of
+    per-side counts, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_orderstatus")
+    lo = o.filter(F.col("o_totalprice") < 50000).select("o_orderstatus")
+    return hi.intersectAll(lo)
+
+
+@query(
+    "part_price_unpivot",
+    oracle="""
+    SELECT p_partkey, kind, amount FROM (
+        SELECT p_partkey, p_retailprice,
+               round(p_retailprice * 0.9, 2) AS discounted
+        FROM part
+    ) UNPIVOT (amount FOR kind IN (p_retailprice, discounted))
+    """,
+)
+def part_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (wide → long): the inverse of orders_pivot_status.
+    Generator-style projection, no shuffle."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 0.9, 2).alias("discounted"),
+    )
+    return p.unpivot(
+        "p_partkey", ["p_retailprice", "discounted"], "kind", "amount"
+    )
+
+
+@query(
+    "nation_extreme_customers",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def nation_extreme_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): one hash-agg pass instead of
+    the window-rank-filter idiom — half the shuffles for 'row with the
+    extreme value per group'. (Names are unique per acctbal extreme in
+    the fixture, so the arg aggregates are deterministic.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "lineitem_stats_aggs",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def lineitem_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: stddev/variance/correlation/
+    covariance — all single-pass mergeable (partial+final) aggregates,
+    the property that matters for 100 TB: no second pass over the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    )
+
+
+@query(
+    "customer_regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_masked,
+           regexp_matches(c_name, '^Customer#0*[0-9]{1,3}$') AS short_id
+    FROM customer
+    """,
+)
+def customer_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract / replace / match predicate. Patterns
+    kept to the RE2 ∩ Java-regex common subset so both engines agree."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("cust_num"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.col("c_name").rlike("^Customer#0*[0-9]{1,3}$").alias("short_id"),
+    )
