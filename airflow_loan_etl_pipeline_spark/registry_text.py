@@ -7,6 +7,7 @@ two sides cannot drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table
 from airflow_loan_etl_pipeline_spark.operators import dedup as D
@@ -321,3 +322,52 @@ def embeddings_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the composed training-corpus filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_filter",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               floor((0.4 * least(len({_TOKS}) / 64.0, 1.0)
+                   + 0.3 * (len(list_distinct({_TOKS})) / len({_TOKS}))
+                   + 0.3 * least((len(list_filter({_TOKS}, x -> x IN ({_SW})))
+                                  / len({_TOKS})) * 5.0, 1.0)) * 10000) / 10000
+                   AS quality_score
+        FROM documents
+    ),
+    reps AS (
+        SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN reps ON reps.keep_id = d.doc_id
+    WHERE q.quality_score >= 0.5 AND q.n_tokens BETWEEN 20 AND 2000
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data admission pipeline — quality gate +
+    token-length bounds + exact-dedup representative — as ONE lazy plan:
+    Catalyst fuses the quality projection and the token filter into the
+    scan stage; the only shuffles are the dedup groupBy (16-byte
+    fingerprints) and the representative semi-join. This is the query a
+    100 TB corpus build runs nightly; everything upstream of the
+    semi-join is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    keep = q.filter(
+        (F.col("quality_score") >= 0.5) & F.col("n_tokens").between(20, 2000)
+    )
+    reps = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(keep, "doc_id")
+        .join(reps, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "orders_filtered_aggs",
     "events_map_props",
     "user_value_ewma",
+    "corpus_filter",
 ]
 
 
