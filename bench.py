@@ -63,8 +63,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    # Warm the JVM/IO once so per-query numbers measure the plan, not startup.
+    # Warm the JVM/IO and the Python UDF workers once so per-query
+    # numbers measure the plan, not process startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
