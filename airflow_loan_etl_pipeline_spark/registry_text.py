@@ -371,3 +371,39 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reps, "doc_id", "left_semi")
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )
+
+
+# The minhash pair oracle, reused verbatim as a CTE body for clustering
+# (guaranteed in sync: it IS the registered oracle).
+from airflow_loan_etl_pipeline_spark.registry import ORACLE as _ORACLE
+
+_PAIRS_SQL = _ORACLE["minhash_lsh_pairs"]
+
+
+@query(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    ue AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash-LSH pair graph —
+    iterative min-label propagation on Spark vs a recursive CTE in the
+    oracle. The step that turns pairwise candidates into keep/drop
+    decisions without over-deleting chained duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.dup_clusters(docs, pairs)
