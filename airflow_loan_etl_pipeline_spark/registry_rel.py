@@ -318,3 +318,32 @@ def customer_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
         F.col("c_name").rlike("^Customer#0*[0-9]{1,3}$").alias("short_id"),
     )
+
+
+@query(
+    "orders_union_by_name",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM (
+        SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderstatus = 'F')
+        UNION ALL BY NAME
+        SELECT * FROM (SELECT o_orderkey, o_orderpriority FROM orders
+                       WHERE o_orderstatus = 'O')
+    )
+    """,
+)
+def orders_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (SET1 extension): two inputs with
+    different column sets align BY NAME, absent columns null-filled —
+    ``unionByName(allowMissingColumns=True)``, the semantics a
+    multi-vintage file lake needs (the reference's glob scan silently
+    requires identical schemas)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -125,3 +125,32 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb``. The #1 operational chore of a long-running
+    ingest pipeline (the reference lands one file per polled upload —
+    drive_auto_compress_email.py:277-280 — which at scale degrades every
+    scan with per-file open/footer costs and starves the driver with
+    listing). Sizing uses the source's on-disk bytes, so the rewrite is
+    one round-robin shuffle into the computed file count. Returns the
+    number of files written."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(src, "**", "*"), recursive=True)
+        if _os.path.isfile(p)
+    )
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return n_files

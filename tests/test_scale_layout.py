@@ -72,3 +72,53 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = scan.count()
     want = orders.filter(F.col("o_year") == 1996).count()
     assert got == want > 0
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from airflow_loan_etl_pipeline_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate a poll-per-file ingest: 40 tiny files
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    import glob
+    assert len(glob.glob(src + "/part-*")) == 40
+
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dest, target_file_mb=64)
+    assert n == 1
+    assert len(glob.glob(dest + "/part-*")) == 1
+    assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: a live stream enriched against a batch dim
+    table — no state store needed (the static side is re-read per
+    micro-batch, broadcast when small)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "ev")
+    events.select(
+        "event_id", "user_id", "value"
+    ).coalesce(1).write.parquet(src)
+
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).alias("user_tier"),
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    out = []
+    q = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 200
+    assert all(r["user_tier"] == r["user_id"] % 3 for r in out)
