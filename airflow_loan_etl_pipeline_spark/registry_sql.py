@@ -263,3 +263,83 @@ def customer_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("nonneg_bal"),
         F.least("c_acctbal", F.lit(1000.0)).alias("capped_bal"),
     )
+
+
+_EXISTS_Q = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'P')
+"""
+
+_LATERAL_Q = """
+SELECT c.c_custkey, t.o_orderkey AS best_orderkey,
+       round(t.o_totalprice, 2) AS best_price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+"""
+
+
+@query("customers_exists_subquery", oracle=_EXISTS_Q)
+def customers_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    rewrites both to one semi- and one anti-join (RewritePredicateSubquery),
+    no per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_Q)
+
+
+@query("lateral_best_order", oracle=_LATERAL_Q)
+def lateral_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-1 order per customer) — planned
+    as a per-group window limit, not |customers| subqueries; the same
+    result as max_by but expressed relationally."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_Q)
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH el AS (
+        SELECT label,
+               unnest(list_transform(embedding,
+                      (x, i) -> {'pos': i, 'val': x})) AS s
+        FROM embeddings
+    ),
+    d AS (
+        SELECT label, s.pos AS pos, avg(s.val) AS m
+        FROM el GROUP BY label, s.pos
+    )
+    SELECT label,
+           len(list(m ORDER BY pos)) AS dim,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS centroid
+    FROM d GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means assignment step's
+    other half, and the IVF index build primitive. posexplode →
+    (label, dim) partial+final avg → re-assemble the vector ordered by
+    position. Shuffle volume is |labels|·dim rows, independent of the
+    corpus size — the map-side partial average already collapsed the
+    vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))),"
+            " s -> round(s.m, 6))"
+        ).alias("centroid"),
+    )

@@ -39,19 +39,32 @@ def read_csv_dir(
     path: str,
     schema: T.StructType | None = None,
     lenient_timestamps: bool = True,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read every CSV under ``path`` (glob union, SET1) with a header row.
 
     With ``schema=None`` falls back to inference (reference parity;
     loan_spark_etl.py:155) — avoid for large inputs.
+
+    Malformed rows: PERMISSIVE mode (cells that fail the schema become
+    NULL instead of killing a 100 TB job at row 40-billion-and-one).
+    With ``keep_corrupt=True`` the raw text of each bad row is preserved
+    in ``_corrupt_record`` for a quarantine sink — the defensive-ingest
+    behavior the reference approximates with column-existence guards
+    (loan_spark_etl.py:77, :105).
     """
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("mode", "PERMISSIVE")
     if lenient_timestamps:
         # Reference pins spark.sql.legacy.timeParserPolicy=LEGACY globally
         # (loan_spark_etl.py:42); scoping leniency to CSV parse options
         # keeps the rest of the engine on the CORRECTED parser.
         reader = reader.option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     if schema is not None:
+        if keep_corrupt:
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)

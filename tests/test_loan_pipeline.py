@@ -90,3 +90,30 @@ def test_date_split_absent_column_is_noop(spark):
     from airflow_loan_etl_pipeline_spark.operators.dates import split_datetime
 
     assert split_datetime(df, source_col="created_at").columns == ["a"]
+
+
+def test_read_csv_dir_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE ingest: malformed cells null out, raw row preserved in
+    _corrupt_record; clean rows parse normally."""
+    from pyspark.sql import types as T
+
+    from airflow_loan_etl_pipeline_spark.sources.io import read_csv_dir
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "loan_id,amount\nL1,100.5\nL2,not_a_number\nL3,7.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("loan_id", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = read_csv_dir(spark, str(p), schema=schema, keep_corrupt=True).cache()
+    rows = {r["loan_id"]: r for r in df.collect()}
+    assert rows["L1"]["amount"] == 100.5 and rows["L1"]["_corrupt_record"] is None
+    assert rows["L2"]["amount"] is None
+    assert rows["L2"]["_corrupt_record"] == "L2,not_a_number"
+    assert rows["L3"]["amount"] == 7.25
+    df.unpersist()
