@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.catalog import load_table, register_views
 from airflow_loan_etl_pipeline_spark.registry import query
 
 
@@ -347,3 +347,50 @@ def orders_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+_WINDOW_NAV_Q = """
+SELECT o_orderkey, o_custkey,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       row_number() OVER w AS rn,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+_WINDOW_FRAME_Q = """
+SELECT o_orderkey, o_custkey,
+       avg(round(o_totalprice * 100)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS ma3,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+       count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           AS n_last_30d
+FROM orders
+"""
+
+
+@query("orders_window_nav", oracle=_WINDOW_NAV_Q)
+def orders_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + ranking window functions (lag/lead/first_value/
+    row_number/ntile/percent_rank) over one shared window — Spark
+    evaluates all seven in a single Window exec after one shuffle+sort
+    on the partition key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_NAV_Q)
+
+
+@query("orders_window_frames", oracle=_WINDOW_FRAME_Q)
+def orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec breadth: ROWS (moving avg, running sum) vs RANGE over
+    an event-time interval (count in trailing 30 days) — the frame type
+    changes the aggregation buffer, not the shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_FRAME_Q)

@@ -90,3 +90,49 @@ def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
     # batch fallback = plain dropDuplicates
     batch = dedup_stream(spark.read.parquet(src), ["event_id"])
     assert batch.count() == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: rows arriving behind the watermark are
+    DROPPED, on-time rows aggregate — the bounded-state contract that
+    replaces the reference's 60s file-age gate (SURVEY.md F4/ST3)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ck")
+    schema = "ts timestamp, user_id long, value double"
+
+    from pyspark.sql import functions as F
+
+    out = []
+
+    def run_once():
+        # restart-with-same-checkpoint pins batch order: one query run
+        # per landed file (a single availableNow run lists files in
+        # nondeterministic path order).
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events up to 01:00 -> watermark persists at 00:50
+    _write(spark, src, schema, [("2024-01-01 00:00:30", 1, 1.0),
+                                ("2024-01-01 01:00:00", 2, 1.0)])
+    run_once()
+    # run 2: one on-time row and one far-late row (00:01, behind wm)
+    _write(spark, src, schema, [("2024-01-01 01:01:00", 3, 1.0),
+                                ("2024-01-01 00:01:00", 4, 1.0)])
+    run_once()
+    # the 00:00 window (user 1) is finalized and emitted once the
+    # watermark passes it; user 4's 00:01 row arrived after that and
+    # must NOT reopen the window.
+    zero_windows = [r for r in out if r["w"].start.minute == 0 and r["w"].start.hour == 0]
+    assert sum(r["n"] for r in zero_windows) == 1
