@@ -122,3 +122,27 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert len(out) == 200
     assert all(r["user_tier"] == r["user_id"] % 3 for r in out)
+
+
+def test_sampling_reproducible_and_stratified(spark, sf_dir):
+    """Seeded sample: same seed -> identical sample (replayable training
+    subsets); sampleBy: per-stratum fractions land near target.
+    Sampling is a scan-local filter — no shuffle, safe at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.sample(fraction=0.2, seed=42).select("event_id").collect()
+    b = ev.sample(fraction=0.2, seed=42).select("event_id").collect()
+    assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+    n = ev.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+
+    frac = {"click": 0.5, "view": 0.1}
+    s = ev.sampleBy("event_type", fractions=frac, seed=7)
+    got = {r["event_type"]: r["cnt"] for r in
+           s.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()}
+    base = {r["event_type"]: r["cnt"] for r in
+            ev.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()}
+    # unlisted strata excluded entirely; listed ones near their fraction
+    assert set(got) <= set(frac)
+    for k, f in frac.items():
+        if k in base:
+            assert abs(got.get(k, 0) / base[k] - f) < 0.15
