@@ -178,3 +178,33 @@ def events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").cast("double").alias("view_ts"),
         F.round("asof_bval", 2).alias("view_value"),
     )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.ts AS l_ts,
+           v.ts AS r_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts
+     AND v.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of streaming/joins.interval_join (click→view within
+    2 h, same user): identical operator code serves the stream-stream
+    symmetric hash join and this range-condition batch join, so the
+    oracle pins the semantics both run."""
+    from airflow_loan_etl_pipeline_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    return interval_join(clicks, views, within="2 hours", watermark="4 hours")
