@@ -343,3 +343,82 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> round(s.m, 6))"
         ).alias("centroid"),
     )
+
+
+_Q13 = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+"""
+
+_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+_Q18 = """
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice, t.total_qty
+FROM orders o
+JOIN (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 120
+) t ON t.l_orderkey = o.o_orderkey
+"""
+
+_Q22 = """
+SELECT c.c_nationkey, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side predicate, per-key
+    count, then a histogram of the counts (double aggregation). The
+    outer join preserves zero-order customers — the bucket a plain
+    inner join silently drops."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13)
+
+
+@query("q14_promo_share", oracle=_Q14)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over a fact-dim join
+    with a tight date band — predicate pushdown keeps the scan to one
+    quarter before the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14)
+
+
+@query("q18_large_orders", oracle=_Q18)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to the
+    parent fact. Aggregate-then-join: the lineitem groupBy reduces the
+    join's probe side to qualifying orderkeys only."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18)
+
+
+@query("q22_idle_rich_customers", oracle=_Q22)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    folded to a literal broadcast) + NOT EXISTS anti-join (no
+    urgent orders) + grouped rollup of rich, urgency-free customers."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22)
