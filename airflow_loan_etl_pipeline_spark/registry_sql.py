@@ -422,3 +422,275 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent orders) + grouped rollup of rich, urgency-free customers."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22)
+
+
+# --- Remaining TPC-H shapes, adapted to the fixture star schema ------------
+# The fixtures have no partsupp table and lineitem carries only l_shipdate
+# (no commit/receipt dates), so Q2/Q4/Q9/Q21 are re-expressed to preserve
+# each query's STRUCTURE (correlated subquery class, join topology,
+# predicate shape) on the columns that exist. Q11/Q16/Q20 are pure-partsupp
+# and have no faithful adaptation here.
+
+_Q2 = """
+SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+_Q4 = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           sn.n_name AS nation
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+) v
+GROUP BY o_year
+"""
+
+_Q9 = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                             - 0.4 * p.p_retailprice * l.l_quantity)
+                            * 10000) AS BIGINT)) / 1e4, 4) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) / 1e4, 4) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+_Q12 = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+_Q17 = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+_Q19 = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q21 = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+@query("q2_max_acctbal_supplier", oracle=_Q2)
+def q2_max_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in fixtures): correlated scalar
+    subquery selecting the per-group extreme — rewritten by Catalyst
+    into an aggregate + self-join on the correlation key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2)
+
+
+@query("q4_order_priority_waiting", oracle=_Q4)
+def q4_order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS whose predicate compares
+    columns ACROSS the correlation (lineitem shipdate vs outer order
+    date + interval) — plans as a left-semi join, never materializing
+    the subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4)
+
+
+@query("q7_nation_volume", oracle=_Q7)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table snowflake with the nation dim joined
+    TWICE under different roles, an OR'd cross-pair predicate, and a
+    year-bucketed rollup. Both nation joins broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7)
+
+
+@query("q8_market_share", oracle=_Q8)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional share of a
+    sum over a 5-join star, grouped by order year."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8)
+
+
+@query("q9_product_profit", oracle=_Q9)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supplycost proxied by 0.4*p_retailprice — no
+    partsupp in fixtures): profit by supplier nation and year over a
+    5-join star with a substring part filter."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
+@query("q10_returned_items", oracle=_Q10)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over one
+    quarter, 4-join star, global top-20 (TakeOrderedAndProject, no
+    full sort)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
+@query("q12_priority_shipping_buckets", oracle=_Q12)
+def q12_priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with two complementary
+    conditional counts (CASE buckets) per group — one pass, no
+    re-scan per bucket."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12)
+
+
+@query("q15_top_supplier", oracle=_Q15)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: reusable revenue view (CTE) consumed twice —
+    once joined to supplier, once under a scalar max — selecting the
+    argmax supplier(s) without a window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15)
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG per part key gating the
+    outer fact rows — Catalyst de-correlates to an aggregate joined
+    back on l_partkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17)
+
+
+@query("q19_predicate_bands", oracle=_Q19)
+def q19_predicate_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive bands mixing
+    build-side (part) and probe-side (lineitem) columns — the join
+    keeps only the equi-key; the OR bands evaluate post-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19)
+
+
+@query("q21_last_shipper", oracle=_Q21)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (ship-date variant): suppliers who shipped LAST
+    on multi-supplier finished orders — correlated EXISTS (another
+    supplier participated) + NOT EXISTS (nobody shipped later),
+    planned as semi + anti joins on l_orderkey.
+
+    The Spark text hints SHUFFLE_MERGE on both lineitem self-joins:
+    under the session's 64 MB broadcast threshold Catalyst would
+    otherwise BROADCAST the whole fact table as the build side (3x
+    slower at sf0.1, OOM at cluster scale — the build side grows with
+    the data). The oracle keeps the hint-free ANSI text."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _Q21.replace(
+            "SELECT 1 FROM lineitem l2",
+            "SELECT /*+ SHUFFLE_MERGE(l2) */ 1 FROM lineitem l2",
+        ).replace(
+            "SELECT 1 FROM lineitem l3",
+            "SELECT /*+ SHUFFLE_MERGE(l3) */ 1 FROM lineitem l3",
+        )
+    )

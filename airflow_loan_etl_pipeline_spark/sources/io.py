@@ -167,3 +167,79 @@ def compact_parquet(
         "overwrite"
     ).parquet(dest)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> int:
+    """MERGE INTO substitute on plain parquet (upsert, last-writer-wins
+    on ``keys``): target rows whose key appears in ``updates`` are
+    replaced, new keys are appended, everything else is untouched.
+
+    The reference's only mutation primitive is whole-output overwrite
+    (loan_spark_etl.py:178-184, every run rewrites all cleaned rows); a
+    real table format (Delta/Iceberg — not in this container) gives
+    atomic MERGE. This is the scale-aware middle ground on bare parquet:
+
+    - With ``partition_col``, only partitions that contain an updated
+      key are read (partition pruning via ``isin`` over the updates'
+      distinct partition values — a small driver-side list, one value
+      per touched partition) and rewritten. A 10k-partition table with
+      updates landing in 3 partitions reads and writes 3.
+    - The anti-join of the surviving target slice against update keys
+      broadcasts the distinct-key side when small (typical CDC batch).
+    - The merge is staged to ``<target>/.staging`` and swapped in only
+      after the write succeeds, so a failed job never half-destroys the
+      target (reading and overwriting the same parquet path in one plan
+      corrupts it — Spark scans lazily while the sink deletes).
+
+    Returns the number of partitions rewritten (1 for unpartitioned).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    if not _os.path.exists(target_path):
+        write_parquet(
+            updates, target_path,
+            partition_by=[partition_col] if partition_col else None,
+        )
+        return 1
+
+    staging = target_path.rstrip("/") + ".__staging__"
+    _shutil.rmtree(staging, ignore_errors=True)
+    upd_keys = updates.select(*keys).distinct()
+
+    if partition_col is None:
+        target = spark.read.parquet(target_path)
+        merged = target.join(upd_keys, keys, "left_anti").unionByName(updates)
+        merged.write.mode("overwrite").parquet(staging)
+        _shutil.rmtree(target_path)
+        _os.rename(staging, target_path)
+        return 1
+
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target_slice = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = target_slice.join(upd_keys, keys, "left_anti").unionByName(
+        updates
+    )
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    for val in touched:
+        part_dir = f"{partition_col}={val}"
+        src = _os.path.join(staging, part_dir)
+        dst = _os.path.join(target_path, part_dir)
+        if _os.path.exists(dst):
+            _shutil.rmtree(dst)
+        if _os.path.exists(src):
+            _os.rename(src, dst)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return len(touched)

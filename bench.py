@@ -52,6 +52,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_last_shipper",
     "salted_event_type_counts",
     "orders_filtered_aggs",
     "events_map_props",

@@ -146,3 +146,70 @@ def test_sampling_reproducible_and_stratified(spark, sf_dir):
     for k, f in frac.items():
         if k in base:
             assert abs(got.get(k, 0) / base[k] - f) < 0.15
+
+
+def test_merge_upsert_partitioned_touches_only_affected_partitions(
+    spark, sf_dir, tmp_path
+):
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+    import os
+
+    target = str(tmp_path / "orders_merged")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    merge_upsert(spark, target, orders, ["o_orderkey"], partition_col="o_year")
+    before = spark.read.parquet(target)
+    n_before = before.count()
+    assert n_before == orders.count()
+
+    # mtime snapshot of an untouched partition's files
+    untouched_dir = os.path.join(target, "o_year=1995")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+
+    # updates: rewrite 5 known 1997 orders with a sentinel price, insert
+    # 2 brand-new keys in 1997
+    some = (
+        before.filter(F.col("o_year") == 1997)
+        .limit(5)
+        .withColumn("o_totalprice", F.lit(999999.0))
+    )
+    new_rows = some.limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    updates = some.unionByName(new_rows)
+    n_parts = merge_upsert(
+        spark, target, updates, ["o_orderkey"], partition_col="o_year"
+    )
+    assert n_parts == 1  # all updates land in o_year=1997
+
+    after = spark.read.parquet(target)
+    assert after.count() == n_before + 2  # upserts replaced, inserts added
+    assert (
+        after.filter(F.col("o_totalprice") == 999999.0).count() == 7
+    )
+    # keys were replaced, not duplicated
+    assert (
+        after.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+    # untouched partition's files were not rewritten
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(untouched_dir, f)) == m
+
+
+def test_merge_upsert_unpartitioned_roundtrip(spark, sf_dir, tmp_path):
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "cust_merged")
+    customer = load_table(spark, sf_dir, "customer")
+    merge_upsert(spark, target, customer, ["c_custkey"])
+    updates = (
+        customer.limit(3).withColumn("c_acctbal", F.lit(-1.0))
+    )
+    merge_upsert(spark, target, updates, ["c_custkey"])
+    after = spark.read.parquet(target)
+    assert after.count() == customer.count()
+    assert after.filter(F.col("c_acctbal") == -1.0).count() == 3
