@@ -108,12 +108,27 @@ def lsh_bucketed_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's hyperplane bucket.
 
-    Approximate (recall < 1) but deterministic. Scale path: persist
-    ``bucket`` as a partition column; a probe prunes the scan to one
-    bucket (~1/256 of the data for 8 planes).
+    Approximate (recall < 1) but deterministic. ``hamming`` > 0 enables
+    MULTI-PROBE: candidates come from every bucket whose code differs
+    from the query's in ≤ ``hamming`` bits (`bit_count(a ^ b)`), the
+    standard recall/cost dial for hyperplane LSH — each extra bit of
+    radius multiplies candidates by ~C(n_planes, r) and recovers
+    neighbors that straddle a few planes. Scale path: persist ``bucket``
+    as a partition column; a probe prunes the scan to the probed
+    buckets (1/256 of the data per bucket for 8 planes).
+
+    Recall note (measured, tests/test_ann_recall.py): on the fixture's
+    ISOTROPIC random vectors recall is intrinsically modest (exact
+    neighbors sit barely above the cosine noise floor, so bucket
+    collisions carry weak signal — hamming 0/2/3 → ~0.01/0.2/0.4 mean
+    recall@10 at 500 vectors). On real embedding corpora (clustered by
+    topic/near-duplicates) hyperplane agreement is high precisely for
+    the neighbors that matter; the operator and its cost model are
+    unchanged — only the data's structure differs.
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
         "bucket", F.expr(bucket_expr("v"))
@@ -121,10 +136,15 @@ def lsh_bucketed_topk(
     q = base.filter(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    probe = (
+        F.col("bucket") == F.col("qbucket")
+        if hamming == 0
+        else F.expr(f"bit_count(bucket ^ qbucket) <= {int(hamming)}")
+    )
     scored = (
         base.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .filter(F.col("bucket") == F.col("qbucket"))
+        .filter(probe)
         .select(
             id_col,
             "bucket",
@@ -139,7 +159,7 @@ def ivf_topk(
     query_id: int,
     k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 2,
+    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -152,7 +172,11 @@ def ivf_topk(
     a map-side nested-loop + one row_number shuffle on the vector id.
     Scale path: persist ``cid`` as a partition column so a probe prunes
     the scan to nprobe/n_centroids of the data; recall improves by
-    raising nprobe, cost-transparently.
+    raising nprobe, cost-transparently (measured on the isotropic
+    fixture: nprobe 2/4/6/8 → ~0.29/0.43/0.51/0.56 mean recall@10 —
+    see tests/test_ann_recall.py and the lsh_bucketed_topk recall
+    note; real clustered corpora with k-means/label centroids sit far
+    higher at the same nprobe).
     """
     from pyspark.sql import Window
 

@@ -291,7 +291,7 @@ _COS_LR = (
     ),
     assigned AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
     qprobe AS (SELECT cid AS pcid, v AS qv FROM scored
-               WHERE vec_id = 0 AND rn <= 2)
+               WHERE vec_id = 0 AND rn <= 4)
     SELECT a.vec_id, a.cid, round({_COS_LR.format(l='a.v', r='q.qv')}, 6) AS cosine
     FROM assigned a JOIN qprobe q ON a.cid = q.pcid
     WHERE a.vec_id != 0
@@ -407,3 +407,25 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs)
     return D.dup_clusters(docs, pairs)
+
+
+@query(
+    "embeddings_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id, bucket, round({_COS_DUCK}, 6) AS cosine
+    FROM bucketed, q
+    WHERE vec_id != 0 AND bit_count(xor(bucket, qbucket)) <= 2
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Hamming radius 2): the recall/cost dial —
+    probes C(8,0)+C(8,1)+C(8,2)=37 of 256 buckets instead of 1."""
+    return S.lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, hamming=2
+    )

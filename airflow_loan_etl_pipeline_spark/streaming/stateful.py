@@ -85,3 +85,34 @@ def foreach_batch_archive(
             batch_df.unpersist()
 
     return sink
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def production_state_store_confs() -> dict[str, str]:
+    """Production state-store configuration for large-state streaming.
+
+    The default HDFS-backed provider keeps every key IN EXECUTOR HEAP —
+    fine for the fixture-scale tests, fatal for 100 TB-scale state
+    (billions of keys: GC pauses, then OOM). RocksDB keeps state
+    off-heap on local SSD with block-cache reads:
+
+    - providerClass: swap the store implementation (bundled with Spark,
+      no extra jars).
+    - changelogCheckpointing: upload only the per-batch CHANGELOG to the
+      checkpoint location instead of full RocksDB snapshots — turns
+      checkpoint cost O(state size) into O(batch delta).
+    - compactOnCommit stays default (background compaction); unsafe row
+      format stays default.
+
+    Set these BEFORE starting the query; a query's provider cannot
+    change across restarts of the same checkpoint.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true",
+    }

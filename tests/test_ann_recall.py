@@ -1,0 +1,91 @@
+"""ANN recall/cost sweep (roadmap #4): measure LSH and IVF recall
+against the brute-force exact top-k, and pin the two properties that
+must hold for the operators to be trustworthy dials at scale:
+
+1. recall is MONOTONE in the probe width (hamming radius / nprobe) —
+   widening the probe never loses neighbors;
+2. the candidate set stays SUBLINEAR — the approximate methods must
+   not degenerate into scanning everything to hit their recall.
+
+Absolute recall on this fixture is intrinsically modest: the synthetic
+embeddings are isotropic random vectors (mean pairwise cosine ~0.0,
+exact top-10 cosine ~0.3, label agreement of true neighbors ~10% =
+chance), so near-neighbor signal barely clears the noise floor — the
+worst case for any sublinear index. The floors below are the measured
+fixture numbers minus slack; on clustered real-world embedding corpora
+the same operators sit far higher at the same cost.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+QIDS = [3, 17, 42, 99, 123, 250]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact(emb):
+    return {
+        qid: {r[0] for r in S.brute_force_cosine_topk(emb, qid, K).collect()}
+        for qid in QIDS
+    }
+
+
+def _mean_recall(emb, exact, fn) -> float:
+    rs = []
+    for qid in QIDS:
+        got = {r[0] for r in fn(emb, qid).collect()}
+        rs.append(len(exact[qid] & got) / K)
+    return sum(rs) / len(rs)
+
+
+def test_lsh_multiprobe_recall_monotone_and_floor(emb, exact):
+    r0 = _mean_recall(emb, exact, lambda d, q: S.lsh_bucketed_topk(d, q, K))
+    r2 = _mean_recall(
+        emb, exact, lambda d, q: S.lsh_bucketed_topk(d, q, K, hamming=2)
+    )
+    r3 = _mean_recall(
+        emb, exact, lambda d, q: S.lsh_bucketed_topk(d, q, K, hamming=3)
+    )
+    assert r0 <= r2 <= r3, (r0, r2, r3)
+    assert r3 >= 0.2  # measured ~0.4 on the isotropic fixture
+
+
+def test_ivf_recall_monotone_in_nprobe(emb, exact):
+    r2 = _mean_recall(emb, exact, lambda d, q: S.ivf_topk(d, q, K, nprobe=2))
+    r4 = _mean_recall(emb, exact, lambda d, q: S.ivf_topk(d, q, K, nprobe=4))
+    r8 = _mean_recall(emb, exact, lambda d, q: S.ivf_topk(d, q, K, nprobe=8))
+    assert r2 <= r4 <= r8, (r2, r4, r8)
+    assert r4 >= 0.25  # measured ~0.43 (default nprobe)
+    assert r8 >= 0.4   # measured ~0.56
+
+
+def test_multiprobe_candidates_stay_sublinear(emb):
+    """Hamming radius 2 probes 37/256 bucket codes; the actual candidate
+    rows it scores must stay well under half the corpus."""
+    n = emb.count()
+    base = emb.withColumn(
+        "v", F.expr(S._as_double("embedding"))
+    ).withColumn("bucket", F.expr(S.bucket_expr("v")))
+    q = base.filter(F.col("vec_id") == QIDS[0]).select(
+        F.col("bucket").alias("qbucket")
+    )
+    candidates = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.expr("bit_count(bucket ^ qbucket) <= 2"))
+        .count()
+    )
+    assert candidates < 0.5 * n, (candidates, n)
