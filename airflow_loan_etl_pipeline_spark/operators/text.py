@@ -101,3 +101,28 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         id_col,
         F.md5(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# BPE-ish subword pattern: runs of letters, runs of digits, or a single
+# non-alphanumeric mark — the pre-tokenization split every byte-pair
+# tokenizer applies before merges. Subword merges then only SHORTEN
+# token streams, so `ceil(chars/4)` (the ~4-chars/token empirical rate
+# for English BPE vocabularies) brackets the estimate from the other
+# side. Both are one codegen'd projection — no UDF, no vocab shipping.
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_token_estimate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-cost estimation for LLM training-data budgeting:
+    pre-token count (regex, upper bound) and chars/4 (lower-ish bound).
+    At 100 TB this is the projection that decides what a corpus costs
+    to train on — it must stay JVM-side, which both expressions do."""
+    return df.select(
+        id_col,
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{BPE_PRETOKEN_RE}', 0)")
+        ).alias("n_pretokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).alias("est_bpe_tokens"),
+    )

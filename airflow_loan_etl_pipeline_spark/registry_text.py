@@ -429,3 +429,19 @@ def embeddings_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     return S.lsh_bucketed_topk(
         load_table(spark, sf_dir, "embeddings"), query_id=0, hamming=2
     )
+
+
+@query(
+    "docs_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{X.BPE_PRETOKEN_RE}', 0)) AS n_pretokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def docs_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north-star text op): regex pre-token
+    count + chars/4 estimate, the corpus-cost projection for training
+    budgets."""
+    return X.bpe_token_estimate(load_table(spark, sf_dir, "documents"))
