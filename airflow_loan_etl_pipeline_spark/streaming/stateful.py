@@ -116,3 +116,61 @@ def production_state_store_confs() -> dict[str, str]:
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
             "true",
     }
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on Spark 4's transformWithState — the
+    successor to applyInPandasWithState (running_user_totals above,
+    same semantics, kept for contrast and for engines pinned to the
+    older API).
+
+    What the new API buys at scale: typed per-key state handles
+    (ValueState/ListState/MapState — no whole-state-tuple rewrites per
+    batch), per-key timers for TTL/session expiry, and schema evolution
+    of state across query restarts. It REQUIRES the RocksDB state store
+    provider (production_state_store_confs()) — which is the right
+    provider at scale anyway.
+
+    Arrow-batched like applyInPandasWithState: rows arrive as pandas
+    DataFrames per key, the fold is vectorized, state I/O is one
+    get/update per key per batch.
+
+    Container caveat: the API's Python driver worker speaks protobuf to
+    the JVM state server; this container lacks ``google.protobuf``, so
+    the accompanying test skips here and runs wherever protobuf is
+    present (any real cluster image ships it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Proc(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._totals.exists():
+                n, total = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Proc(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -172,3 +172,68 @@ def test_running_totals_on_rocksdb_state_store(spark, tmp_path):
     # provider fingerprint: RocksDB-specific custom metrics present
     metrics = progress["stateOperators"][0]["customMetrics"]
     assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithState API: same two-batch fold as the
+    applyInPandasWithState test, on its required RocksDB provider —
+    second batch's emission must fold the first batch's state.
+
+    transformWithState's Python driver worker imports google.protobuf
+    (state-server wire protocol); this container doesn't ship it, so
+    the test skips where the dependency is absent rather than fail on
+    an environment hole. The operator itself has no extra imports."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (not in container)",
+    )
+    from airflow_loan_etl_pipeline_spark.streaming.stateful import (
+        production_state_store_confs,
+        running_user_totals_tws,
+    )
+
+    src = str(tmp_path / "src_tws")
+    ckpt = str(tmp_path / "ckpt_tws")
+    _write_batch(spark, src, [("2024-01-01 00:00:10", 1, 10.0),
+                              ("2024-01-01 00:00:20", 2, 1.0)])
+    _write_batch(spark, src, [("2024-01-01 00:01:10", 1, 5.0)])
+
+    saved = {
+        k: spark.conf.get(k, None) for k in production_state_store_confs()
+    }
+    for k, v in production_state_store_confs().items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_totals")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM tws_totals").collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    user1 = [
+        (r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 1
+    ]
+    assert (2, 15.0) in user1, rows
+    assert len(user1) == 2, rows  # one emission per micro-batch
+    assert (1, 1.0) in [
+        (r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 2
+    ]
