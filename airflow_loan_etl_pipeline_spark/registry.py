@@ -511,3 +511,75 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_gapfill_10min",
+    oracle="""
+    WITH b AS (SELECT cast(floor(epoch(min(ts)) / 600) * 600 AS bigint) AS mn,
+                      cast(floor(epoch(max(ts)) / 600) * 600 AS bigint) AS mx
+               FROM events),
+    grid AS (SELECT unnest(generate_series(mn, mx, 600)) AS bucket_start FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT cast(floor(epoch(ts) / 600) * 600 AS bigint) AS bucket_start,
+                      event_type, count(*) AS n, round(sum(value), 2) AS tv
+               FROM events GROUP BY 1, 2)
+    SELECT g.bucket_start, t.event_type,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.tv, 0.0) AS total_value
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN actual a
+      ON a.bucket_start = g.bucket_start AND a.event_type = t.event_type
+    """,
+)
+def events_gapfill_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling / resampling: densify the tumbling-window
+    aggregate onto a complete 10-minute grid per event_type, zero-filling
+    empty buckets — what every downstream forecaster/anomaly detector
+    needs (a missing bucket and a zero bucket mean different things only
+    if the grid is dense).
+
+    Scale shape: the fact table is touched ONCE (the windowed aggregate);
+    the grid is generated from a single min/max row via sequence+explode
+    (n_buckets x n_types rows — tiny, independent of fact cardinality).
+    Both join inputs are small after aggregation, so the left join plans
+    as a broadcast hash join (Catalyst builds from the aggregate side —
+    broadcasting the preserved side of a left-outer is not legal). No
+    second fact scan, no extra fact shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    actual = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    bounds = ev.agg(
+        (F.floor(F.min(F.col("ts").cast("long")) / 600) * 600)
+        .cast("long")
+        .alias("mn"),
+        (F.floor(F.max(F.col("ts").cast("long")) / 600) * 600)
+        .cast("long")
+        .alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.lit(600))).alias("bucket_start")
+    ).crossJoin(ev.select("event_type").distinct())
+    return (
+        F.broadcast(grid)
+        .join(actual, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
