@@ -61,6 +61,8 @@ HEADLINE = [
     "events_map_props",
     "user_value_ewma",
     "corpus_filter",
+    "docs_bpe_token_estimate",
+    "events_gapfill_10min",
 ]
 
 
