@@ -69,6 +69,8 @@ def fill_nulls_with_mode(df: DataFrame, columns: list[str] | None = None) -> Dat
     modes = {r["column"]: r["mode_value"] for r in column_modes(df, cols).collect()}
     dtypes = dict(df.dtypes)
     fill: dict[str, object] = {}
+    bool_fill: dict[str, bool] = {}
+    decimal_fill: dict[str, tuple[str, str]] = {}  # col -> (dtype, value)
     for c, v in modes.items():
         t = dtypes[c]
         try:
@@ -78,8 +80,24 @@ def fill_nulls_with_mode(df: DataFrame, columns: list[str] | None = None) -> Dat
                 fill[c] = int(v)
             elif t == "string":
                 fill[c] = v
+            elif t == "boolean":
+                # fillna accepts bools; the melt stringifies to
+                # 'true'/'false', parse it back.
+                if v in ("true", "false"):
+                    bool_fill[c] = v == "true"
+            elif t.startswith("decimal"):
+                # fillna doesn't take Decimal — apply via coalesce with a
+                # literal cast to the column's exact decimal type.
+                decimal_fill[c] = (t, v)
             # timestamps/dates/arrays: fillna doesn't support them; skip
             # (same silent-skip the reference relies on).
         except (TypeError, ValueError):
             continue
-    return df.fillna(fill) if fill else df
+    out = df
+    if fill:
+        out = out.fillna(fill)
+    if bool_fill:
+        out = out.fillna(bool_fill)
+    for c, (t, v) in decimal_fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v).cast(t)))
+    return out

@@ -39,6 +39,16 @@ HASH32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) AS bigint)"
 # would perturb exact counts (15 hex digits < 2^61).
 HASH60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
 
+# Default scale caps for the capped pair generators. A shingle appearing
+# in df documents generates O(df²) join rows; one stopword-like trigram
+# with df=10⁶ is 10¹² rows. The caps drop those keys BEFORE the pair
+# expansion — they carry no near-dup signal (a shingle shared by
+# thousands of documents identifies nothing). Shared with the oracle SQL
+# (registry_text.py) so both engines apply the identical cutoff.
+NGRAM_MAX_DF = 4
+LSH_MAX_BUCKET = 2
+SIMHASH_MAX_BUCKET = 8
+
 
 def shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, repartition: bool = True
@@ -75,6 +85,9 @@ def shingles(
     def _shingle(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            # NULL text (PERMISSIVE ingest can produce it) is treated as
+            # an empty document, not a crash inside the Arrow batch.
+            t = t if isinstance(t, str) else ""
             toks = t.split(" ")
             if len(toks) >= n:
                 out.append(
@@ -116,6 +129,11 @@ def shingle_rows(
         for pdf in batches:
             ids, counts, shs = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                # NULL-safe: treat missing text as an empty document
+                # (matches the oracle's ELSE [text] arm only for non-null
+                # fixtures; the contract for NULL is "one empty shingle",
+                # never an executor crash).
+                t = t if isinstance(t, str) else ""
                 toks = t.split(" ")
                 if len(toks) >= n:
                     sh = list(
@@ -172,7 +190,11 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band of their MinHash signature. Output: (doc_a, doc_b), doc_a<doc_b.
@@ -180,6 +202,14 @@ def minhash_lsh_pairs(
     Physical shape: project signatures → explode to (band_id, band_key)
     → self-equi-join on the band key (shuffle bounded by bucket sizes,
     AQE handles skewed buckets) → distinct pairs.
+
+    ``max_bucket`` is the 100 TB safety valve: band buckets holding more
+    than this many documents are DROPPED before the self-join (a bucket
+    of b docs expands to b² join rows; a mega-bucket of boilerplate or
+    near-constant documents expands quadratically while identifying
+    nothing). The size count and the semi-filter reuse the same
+    repartition exchange as the join itself, so the cap costs one extra
+    pre-aggregated pass over band keys, not a new data shuffle.
     """
     sigs = minhash_signatures(df, id_col, text_col, n)
     bands = ", ".join(
@@ -201,6 +231,14 @@ def minhash_lsh_pairs(
         exploded.sparkSession.sparkContext.defaultParallelism,
         "band_id", "band_key",
     )
+    if max_bucket is not None:
+        small = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        exploded = exploded.join(small, ["band_id", "band_key"], "left_semi")
     a = exploded.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
     b = exploded.select("band_id", "band_key", F.col(id_col).alias("doc_b"))
     return (
@@ -217,13 +255,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Shuffle is on the shingle key; frequency-bounded because shingles
-    are distinct-per-doc. At 100 TB you'd first drop shingles whose
-    document frequency exceeds a cap (they generate quadratic pairs but
-    carry no signal).
+    are distinct-per-doc. ``max_df`` is the 100 TB safety valve: shingles
+    whose document frequency exceeds it are dropped before the self-join
+    (join fan-out is Σ df² — one stopword-like trigram with df=10⁶ alone
+    produces 10¹² rows). Per-doc shingle counts (na/nb) keep counting
+    ALL shingles, so the Jaccard denominator is unchanged; only the
+    intersection is restricted to informative shingles — the standard
+    stop-shingle treatment, which can only LOWER a pair's score.
     """
     sh = shingle_rows(df, id_col, text_col, n)
     # Hash AFTER the explode, on a flat string column: a hash inside
@@ -243,6 +286,17 @@ def ngram_jaccard_pairs(
     # coalescing, and it satisfies the self-join's required hash
     # distribution, so the join adds no exchange of its own.
     ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    if max_df is not None:
+        # df-count + semi-filter ride the repartition exchange above
+        # (both group/join on s) — one pre-aggregated pass, no new data
+        # shuffle, and the quadratic expansion below never sees hot keys.
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
     # Pair generation as a self-equi-join on the shingle hash. The
     # entire subtree below the exchange runs ONCE (ReusedExchange on the
     # other side), and the join + pair-count aggregate are codegen'd —
@@ -296,6 +350,7 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
@@ -305,9 +360,15 @@ def simhash_pairs(
     banding is a lossless candidate filter, and the result equals the
     brute-force O(n²) answer. Candidates are gathered with one groupBy
     per band key (no self-join — the signature aggregation runs once)
-    and verified with an exact popcount on the XOR. At 100 TB, bucket
-    size bounds the pair expansion; cap mega-buckets (constant-ish
-    documents) before expanding.
+    and verified with an exact popcount on the XOR.
+
+    ``max_bucket`` is the 100 TB safety valve: band buckets larger than
+    it are skipped before the in-expression pair expansion (the b² blow-
+    up happens inside ``transform`` over the collected bucket — a mega-
+    bucket of near-constant documents would materialize quadratically in
+    one task). With a cap the result is no longer the exact brute force:
+    a pair is reported iff SOME band both docs share is small enough —
+    the deliberate trade the cap buys.
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
@@ -336,8 +397,11 @@ def simhash_pairs(
         "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
         "'hamming', cast(bit_count(x.sh ^ y.sh) AS int)))))"
     )
+    bucket_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_bucket)
     return (
-        buckets.filter(F.size("ids") >= 2)
+        buckets.filter(bucket_ok)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)

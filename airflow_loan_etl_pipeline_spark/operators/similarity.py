@@ -168,8 +168,14 @@ def ivf_topk(
 
     Centroids are the ``n_centroids`` lowest-id data vectors —
     deterministic (no k-means RNG), so the oracle reproduces the
-    assignment exactly. The centroid table is broadcast; assignment is
-    a map-side nested-loop + one row_number shuffle on the vector id.
+    assignment exactly. The centroid set rides into every task as ONE
+    broadcast row holding the whole (tiny) centroid array; assignment
+    is a pure map-side projection — ``array_max`` over
+    ``struct(ccos, -cid, cid)`` picks each vector's best centroid
+    (cosine DESC, cid ASC tie-break) with NO shuffle of the corpus.
+    The previous formulation ranked n_vectors × n_centroids scored rows
+    with a ``row_number`` window, shuffling the entire corpus by vec_id
+    just to take a per-vector argmax.
     Scale path: persist ``cid`` as a partition column so a probe prunes
     the scan to nprobe/n_centroids of the data; recall improves by
     raising nprobe, cost-transparently (measured on the isotropic
@@ -178,21 +184,37 @@ def ivf_topk(
     note; real clustered corpora with k-means/label centroids sit far
     higher at the same nprobe).
     """
-    from pyspark.sql import Window
-
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     cents = base.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        id_col, "v", "cid", F.expr(cosine_expr("v", "cv")).alias("ccos")
+    # One row: the sorted array of all centroids. Broadcast-cross-joined
+    # onto the corpus it is a per-task constant (BroadcastNestedLoopJoin
+    # over 1 row = map side).
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select(id_col, "v", "cid")
-    qprobe = ranked.filter(
-        (F.col(id_col) == query_id) & (F.col("rn") <= nprobe)
-    ).select(F.col("cid").alias("pcid"), F.col("v").alias("qv"))
+    scores = (
+        "transform(cents, c -> named_struct("
+        f"'ccos', {cosine_expr('v', 'c.cv')}, "
+        "'negcid', -c.cid, 'cid', c.cid))"
+    )
+    with_best = (
+        base.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", F.expr(f"array_max({scores})"))
+    )
+    assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
+    # The probe list is computed from the query's single row: explode its
+    # per-centroid scores and TakeOrdered nprobe of them (tiny).
+    qprobe = (
+        with_best.filter(F.col(id_col) == query_id)
+        .select(F.col("v").alias("qv"), F.explode(F.expr(scores)).alias("s"))
+        .orderBy(F.col("s.ccos").desc(), F.col("s.cid").asc())
+        .limit(nprobe)
+        .select(F.col("s.cid").alias("pcid"), F.col("qv"))
+    )
     return (
         assigned.join(F.broadcast(qprobe), F.col("cid") == F.col("pcid"))
         .filter(F.col(id_col) != query_id)

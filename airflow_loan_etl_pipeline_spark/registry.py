@@ -433,9 +433,14 @@ def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXCEPT (DISTINCT) semantics: a left key removed entirely when it
+    # appears on the right, regardless of multiplicities. subtract() is
+    # Spark's EXCEPT DISTINCT; exceptAll(...).distinct() is NOT the same
+    # (a left key duplicated more times than on the right survives the
+    # bag difference).
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s).distinct()
+    return n.subtract(s)
 
 
 @query(
@@ -543,10 +548,12 @@ def events_gapfill_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table is touched ONCE (the windowed aggregate);
     the grid is generated from a single min/max row via sequence+explode
     (n_buckets x n_types rows — tiny, independent of fact cardinality).
-    Both join inputs are small after aggregation, so the left join plans
-    as a broadcast hash join (Catalyst builds from the aggregate side —
-    broadcasting the preserved side of a left-outer is not legal). No
-    second fact scan, no extra fact shuffle.
+    The broadcast hint goes on ``actual`` — the BUILD side of the
+    left-outer join (hinting the preserved/left side is illegal and
+    Spark silently falls back to a shuffle join, logging HintErrorLogger
+    warnings). ``actual`` is aggregated down to at most grid cardinality,
+    so broadcasting it is safe at any fact scale. No second fact scan,
+    no extra fact shuffle.
     """
     ev = _t(spark, sf_dir, "events")
     actual = (
@@ -574,8 +581,8 @@ def events_gapfill_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("mn", "mx", F.lit(600))).alias("bucket_start")
     ).crossJoin(ev.select("event_type").distinct())
     return (
-        F.broadcast(grid)
-        .join(actual, ["bucket_start", "event_type"], "left")
+        grid
+        .join(F.broadcast(actual), ["bucket_start", "event_type"], "left")
         .select(
             "bucket_start",
             "event_type",

@@ -151,6 +151,40 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, "
+    f"array_to_string(sig[{j * D.ROWS_PER_BAND + 1}:{(j + 1) * D.ROWS_PER_BAND}], '-') AS band_key "
+    f"FROM sig"
+    for j in range(D.N_BANDS)
+)
+
+
+@query(
+    "minhash_lsh_pairs_capped",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    bands AS ({_BANDS_DUCK}),
+    small AS (SELECT band_id, band_key FROM bands
+              GROUP BY 1, 2 HAVING count(*) <= {D.LSH_MAX_BUCKET})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l
+    JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    JOIN small sm
+      ON sm.band_id = l.band_id AND sm.band_key = l.band_key
+    """,
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-hardened LSH pair generator: band buckets larger than
+    LSH_MAX_BUCKET are dropped before the self-join, bounding the
+    quadratic pair expansion (a mega-bucket of boilerplate documents
+    produces b² candidates and no signal). Same pipeline otherwise."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), max_bucket=D.LSH_MAX_BUCKET
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -171,6 +205,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs_capped",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
+    kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {D.NGRAM_MAX_DF}),
+    inter AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+        FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        WHERE l.s IN (SELECT s FROM kept)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+    FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-hardened Jaccard pair generator: shingles with document
+    frequency above NGRAM_MAX_DF are dropped before the self-join (join
+    fan-out is Σ df² — hot stop-shingles dominate it while carrying no
+    near-dup signal). Denominators still count all shingles, so capping
+    can only lower a pair's score."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), max_df=D.NGRAM_MAX_DF
+    )
 
 
 _SIMHASH_BITS = 32
@@ -214,6 +279,47 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# Banded form of the simhash signature for the capped oracle: 4 bands of
+# 8 bits (max_hamming + 1 bands over 32 bits), matching
+# dedup.simhash_pairs' banding exactly.
+_SIMHASH_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_id, "
+    f"(simhash // {1 << (b * 8)}) % 256 AS band_key FROM sh"
+    for b in range(4)
+)
+
+
+@query(
+    "simhash_pairs_capped",
+    # With a bucket cap, banding is no longer a lossless filter, so the
+    # oracle must reproduce the banded semantics (pair reported iff some
+    # SHARED band's bucket is within the cap), not the brute force.
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    bands AS ({_SIMHASH_BANDS_DUCK}),
+    small AS (SELECT band_id, band_key FROM bands
+              GROUP BY 1, 2 HAVING count(*) <= {D.SIMHASH_MAX_BUCKET})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+    FROM bands l
+    JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    JOIN small sm
+      ON sm.band_id = l.band_id AND sm.band_key = l.band_key
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-hardened SimHash pair generator: band buckets above
+    SIMHASH_MAX_BUCKET are skipped before the in-expression b² pair
+    expansion. No longer equal to the brute force — a pair survives iff
+    some shared band's bucket is within the cap (the deliberate trade)."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_bucket=D.SIMHASH_MAX_BUCKET
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,10 +192,21 @@ def merge_upsert(
       updates landing in 3 partitions reads and writes 3.
     - The anti-join of the surviving target slice against update keys
       broadcasts the distinct-key side when small (typical CDC batch).
-    - The merge is staged to ``<target>/.staging`` and swapped in only
-      after the write succeeds, so a failed job never half-destroys the
-      target (reading and overwriting the same parquet path in one plan
-      corrupts it — Spark scans lazily while the sink deletes).
+    - The merge is staged to ``<target>.__staging__`` (a SIBLING of the
+      target, so the final swap is an intra-directory ``os.rename`` —
+      never a cross-filesystem move) and swapped in only after the write
+      succeeds. The swap renames the live data ASIDE first
+      (``.__old__``), renames staging in, then deletes the old copy: a
+      crash between the two renames leaves the previous table intact
+      under ``.__old__`` (recoverable by renaming it back), never a
+      window with NO table at the path. Plain parquet on a local/HDFS
+      path can't be fully atomic — a reader racing the swap can see the
+      target briefly absent; a real table format (Delta/Iceberg) is the
+      answer when concurrent readers matter.
+    - NULL partition values: Spark writes rows with a NULL partition
+      column under ``<col>=__HIVE_DEFAULT_PARTITION__``; the swap maps
+      ``None`` to that directory name so such updates are merged, not
+      silently dropped.
 
     Returns the number of partitions rewritten (1 for unpartitioned).
     """
@@ -215,31 +226,50 @@ def merge_upsert(
     _shutil.rmtree(staging, ignore_errors=True)
     upd_keys = updates.select(*keys).distinct()
 
+    def _swap(src: str, dst: str) -> None:
+        """Replace dst with src: aside-rename, swap in, drop the old."""
+        old = dst.rstrip("/") + ".__old__"
+        _shutil.rmtree(old, ignore_errors=True)
+        had_dst = _os.path.exists(dst)
+        if had_dst:
+            _os.rename(dst, old)
+        try:
+            _os.rename(src, dst)
+        except OSError:
+            if had_dst:  # roll the previous table back in
+                _os.rename(old, dst)
+            raise
+        _shutil.rmtree(old, ignore_errors=True)
+
     if partition_col is None:
         target = spark.read.parquet(target_path)
         merged = target.join(upd_keys, keys, "left_anti").unionByName(updates)
         merged.write.mode("overwrite").parquet(staging)
-        _shutil.rmtree(target_path)
-        _os.rename(staging, target_path)
+        _swap(staging, target_path)
         return 1
 
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
-    target_slice = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(touched)
-    )
+    has_null = any(v is None for v in touched)
+    non_null = [v for v in touched if v is not None]
+    part_pred = F.col(partition_col).isin(non_null)
+    if has_null:
+        part_pred = part_pred | F.col(partition_col).isNull()
+    target_slice = spark.read.parquet(target_path).filter(part_pred)
     merged = target_slice.join(upd_keys, keys, "left_anti").unionByName(
         updates
     )
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     for val in touched:
-        part_dir = f"{partition_col}={val}"
+        part_val = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+        part_dir = f"{partition_col}={part_val}"
         src = _os.path.join(staging, part_dir)
         dst = _os.path.join(target_path, part_dir)
-        if _os.path.exists(dst):
-            _shutil.rmtree(dst)
         if _os.path.exists(src):
-            _os.rename(src, dst)
+            _swap(src, dst)
+        elif _os.path.exists(dst):
+            # all rows of this partition were deleted by the merge
+            _shutil.rmtree(dst)
     _shutil.rmtree(staging, ignore_errors=True)
     return len(touched)

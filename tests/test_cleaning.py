@@ -65,3 +65,32 @@ def test_subset_columns_only(spark):
     out = fill_nulls_with_mode(df, ["s"]).collect()
     assert {r["s"] for r in out} == {"a"}
     assert any(r["d"] is None for r in out)  # d untouched
+
+
+def test_boolean_and_decimal_columns_filled(spark):
+    # ADVICE r1: booleans and decimals were silently skipped; the
+    # reference's fillna fills booleans too.
+    from decimal import Decimal
+
+    schema = T.StructType(
+        [
+            T.StructField("b", T.BooleanType()),
+            T.StructField("m", T.DecimalType(10, 2)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (True, Decimal("3.50")),
+            (True, Decimal("3.50")),
+            (False, Decimal("9.99")),
+            (None, None),
+        ],
+        schema,
+    )
+    out = fill_nulls_with_mode(df)
+    assert out.filter("b IS NULL").count() == 0
+    assert out.filter("m IS NULL").count() == 0
+    assert out.filter("b = true").count() == 3
+    assert out.filter("m = 3.50").count() == 3
+    # decimal type is preserved exactly
+    assert dict(out.dtypes)["m"] == "decimal(10,2)"

@@ -1,0 +1,95 @@
+"""Scale caps on the dedup pair generators (VERDICT r1 item 1): hot
+shingles / mega-buckets must be droppable BEFORE the quadratic pair
+expansion, and NULL text must not crash the Arrow-batched shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.operators import dedup as D
+
+
+def _hot_corpus(spark, n_docs: int = 40):
+    """Docs that all share one hot trigram but are otherwise distinct.
+
+    Every doc starts with the same 3 tokens ("common boiler plate"), so
+    that shingle has df = n_docs and alone would generate
+    C(n_docs, 2) = 780 candidate pairs; the per-doc tails are unique.
+    """
+    rows = [
+        (i, "common boiler plate " + " ".join(f"tok{i}_{j}" for j in range(8)))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_max_df_bounds_pair_expansion(spark):
+    docs = _hot_corpus(spark)
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=5)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # The hot shingle links every doc to every other: C(40,2) = 780.
+    assert n_uncapped == 780
+    # With the hot shingle (df=40 > 5) dropped, no pair shares any
+    # shingle at all — the expansion is fully suppressed.
+    assert n_capped == 0
+
+
+def test_ngram_cap_keeps_denominator(spark):
+    # Two near-identical docs plus a hot shingle shared by all: the cap
+    # drops the hot shingle from the INTERSECTION but not from n_sh, so
+    # jaccard can only decrease.
+    rows = [
+        (1, "common boiler plate alpha beta gamma delta"),
+        (2, "common boiler plate alpha beta gamma epsilon"),
+        (3, "common boiler plate zeta eta theta iota"),
+        (4, "common boiler plate kappa lam mu nu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, max_df=3).collect()
+    }
+    for pair, j in cap.items():
+        assert j <= unc[pair]
+    # Docs 1-2 still match on their unique "plate alpha beta" run.
+    assert (1, 2) in cap
+
+
+def test_lsh_max_bucket_drops_mega_bucket(spark):
+    # Exact-duplicate texts collide on EVERY band -> one mega-bucket.
+    rows = [(i, "exact duplicate text payload body here") for i in range(20)]
+    rows += [(100, "totally different document content one two three")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs(docs).count()
+    capped = D.minhash_lsh_pairs(docs, max_bucket=5).count()
+    assert uncapped == 190  # C(20,2)
+    assert capped == 0
+
+
+def test_simhash_max_bucket_drops_mega_bucket(spark):
+    rows = [(i, "exact duplicate text payload body here") for i in range(20)]
+    rows += [(100, "totally different document content one two three")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.simhash_pairs(docs).count()
+    capped = D.simhash_pairs(docs, max_bucket=5).count()
+    assert uncapped == 190
+    assert capped == 0
+
+
+def test_null_text_does_not_crash_shingling(spark):
+    rows = [(1, "a normal document with several words here"), (2, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # Both UDF paths: the array-returning shingler and the flat-row one.
+    assert D.shingles(docs).count() == 2
+    flat = D.shingle_rows(docs)
+    # NULL text -> one empty shingle, not an executor crash.
+    assert flat.filter(F.col("doc_id") == 2).count() == 1
+    # And the full pair pipeline survives.
+    D.ngram_jaccard_pairs(docs, threshold=0.0).count()

@@ -213,3 +213,45 @@ def test_merge_upsert_unpartitioned_roundtrip(spark, sf_dir, tmp_path):
     after = spark.read.parquet(target)
     assert after.count() == customer.count()
     assert after.filter(F.col("c_acctbal") == -1.0).count() == 3
+
+
+def test_merge_upsert_null_partition_values(spark, tmp_path):
+    # ADVICE r1: rows with a NULL partition column land under
+    # __HIVE_DEFAULT_PARTITION__; the swap must merge them, not silently
+    # drop them.
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "null_part")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", None), (3, "c", None)],
+        "k int, v string, p string",
+    )
+    merge_upsert(spark, target, base, ["k"], partition_col="p")
+    updates = spark.createDataFrame(
+        [(2, "B", None), (4, "d", None)], "k int, v string, p string"
+    )
+    merge_upsert(spark, target, updates, ["k"], partition_col="p")
+    after = spark.read.parquet(target)
+    assert after.count() == 4
+    got = {r.k: (r.v, r.p) for r in after.collect()}
+    assert got[2] == ("B", None)  # updated in the NULL partition
+    assert got[4] == ("d", None)  # inserted into the NULL partition
+    assert got[1] == ("a", "p1")  # untouched partition intact
+
+
+def test_merge_upsert_swap_leaves_no_stale_aside(spark, tmp_path):
+    # The aside-swap must clean up: no .__old__ or .__staging__ left.
+    import os
+
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "swapclean")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    merge_upsert(spark, target, base, ["k"])
+    merge_upsert(
+        spark, target, spark.createDataFrame([(1, "b")], "k int, v string"), ["k"]
+    )
+    siblings = os.listdir(str(tmp_path))
+    assert "swapclean" in siblings
+    assert not [s for s in siblings if "__old__" in s or "__staging__" in s]
+    assert spark.read.parquet(target).collect()[0].v == "b"
