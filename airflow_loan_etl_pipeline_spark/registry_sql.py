@@ -694,3 +694,116 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT /*+ SHUFFLE_MERGE(l3) */ 1 FROM lineitem l3",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11/Q16/Q20 — the three pure-partsupp TPC-H shapes. The fixtures ship
+# no partsupp table, so it is SYNTHESIZED deterministically from
+# part × supplier inside the query text itself (a CTE shared verbatim by
+# the Spark and oracle sides): 4 suppliers per part via modular
+# arithmetic over the supplier count, integer availqty, and a
+# supply cost carried as exact integer CENTS so aggregates are
+# bit-identical across engines (no float summation-order drift).
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+ps AS (
+    SELECT p_partkey AS ps_partkey,
+           CAST((p_partkey + q.i * 13) % ns.n AS BIGINT) AS ps_suppkey,
+           CAST((p_partkey * 7 + q.i * 11) % 9999 + 1 AS INT) AS ps_availqty,
+           CAST((p_partkey * 31 + q.i * 17) % 99900 + 100 AS BIGINT)
+               AS ps_cost_cents
+    FROM part
+    CROSS JOIN (SELECT count(*) AS n FROM supplier) ns
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS q(i)
+)
+"""
+
+_Q11 = f"""
+WITH {_PS_CTE},
+val AS (
+    SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS value_cents
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+    GROUP BY ps_partkey
+),
+tot AS (SELECT sum(value_cents) AS t FROM val)
+SELECT ps_partkey, round(value_cents / 1e2, 2) AS value
+FROM val, tot
+WHERE value_cents * 500 > t
+ORDER BY value DESC, ps_partkey ASC
+"""
+
+_Q16 = f"""
+WITH {_PS_CTE}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+_Q20 = f"""
+WITH {_PS_CTE}
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT ps_suppkey
+    FROM ps
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    )
+    AND ps_availqty > (
+        SELECT 0.5 * coalesce(sum(l_quantity), 0.0)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey
+          AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_6')
+ORDER BY s_name ASC, s_suppkey ASC
+"""
+
+
+@query("q11_important_stock", oracle=_Q11)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value within one nation,
+    kept when it exceeds a fraction of the nation's total — a grouped
+    aggregate compared against a broadcast single-row global aggregate.
+    Value is aggregated in integer cents (exact), divided at the edge.
+    partsupp is the deterministic synthesized CTE (no fixture table)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+@query("q16_supplier_part_counts", oracle=_Q16)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) with negated predicates and a NOT IN exclusion subquery
+    (planned as a broadcast null-aware anti join). The complaint-
+    supplier filter of the original maps to s_acctbal < 0 — the
+    fixture has no comment column."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16)
+
+
+@query("q20_promotable_suppliers", oracle=_Q20)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose stock of promoted parts
+    exceeds half of what they actually shipped in 1996 — a correlated
+    scalar aggregate subquery against the fact table (planned as a
+    left outer aggregate join on the correlation keys), nested inside
+    two IN subqueries."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20)
