@@ -414,6 +414,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: (doc_id, cluster_id) for
     EVERY document, where cluster_id is the minimum doc id in the doc's
@@ -422,14 +423,27 @@ def dup_clusters(
     pairs alone over-delete (A~B, B~C ⇒ keep one of {A,B,C}, not two
     "winners" of independent pairs).
 
-    Algorithm: iterative min-label propagation — each round every node
-    adopts the smallest label among itself and its neighbors; converges
-    in O(component diameter) rounds. Near-dup components are tiny and
-    flat (diameter rarely > 3), so this beats the general-graph
-    large-star/small-star variant in practice; lineage is truncated
-    every round with localCheckpoint so the plan doesn't grow with the
-    iteration count. Each round is one shuffle of the (sparse) edge
-    list joined against current labels.
+    Algorithm: min-label propagation WITH POINTER JUMPING — each round
+    every node first adopts the smallest label among itself and its
+    neighbors (one edge-list join), then shortcuts through its label's
+    own label (``lbl ← lbl(lbl)``, one labels-to-labels self-join).
+    The jump halves path lengths, so convergence is O(log diameter)
+    rounds instead of the plain propagation's O(diameter) — a chain of
+    10⁶ chained near-dups converges in ~20 rounds, not 10⁶ (same
+    doubling trick as large-star/small-star, with simpler invariants).
+    Near-dup components are usually flat; the jump costs one extra
+    small join and makes deep components safe anyway.
+
+    The driver-side convergence check (`.count()` action) runs every
+    ``check_every`` rounds rather than every round — each skipped check
+    saves a full pass at the cost of at most ``check_every - 1`` extra
+    (cheap, already-converged) rounds.
+
+    Lineage is truncated every round: localCheckpoint (executor-pinned)
+    here in local mode; at cluster scale prefer RELIABLE checkpoints
+    (``spark.sparkContext.setCheckpointDir`` on durable storage +
+    ``df.checkpoint()``) so an executor loss mid-iteration doesn't
+    force recomputing the whole chain.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -442,31 +456,44 @@ def dup_clusters(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (
             ue.join(labels, ue.src == labels.node)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(prop, labels.node == prop.dst, "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # Pointer jump: follow my label to ITS label (always ≤ mine,
+        # since labels only decrease and lbl is itself a node id).
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+        )
         new_labels = (
-            labels.join(prop, labels.node == prop.dst, "left")
+            stepped.join(parent, stepped.lbl == parent.pnode, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                ).alias("lbl"),
+                F.coalesce("plbl", F.col("lbl")).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        last_round = it == max_iter - 1
+        if (it + 1) % check_every == 0 or last_round:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
 
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")

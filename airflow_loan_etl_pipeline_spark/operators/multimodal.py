@@ -41,6 +41,16 @@ _EXT_MEDIA = {
     "mp4": "video", "mkv": "video", "webm": "video",
 }
 
+# Real image codec when available (import-guarded: the engine works
+# identically without it, falling back to the deterministic stub).
+try:  # pragma: no cover - depends on container contents
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 
 def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
     """Media-file ingest via Spark's ``binaryFile`` source — the engine
@@ -80,15 +90,26 @@ def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
 
 
 def _decode_payload(media_type: str, payload: bytes) -> dict:
-    """STUB: deterministic fake decode.
+    """Decode one asset's metadata.
 
-    A real implementation decodes with PIL / soundfile / pyav. The fake
-    derives stable pseudo-dimensions from the payload bytes so tests are
-    deterministic end-to-end. Raises for unknown media types, mirroring
-    a codec error path.
+    Images decode for REAL when Pillow is importable (width/height from
+    the actual codec); audio/video — and images in containers without
+    Pillow — fall back to a deterministic fake that derives stable
+    pseudo-dimensions from the payload bytes, so tests run end-to-end
+    either way. Raises for unknown media types, mirroring a codec error
+    path.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    if media_type == "image" and HAS_PIL and payload:
+        import io as _io
+
+        try:
+            with _PILImage.open(_io.BytesIO(payload)) as img:
+                return {"width": img.width, "height": img.height,
+                        "duration_ms": 0}
+        except Exception:
+            pass  # undecodable bytes -> deterministic fallback below
     n = len(payload)
     head = payload[:4].ljust(4, b"\0")
     seed = int.from_bytes(head, "big")
@@ -130,23 +151,50 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
-    """Thumbnail pipeline shape. STUB resize: truncates the payload
-    deterministically (a real impl decodes + resamples); the Arrow
-    batch contract and output schema are the real thing."""
+    """Thumbnail pipeline. With Pillow present the resize is REAL
+    (decode → aspect-preserving downscale → PNG re-encode); without it,
+    a deterministic stub truncates the payload. The Arrow batch
+    contract and output schema are identical either way."""
+
+    def _real_thumb(p) -> tuple[bytes, int, int]:
+        import io as _io
+
+        try:
+            with _PILImage.open(_io.BytesIO(bytes(p))) as img:
+                img.thumbnail((max_side, max_side))
+                buf = _io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue(), img.width, img.height
+        except Exception:
+            return b"", 0, 0
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["media_type"] == "image"]
-            out = pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "thumb": pdf["payload"].map(
-                        lambda p: bytes(p)[: max_side * max_side] if p is not None else b""
-                    ),
-                    "thumb_width": max_side,
-                    "thumb_height": max_side,
-                }
-            )
+            if HAS_PIL:
+                triples = [
+                    _real_thumb(p) if p is not None else (b"", 0, 0)
+                    for p in pdf["payload"]
+                ]
+                out = pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"].to_numpy(),
+                        "thumb": [t[0] for t in triples],
+                        "thumb_width": [t[1] for t in triples],
+                        "thumb_height": [t[2] for t in triples],
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "thumb": pdf["payload"].map(
+                            lambda p: bytes(p)[: max_side * max_side] if p is not None else b""
+                        ),
+                        "thumb_width": max_side,
+                        "thumb_height": max_side,
+                    }
+                )
             yield out[["asset_id", "thumb", "thumb_width", "thumb_height"]]
 
     return df.mapInPandas(op, schema=THUMB_SCHEMA)

@@ -66,3 +66,46 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def object_store_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    scheme: str = "s3a",
+) -> dict[str, str]:
+    """Hadoop-filesystem confs for direct object-store I/O (K5).
+
+    The reference lands files locally then re-uploads through a MinIO
+    client on the driver (/root/reference/airflow/dags/
+    drive_auto_compress_email.py:144-153, bucket-ensure :132-141); the
+    engine instead points any reader/writer at ``s3a://bucket/...`` and
+    the EXECUTORS stream straight to the store in parallel — no landing
+    copy, no driver hop, no bucket-ensure (the store 404s honestly).
+
+    Pass the returned dict as ``get_spark(extra_conf=...)`` (or set the
+    keys on an existing session's conf before first use of the scheme).
+    ``endpoint`` covers MinIO/on-prem gateways; with AWS-native S3 omit
+    it and credentials come from the default provider chain. For
+    ``gs://``/``abfss://`` the analogous ``fs.gs.*``/``fs.azure.*``
+    keys apply — same mechanism, different connector.
+    """
+    prefix = f"spark.hadoop.fs.{scheme}"
+    conf: dict[str, str] = {
+        # Object stores have no atomic directory rename; the v2 file
+        # output committer avoids the O(files) sequential rename storm
+        # of v1. (Cloud-native committers — magic/S3A — are the real
+        # production answer; v2 is the portable default.)
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        f"{prefix}.connection.maximum": "64",
+        f"{prefix}.fast.upload": "true",
+    }
+    if endpoint:
+        conf[f"{prefix}.endpoint"] = endpoint
+        conf[f"{prefix}.path.style.access"] = "true" if path_style else "false"
+    if access_key:
+        conf[f"{prefix}.access.key"] = access_key
+    if secret_key:
+        conf[f"{prefix}.secret.key"] = secret_key
+    return conf

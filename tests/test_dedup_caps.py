@@ -83,6 +83,31 @@ def test_simhash_max_bucket_drops_mega_bucket(spark):
     assert capped == 0
 
 
+def test_dup_clusters_deep_path_converges(spark):
+    """A path graph 0-1-2-...-59 (diameter 59 > default max_iter 25):
+    pointer jumping must converge it to a single cluster labelled 0
+    well within the default iteration budget — plain one-hop
+    propagation would need 59 rounds and fail this."""
+    n = 60
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = D.dup_clusters(docs, pairs)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_dup_clusters_singletons_and_components(spark):
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
 def test_null_text_does_not_crash_shingling(spark):
     rows = [(1, "a normal document with several words here"), (2, None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")

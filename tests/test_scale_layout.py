@@ -215,6 +215,32 @@ def test_merge_upsert_unpartitioned_roundtrip(spark, sf_dir, tmp_path):
     assert after.filter(F.col("c_acctbal") == -1.0).count() == 3
 
 
+def test_object_store_uri_scheme_roundtrip(spark, tmp_path):
+    """K5: readers/writers take any Hadoop-FS URI. No object store runs
+    in this container, so the non-default `file://` scheme stands in for
+    `s3a://` — same URI-resolution machinery, different connector. Also
+    pins the s3a conf-builder output shape."""
+    from airflow_loan_etl_pipeline_spark.session import object_store_conf
+    from airflow_loan_etl_pipeline_spark.sources.io import write_parquet
+
+    conf = object_store_conf(
+        endpoint="http://localhost:9000", access_key="ak", secret_key="sk"
+    )
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert (
+        conf["spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"]
+        == "2"
+    )
+
+    uri = "file://" + str(tmp_path / "bucket" / "table")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_parquet(df, uri)
+    back = spark.read.parquet(uri)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_merge_upsert_null_partition_values(spark, tmp_path):
     # ADVICE r1: rows with a NULL partition column land under
     # __HIVE_DEFAULT_PARTITION__; the swap must merge them, not silently
