@@ -228,6 +228,44 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, each
+    component mapped to floor(x * 127 / scale + 0.5) ∈ [-127, 127].
+    The storage-scale path for 100 TB embedding corpora — 4x smaller
+    than float32 (16x vs float64), and int8 dot products vectorize on
+    every SIMD ISA. ``floor(x + 0.5)`` instead of ``round`` because
+    half-way rounding direction on binary doubles is engine-dependent;
+    floor of the identical double is not.
+
+    Pure map-side projection (zip-free: one transform per vector);
+    degenerate all-zero vectors quantize to zeros with scale 0.
+    """
+    # Materialize the scale as a column BEFORE the transform lambda: an
+    # aggregate() nested inside the lambda body would re-reduce the
+    # whole vector once per element (O(d²) per row).
+    staged = df.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("v")
+    ).withColumn(
+        "_scale",
+        F.expr(
+            "aggregate(v, cast(0.0 AS double), (acc, x) -> greatest(acc, abs(x)))"
+        ),
+    )
+    q = (
+        "transform(v, x -> CASE WHEN _scale = 0.0 THEN 0 "
+        "ELSE cast(floor(x * 127.0 / _scale + 0.5) AS int) END)"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.expr(q).alias("q"),
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -103,6 +103,83 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def top_terms(
+    df: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent tokens with
+    document frequency and total count — the first diagnostic every
+    corpus build runs (stopword skew, boilerplate detection, the df
+    distribution that motivates the dedup caps).
+
+    Scale shape: explode → ONE hash aggregate keyed by token (map-side
+    partial combine collapses each partition's repeats before the
+    shuffle) → TakeOrderedAndProject for the top-k. No window, no
+    second pass.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.col("total_count").desc(), F.col("term").asc()
+    ).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    per_doc_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``per_doc_k`` terms by TF-IDF — the classic
+    keyword extraction over a corpus.
+
+    IDF uses the RATIONAL form (n_docs + 1) / (df + 1) instead of its
+    logarithm: rankings are identical (log is monotone) and every
+    arithmetic op stays IEEE-exact (+,*,/ — no transcendental whose
+    last-ulp behavior differs between engines), so the oracle matches
+    bit-for-bit.
+
+    Scale shape: one explode → (doc, term) count aggregate; df per term
+    via a second aggregate over the SAME pre-aggregated rows (not the
+    raw corpus); n_docs is a 1-row broadcast; the per-doc top-k window
+    partitions over doc_id on rows already collapsed to distinct
+    (doc, term) — bounded by vocabulary size per doc, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_doc_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rn")
+    )
+
+
 # BPE-ish subword pattern: runs of letters, runs of digits, or a single
 # non-alphanumeric mark — the pre-tokenization split every byte-pair
 # tokenizer applies before merges. Subword merges then only SHORTEN

@@ -538,6 +538,78 @@ def embeddings_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "docs_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+    FROM tok
+    GROUP BY term
+    ORDER BY total_count DESC, term ASC
+    LIMIT 20
+    """,
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by total count with doc
+    frequency — the boilerplate/stopword-skew diagnostic."""
+    return X.top_terms(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "docs_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * (nd.n_docs + 1) / (dfreq.df + 1), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms; rational idf (n+1)/(df+1) keeps every
+    op IEEE-exact (no log whose last ulp differs across engines) while
+    preserving the ranking (log is monotone)."""
+    return X.tfidf_top_terms(load_table(spark, sf_dir, "documents"), per_doc_k=3)
+
+
+@query(
+    "embeddings_quantized_int8",
+    oracle="""
+    WITH base AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS sc
+          FROM base)
+    SELECT vec_id, round(sc, 6) AS scale,
+           list_transform(v, x -> CASE WHEN sc = 0.0 THEN 0
+               ELSE CAST(floor(x * 127.0 / sc + 0.5) AS INT) END) AS q
+    FROM s
+    """,
+)
+def embeddings_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/bandwidth
+    path for 100 TB embedding corpora. floor(x+0.5) both sides (binary
+    halfway rounding is engine-dependent; floor is not)."""
+    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "docs_bpe_token_estimate",
     oracle=f"""
     SELECT doc_id,

@@ -66,6 +66,53 @@ HEADLINE = [
 ]
 
 
+def streaming_e2e(spark, sf_dir: str) -> dict:
+    """End-to-end Structured Streaming latency (VERDICT r1 item 9):
+    land events as CSV files → AvailableNow file source with a
+    checkpointed seen-files ledger → stateful agg → foreachBatch sink.
+    ``cold_s`` ingests every file; ``warm_s`` restarts on the same
+    checkpoint with no new files — the per-trigger FIXED cost that
+    dominates small incremental batches. Tracked across rounds."""
+    import shutil
+    import tempfile
+
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    land = tempfile.mkdtemp(prefix="bench_stream_land_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+        ev.repartition(8).write.mode("overwrite").option("header", True).csv(land)
+
+        def run_once() -> float:
+            stream = (
+                spark.readStream.schema("user_id bigint, value double")
+                .option("header", True)
+                .csv(land)
+            )
+            agg = stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+            )
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(lambda df, eid: df.count())
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return time.perf_counter() - t0
+
+        cold = run_once()
+        warm = run_once()
+        return {"cold_s": round(cold, 3), "warm_s": round(warm, 3), "files": 8}
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -90,6 +137,9 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    stream_metrics = streaming_e2e(spark, sf_dir)
+    print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -99,6 +149,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "streaming_e2e": stream_metrics,
             }
         )
     )

@@ -92,6 +92,61 @@ def test_date_split_absent_column_is_noop(spark):
     assert split_datetime(df, source_col="created_at").columns == ["a"]
 
 
+def test_legacy_parser_divergence_documented(spark, tmp_path):
+    """VERDICT r1 item 10 — the asserted divergence list. The CSV path
+    pins one timestampFormat (io.py) where the reference's global
+    LEGACY parser policy (loan_spark_etl.py:42) is fully lenient.
+    Strict path: ONLY 'yyyy-MM-dd HH:mm:ss' parses; everything sloppier
+    nulls out (PERMISSIVE). The explicit recovery path is
+    dates.lenient_to_timestamp's format ladder, which accepts the
+    common sloppy shapes LEGACY tolerated."""
+    from pyspark.sql import types as T
+
+    from airflow_loan_etl_pipeline_spark.operators.dates import (
+        lenient_to_timestamp,
+    )
+
+    cases = {
+        "iso": "2024-03-01 10:00:00",      # strict: parses
+        "iso_t": "2024-03-01T10:00:00",    # strict: NULL, ladder: parses
+        "date_only": "2024-03-01",         # strict: NULL, ladder: parses
+        "slash_us": "3/7/2021",            # strict: NULL, ladder: parses
+        "slash_2digit": "3/7/21",          # strict: NULL, ladder: parses
+        "single_digit": "2021-3-7 5:4:3",  # strict: NULL, ladder: parses
+        "frac": "2024-03-01 10:00:00.123", # strict: NULL, ladder: parses
+        "garbage": "not a date",           # NULL on both (no silent junk)
+    }
+    p = tmp_path / "ts"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "k,ts\n" + "".join(f"{k},{v}\n" for k, v in cases.items())
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    strict = {r.k: r.ts for r in read_csv_dir(spark, str(p), schema=schema).collect()}
+    assert strict["iso"] is not None
+    for k in ("iso_t", "date_only", "slash_us", "slash_2digit",
+              "single_digit", "frac", "garbage"):
+        assert strict[k] is None, k
+
+    str_schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.StringType())]
+    )
+    raw = read_csv_dir(spark, str(p), schema=str_schema)
+    lenient = {
+        r.k: r.parsed
+        for r in raw.withColumn("parsed", lenient_to_timestamp("ts")).collect()
+    }
+    for k in cases:
+        if k == "garbage":
+            assert lenient[k] is None
+        else:
+            assert lenient[k] is not None, k
+    assert str(lenient["single_digit"]) == "2021-03-07 05:04:03"
+    assert str(lenient["slash_2digit"]).startswith("2021-03-07")
+
+
 def test_read_csv_dir_quarantines_corrupt_rows(spark, tmp_path):
     """PERMISSIVE ingest: malformed cells null out, raw row preserved in
     _corrupt_record; clean rows parse normally."""
