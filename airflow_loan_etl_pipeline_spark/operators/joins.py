@@ -39,3 +39,40 @@ def anti_join(left: DataFrame, right: DataFrame, on, broadcast: bool = False) ->
 def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
     """Fact-to-dimension equi-join with an explicit broadcast hint."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def skew_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: a low-cardinality/hot join key sends
+    every matching fact row to the same reducer; salting splits each hot
+    key across ``salt`` partitions by widening the join key to
+    (key, salt_id) — fact rows take a pseudorandom salt, dim rows are
+    replicated once per salt value (explode of a ``sequence``, dim-side
+    only, so the blow-up is |dim| × salt, not |fact|).
+
+    The RESULT is identical to the plain join for any salt assignment
+    (every fact row still meets exactly its key's dim rows), so the
+    oracle is the unsalted join — only the shuffle distribution changes.
+    Complements AQE skew-split (which handles skewed SORT-MERGE
+    partitions after the fact): salting fixes the hash distribution
+    up front and also covers aggregations layered on the join output.
+
+    Use when dim is too big to broadcast AND the key histogram is
+    power-law; for broadcastable dims ``dim_join`` is strictly better
+    (no shuffle at all).
+    """
+    fact_s = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+        ).cast("int"),
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+    )
+    return fact_s.join(dim_s, on=[*on, "_salt"], how=how).drop("_salt")

@@ -180,6 +180,39 @@ def tfidf_top_terms(
     )
 
 
+def corpus_mix_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing step
+    of a training-data build ("keep 80% of en, 30% of zh, ...").
+
+    Membership is CONTENT-ADDRESSED: keep iff
+    ``md5(doc_id) % 100 < rate(stratum)``. Unlike seeded ``sampleBy``
+    (whose RNG stream is engine- and partitioning-dependent), the same
+    document makes the same cut on any engine, any partitioning, any
+    rerun — the property a reproducible corpus release needs, and what
+    makes the operator oracle-verifiable. Rates are integer percages
+    0-100; strata absent from ``rates`` get ``default_rate``.
+
+    Scale shape: pure scan-local filter (one md5 per row, codegen), no
+    shuffle, trivially parallel at any corpus size.
+    """
+    h = (
+        f"cast(conv(substr(md5(cast({id_col} AS string)), 1, 8), 16, 10) "
+        "AS bigint) % 100"
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(rate)
+    return df.withColumn("_bucket", F.expr(h)).filter(
+        F.col("_bucket") < rate
+    ).drop("_bucket")
+
+
 # BPE-ish subword pattern: runs of letters, runs of digits, or a single
 # non-alphanumeric mark — the pre-tokenization split every byte-pair
 # tokenizer applies before merges. Subword merges then only SHORTEN

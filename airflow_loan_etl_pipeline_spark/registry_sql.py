@@ -122,6 +122,45 @@ def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_salted_status_join",
+    oracle="""
+    SELECT o.o_orderstatus, d.status_label,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderstatus,
+                 concat('STATUS_', o_orderstatus) AS status_label
+          FROM orders) d USING (o_orderstatus)
+    GROUP BY o.o_orderstatus, d.status_label
+    """,
+)
+def orders_salted_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant JOIN (complement of salted_event_type_counts'
+    salted aggregation): o_orderstatus has 3 values, so a plain shuffle
+    join lands each status's entire fact volume on one reducer.
+    skew_salted_join widens the key to (status, salt) — the dim side
+    replicates ×16, the fact side spreads across 48 reducers. Identical
+    result to the plain join (the oracle); only distribution changes."""
+    from airflow_loan_etl_pipeline_spark.operators.joins import (
+        skew_salted_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderstatus")
+        .distinct()
+        .withColumn(
+            "status_label", F.concat(F.lit("STATUS_"), F.col("o_orderstatus"))
+        )
+    )
+    j = skew_salted_join(orders, dim, on=["o_orderstatus"], salt=16)
+    return j.groupBy("o_orderstatus", "status_label").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function breadth: maps, FILTER aggregates, string agg, posexplode
 # ---------------------------------------------------------------------------

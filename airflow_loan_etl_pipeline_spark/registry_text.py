@@ -609,6 +609,29 @@ def embeddings_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+_MIX_RATES = {"en": 80, "zh": 40, "es": 40, "de": 25, "fr": 25}
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))} ELSE 0 END
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-language keep rates via content-addressed
+    md5 bucketing — the same document makes the same cut on any engine,
+    any partitioning, any rerun (unlike seeded RNG sampling). Pure
+    scan-local filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return X.corpus_mix_sample(docs, _MIX_RATES)
+
+
 @query(
     "docs_bpe_token_estimate",
     oracle=f"""

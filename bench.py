@@ -116,9 +116,17 @@ def streaming_e2e(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    # Warm the JVM/IO and the Python UDF workers once so per-query
-    # numbers measure the plan, not process startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM, the Python UDF workers, and the PAGE CACHE for every
+    # fixture table so per-query numbers measure the plan, not process
+    # startup or first-touch disk reads (cold-cache first touch of a
+    # table was measured at ~3x its warm cost, swamping round-to-round
+    # comparisons).
+    from airflow_loan_etl_pipeline_spark.catalog import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        # load_table, not raw spark.read: events is TIMESTAMP(NANOS)
+        # and needs the catalog's nanos handling.
+        load_table(spark, sf_dir, t).count()
     spark.range(256).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()

@@ -79,3 +79,60 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
 def test_anti_join_ledger_broadcasts(spark, sf_dir):
     plan = _plan(registry.QUERIES["customers_without_orders"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gapfill_broadcast_hint_honored(spark, sf_dir):
+    """VERDICT r1 item 2: the hint must sit on the BUILD (right) side of
+    the left-outer join — a left-side hint is silently dropped and the
+    join degrades to a shuffle."""
+    plan = _plan(registry.QUERIES["events_gapfill_10min"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """VERDICT r1 item 3: centroid assignment must not shuffle the
+    corpus — no Window, no shuffle exchange anywhere in the IVF plan
+    (the only exchanges allowed are broadcasts of the tiny centroid/
+    probe sides and the final TakeOrdered singlePartition gather)."""
+    plan = _plan(registry.QUERIES["embeddings_ivf_topk"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side predicate
+    should inject a bloom filter (or DPP subquery) into the fact scan
+    side so non-matching fact rows die before the shuffle — the 100 TB
+    difference between shuffling 2% and 100% of lineitem."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # Injection requires the application (fact) side to scan more than
+    # this threshold — default 10GB, far above any test fixture. At
+    # production scale the default is the right guard; here we lower it
+    # to observe the rewrite itself.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    # Force the non-broadcast path: bloom filters only apply when the
+    # join is shuffle-based (broadcast joins already prune at probe).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )

@@ -113,3 +113,50 @@ def test_settle_age_gate(spark, tmp_path):
     _write_csv(f"{land}/other.csv", ["L9,9.0"])
     got = settled_files(spark, land, prefix="loan_", min_age_seconds=0, now=now)
     assert [r["file_id"] for r in got.collect()] == ["loan_new.csv"]
+
+
+def test_streaming_cdc_upsert_sink(spark, tmp_path):
+    """ST6 + merge: foreachBatch drives merge_upsert, turning a CDC
+    file stream into an incrementally-maintained parquet table —
+    exactly-once per batch via the checkpoint, last-writer-wins on the
+    key within the table. The composition a 100 TB ingest pipeline
+    runs continuously (stream in, upsert out), on plain parquet."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+
+    land = str(tmp_path / "cdc_in")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    target = str(tmp_path / "cdc_tbl")
+    os.makedirs(land)
+
+    def run_available(spark):
+        stream = (
+            spark.readStream.schema("k int, v string")
+            .option("header", True)
+            .csv(land)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, eid: merge_upsert(spark, target, df, ["k"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with open(os.path.join(land, "b1.csv"), "w") as f:
+        f.write("k,v\n1,a\n2,b\n")
+    run_available(spark)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second batch: update key 2, insert key 3; checkpoint replays only
+    # the NEW file (exactly-once over the stream)
+    with open(os.path.join(land, "b2.csv"), "w") as f:
+        f.write("k,v\n2,B\n3,c\n")
+    run_available(spark)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
