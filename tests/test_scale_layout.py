@@ -215,6 +215,49 @@ def test_merge_upsert_unpartitioned_roundtrip(spark, sf_dir, tmp_path):
     assert after.filter(F.col("c_acctbal") == -1.0).count() == 3
 
 
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: after clustering lineitem on
+    z(l_orderkey, l_partkey), a selective l_partkey predicate touches a
+    FRACTION of the files; under an l_orderkey-sorted layout the same
+    predicate scatters across (nearly) all files. File-level locality is
+    what parquet min/max pruning exploits at scale."""
+    from airflow_loan_etl_pipeline_spark.sources.io import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_files = 16
+
+    plain = str(tmp_path / "plain")
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    zpath = str(tmp_path / "zord")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey", n_files=n_files)
+
+    # identical contents either way
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    pred = F.col("l_partkey").between(100, 119)  # ~1/10 of the domain
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    plain_files = files_touched(plain)
+    z_files = files_touched(zpath)
+    # orderkey-sorted layout scatters the partkey band everywhere;
+    # z-order confines it (sqrt-ish: ~4 of 16 files for a 1/40 band)
+    assert plain_files >= n_files - 2
+    assert z_files <= n_files // 2
+
+
 def test_object_store_uri_scheme_roundtrip(spark, tmp_path):
     """K5: readers/writers take any Hadoop-FS URI. No object store runs
     in this container, so the non-default `file://` scheme stands in for
