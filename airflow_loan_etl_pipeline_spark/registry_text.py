@@ -609,6 +609,93 @@ def embeddings_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "lsh_candidate_recall",
+    # Candidate-set quality of MinHash-LSH banding measured against the
+    # exact n-gram-Jaccard ground truth at threshold 0.5 — both sides'
+    # registered oracles reused as CTEs so the metric definition cannot
+    # drift from the operators it measures.
+    oracle=None,  # assembled below after both parent oracles exist
+)
+def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality measurement: of the truly-similar pairs (exact
+    Jaccard ≥ 0.5), how many does LSH banding surface as candidates?
+    The recall/cost dial every production dedup pipeline monitors —
+    banding parameters (bands × rows) trade this number against the
+    candidate-join volume. One small join of two pair sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_pairs(docs)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+    )
+
+
+from airflow_loan_etl_pipeline_spark.registry import ORACLE as _OR  # noqa: E402
+
+_OR["lsh_candidate_recall"] = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+    ),
+    cand AS ({_OR["minhash_lsh_pairs"]}),
+    hit AS (SELECT t.doc_a FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0 /
+                 (SELECT count(*) FROM truth), 4) AS recall
+"""
+
+
+@query(
+    "dedup_incremental_candidates",
+    oracle="""
+    WITH existing AS (SELECT * FROM documents WHERE source <> 'src0'),
+    fresh AS (SELECT * FROM documents WHERE source = 'src0'),
+    exact_dup AS (
+        SELECT f.doc_id
+        FROM fresh f JOIN existing e ON md5(f.text) = md5(e.text)
+    )
+    SELECT f.doc_id, f.lang,
+           CASE WHEN f.doc_id IN (SELECT doc_id FROM exact_dup)
+                THEN 'duplicate' ELSE 'new' END AS admission
+    FROM fresh f
+    """,
+)
+def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE dedup admission path: incoming documents (one source)
+    checked against the standing corpus (all other sources) by content
+    fingerprint — the semi-join every incremental ingest runs before
+    admitting a batch. Shuffles 16-byte fingerprints, never text; at
+    100 TB the existing-side fingerprints live pre-bucketed on disk so
+    only the new batch shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("source") != "src0")
+    fresh = docs.filter(F.col("source") == "src0")
+    dup_ids = (
+        fresh.select("doc_id", F.md5("text").alias("fp"))
+        .join(
+            existing.select(F.md5("text").alias("fp")).distinct(),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    return fresh.select("doc_id", "lang").join(
+        dup_ids.withColumn("admission", F.lit("duplicate")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce("admission", F.lit("new")).alias("admission"),
+    )
+
+
 _MIX_RATES = {"en": 80, "zh": 40, "es": 40, "de": 25, "fr": 25}
 
 
