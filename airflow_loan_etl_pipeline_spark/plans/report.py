@@ -59,3 +59,31 @@ def render_html_report(
         + "<h2>Top segments</h2>" + table(top_segments)
         + "</body></html>"
     )
+
+
+def send_html_report(
+    html: str,
+    subject: str,
+    sender: str,
+    recipients: list[str],
+    host: str = "localhost",
+    port: int = 25,
+    timeout: float = 30.0,
+) -> None:
+    """K7 delivery: send the rendered report over SMTP — the reference's
+    ``_send_summary_email`` (drive_auto_compress_email.py:510-514, MIME
+    build :494-508), minus Airflow. Plain MIME + ``smtplib``; failures
+    RAISE (the reference logs-and-swallows :516-517 — an invisible
+    report loss; callers that want that behavior can catch). Driver-side
+    by design: delivery is a report edge, never executor work."""
+    import smtplib
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    msg = MIMEMultipart("alternative")
+    msg["Subject"] = subject
+    msg["From"] = sender
+    msg["To"] = ", ".join(recipients)
+    msg.attach(MIMEText(html, "html"))
+    with smtplib.SMTP(host, port, timeout=timeout) as smtp:
+        smtp.sendmail(sender, recipients, msg.as_string())

@@ -172,3 +172,53 @@ def test_read_csv_dir_quarantines_corrupt_rows(spark, tmp_path):
     assert rows["L2"]["_corrupt_record"] == "L2,not_a_number"
     assert rows["L3"]["amount"] == 7.25
     df.unpersist()
+
+
+def test_send_html_report_over_loopback_smtp():
+    """K7 delivery: real SMTP send against an in-process loopback
+    server (reference sends via smtplib the same way,
+    drive_auto_compress_email.py:510-514). Asserts the MIME envelope
+    and the HTML body arrive intact."""
+    import asyncore
+    import threading
+    import time as _time
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import smtpd
+
+    from airflow_loan_etl_pipeline_spark.plans.report import send_html_report
+
+    received = []
+
+    class Sink(smtpd.SMTPServer):
+        def process_message(self, peer, mailfrom, rcpttos, data, **kwargs):
+            received.append((mailfrom, list(rcpttos), data))
+
+    srv = Sink(("127.0.0.1", 0), None)
+    port = srv.socket.getsockname()[1]
+    t = threading.Thread(
+        target=asyncore.loop, kwargs={"timeout": 0.1}, daemon=True
+    )
+    t.start()
+    try:
+        html = render_html_report(
+            [{"file": "loan_a.csv", "ratio": 0.4}], [{"seg": "N", "n": 3}]
+        )
+        send_html_report(
+            html, "loan ETL summary", "etl@example.com",
+            ["ops@example.com"], host="127.0.0.1", port=port,
+        )
+        deadline = _time.time() + 10
+        while not received and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert received, "SMTP sink never received the message"
+        mailfrom, rcpttos, data = received[0]
+        assert mailfrom == "etl@example.com"
+        assert rcpttos == ["ops@example.com"]
+        body = data.decode("utf-8", errors="replace")
+        assert "loan ETL summary" in body
+        assert "loan_a.csv" in body
+    finally:
+        srv.close()
