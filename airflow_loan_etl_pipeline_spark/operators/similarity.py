@@ -228,6 +228,70 @@ def ivf_topk(
     )
 
 
+def assign_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cid): each vector's nearest seed centroid (the
+    ``n_centroids`` lowest-id vectors), computed map-side — the same
+    broadcast-array ``array_max`` argmax as :func:`ivf_topk`, zero
+    shuffles of the corpus."""
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
+    )
+    scores = (
+        "transform(cents, c -> named_struct("
+        f"'ccos', {cosine_expr('v', 'c.cv')}, "
+        "'negcid', -c.cid, 'cid', c.cid))"
+    )
+    return (
+        base.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", F.expr(f"array_max({scores})"))
+        .select(id_col, "v", F.col("best.cid").alias("cid"))
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest seed
+    centroid (map-side argmax), then recompute each cluster's centroid
+    as the element-wise mean of its members — the k-means build step an
+    IVF index runs a handful of times before freezing its lists.
+
+    Scale shape: assignment is shuffle-free; the mean is ONE hash
+    aggregate keyed by (cid, dim_pos) over posexploded components with
+    map-side partial sums — dims × centroids output rows regardless of
+    corpus size — then a tiny regroup to rebuild the arrays in position
+    order. Means are rounded (6 dp) at the edge: cross-engine summation
+    order differs in the last ulp; the rounding absorbs it.
+    """
+    assigned = assign_centroids(df, n_centroids, id_col, vec_col)
+    per_dim = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    rebuilt = per_dim.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+        ).alias("centroid")
+    )
+    return rebuilt.join(sizes, "cid").select("cid", "n_members", "centroid")
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -83,6 +83,10 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle asserts. Projection pushes only
     (user_id, value) through the stream, skipping the NANOS ts column.
     """
+    from airflow_loan_etl_pipeline_spark.streaming import (
+        stream_state_partitions,
+    )
+
     name = f"rt_oracle_{next(_MEM_NAMES)}"
     # The file source lists a DIRECTORY; events.parquet is one file, so
     # stream the sf_dir with a glob filter selecting just that file.
@@ -91,16 +95,17 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        running_user_totals(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="rt_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark, 8):
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="rt_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
@@ -124,6 +129,10 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow round-trip to Python (~10x faster for this shape); reserve
     the Pandas state path for state machines built-ins can't express.
     """
+    from airflow_loan_etl_pipeline_spark.streaming import (
+        stream_state_partitions,
+    )
+
     name = f"st_native_{next(_MEM_NAMES)}"
     stream = (
         spark.readStream.schema("user_id bigint, value double")
@@ -134,15 +143,19 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="st_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # 8 state partitions: stateful ops disable AQE, so shuffle.partitions
+    # becomes the state-store partition count — fixed cost per trigger
+    # (measured ~2x wall going 32 -> 8 locally). Frozen per-checkpoint.
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="st_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 

@@ -394,3 +394,88 @@ def orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the aggregation buffer, not the shuffle."""
     register_views(spark, sf_dir)
     return spark.sql(_WINDOW_FRAME_Q)
+
+
+@query(
+    "orders_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS m
+        FROM orders
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_month,
+           CAST(date_diff('month', f.cohort, a.m) AS INT) AS months_since,
+           count(DISTINCT a.o_custkey) AS active_customers
+    FROM activity a JOIN firsts f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, then
+    counted per months-elapsed — the product-analytics staple. Two
+    aggregates over the same scan (first-order month, distinct active
+    months) joined on the customer key; output cardinality is
+    months², independent of fact size. months_between on month
+    truncations is integral, so the cross-engine cast is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    activity = orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    return (
+        activity.join(firsts, "o_custkey")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            F.months_between("m", "cohort").cast("int").alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+@query(
+    "events_user_value_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           round((e.value - s.mu) / s.sigma, 2) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 30 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flagging — the monitoring query every
+    metrics pipeline runs. Per-user moments are ONE hash aggregate
+    (map-side partial); the fact table is then re-scanned once and
+    joined to the tiny stats side (broadcast at any realistic user
+    count). The z-score itself is rounded to 2 dp well away from
+    cross-engine ulp drift; the >3 sigma cut uses the raw value on
+    both engines identically."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 30) & (F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select("user_id", "event_id", F.round(z, 2).alias("zscore"))
+    )

@@ -588,6 +588,42 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmeans_refine_step",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    scored AS (SELECT b.vec_id, b.v, c.cid,
+                      {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
+               FROM base b, cents c),
+    assigned AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cid ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    ),
+    perdim AS (SELECT cid,
+                      unnest(generate_series(1, len(v))) AS pos,
+                      unnest(v) AS x
+               FROM assigned),
+    means AS (SELECT cid, pos, round(avg(x), 6) AS m
+              FROM perdim GROUP BY cid, pos),
+    sizes AS (SELECT cid, count(*) AS n_members FROM assigned GROUP BY cid)
+    SELECT m.cid, s.n_members, list(m.m ORDER BY m.pos) AS centroid
+    FROM means m JOIN sizes s USING (cid)
+    GROUP BY m.cid, s.n_members
+    """,
+)
+def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embedding corpus: map-side nearest-
+    centroid assignment (zero corpus shuffles) + element-wise mean per
+    cluster — the IVF/k-means build primitive, run a handful of times
+    before freezing inverted lists."""
+    return S.kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
     "embeddings_quantized_int8",
     oracle="""
     WITH base AS (SELECT vec_id,

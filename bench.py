@@ -85,6 +85,10 @@ def streaming_e2e(spark, sf_dir: str) -> dict:
         ev = load_table(spark, sf_dir, "events").select("user_id", "value")
         ev.repartition(8).write.mode("overwrite").option("header", True).csv(land)
 
+        from airflow_loan_etl_pipeline_spark.streaming import (
+            stream_state_partitions,
+        )
+
         def run_once() -> float:
             stream = (
                 spark.readStream.schema("user_id bigint, value double")
@@ -95,14 +99,15 @@ def streaming_e2e(spark, sf_dir: str) -> dict:
                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
             )
             t0 = time.perf_counter()
-            q = (
-                agg.writeStream.outputMode("update")
-                .foreachBatch(lambda df, eid: df.count())
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
+            with stream_state_partitions(spark, 8):
+                q = (
+                    agg.writeStream.outputMode("update")
+                    .foreachBatch(lambda df, eid: df.count())
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
             return time.perf_counter() - t0
 
         cold = run_once()
