@@ -50,3 +50,60 @@ def test_top_terms_counts_and_order(spark):
     rows = top_terms(docs, k=2).collect()
     assert rows[0].term == "a" and rows[0].total_count == 3 and rows[0].doc_freq == 2
     assert rows[1].term == "b"  # tie b/c broken by term asc
+
+
+def test_quantize_int8_error_bound(spark):
+    """Property: dequantized error is bounded by half a quantization
+    step (scale/254 per component) for every vector in a seeded random
+    batch — the guarantee that makes int8 storage usable for ANN."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).tolist()) for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for i, v in vecs:
+        scale, q = out[i].scale, out[i].q
+        step = scale / 127.0
+        for x, qi in zip(v, q):
+            assert abs(x - qi * step) <= step / 2 + 1e-9
+
+
+def test_corpus_mix_sample_is_deterministic_and_subset(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        corpus_mix_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "fr") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r.doc_id for r in corpus_mix_sample(docs, {"en": 50}).collect()}
+    # repartitioning must not change membership (content-addressed)
+    b = {
+        r.doc_id
+        for r in corpus_mix_sample(docs.repartition(13), {"en": 50}).collect()
+    }
+    assert a == b
+    assert all(i % 2 == 1 for i in a)  # fr got default_rate=0
+    # rate ~50% of the 100 en docs, binomial-loose bounds
+    assert 25 <= len(a) <= 75
+    # rate 100 keeps everything in the stratum
+    full = corpus_mix_sample(docs, {"en": 100, "fr": 100}).count()
+    assert full == 200
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    from airflow_loan_etl_pipeline_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "idem")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    merge_upsert(spark, target, base, ["k"])
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    merge_upsert(spark, target, updates, ["k"])
+    once = sorted((r.k, r.v) for r in spark.read.parquet(target).collect())
+    merge_upsert(spark, target, updates, ["k"])  # same batch replayed
+    twice = sorted((r.k, r.v) for r in spark.read.parquet(target).collect())
+    assert once == twice == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
