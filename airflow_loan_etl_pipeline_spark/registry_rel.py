@@ -479,3 +479,65 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 30) & (F.col("sigma") > 0) & (F.abs(z) > 3.0))
         .select("user_id", "event_id", F.round(z, 2).alias("zscore"))
     )
+
+
+@query(
+    "orders_expectations",
+    oracle="""
+    SELECT r.rule,
+           CASE r.rule
+             WHEN 'totalprice_positive' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_totalprice > 0, FALSE))
+             WHEN 'status_known' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))
+             WHEN 'custkey_present' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_custkey IS NOT NULL, FALSE))
+             WHEN 'orderdate_in_range' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+                      AND o_orderdate < TIMESTAMP '2000-01-01', FALSE))
+           END AS n_violations,
+           (SELECT count(*) FROM orders) AS n_rows,
+           CASE r.rule
+             WHEN 'totalprice_positive' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_totalprice > 0, FALSE)) = 0
+             WHEN 'status_known' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) = 0
+             WHEN 'custkey_present' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_custkey IS NOT NULL, FALSE)) = 0
+             WHEN 'orderdate_in_range' THEN
+               (SELECT count(*) FROM orders
+                WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+                      AND o_orderdate < TIMESTAMP '2000-01-01', FALSE)) = 0
+           END AS passed
+    FROM (SELECT unnest(['totalprice_positive', 'status_known',
+                         'custkey_present', 'orderdate_in_range']) AS rule) r
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over orders — the reference's declared
+    roadmap item (README.md:222) engine-side: every rule counted in ONE
+    scan via conditional sums (no shuffle of data rows), NULL-as-
+    violation semantics on both engines."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        check_expectations,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("custkey_present", F.col("o_custkey").isNotNull()),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+        ),
+    ]
+    return check_expectations(o, rules)
