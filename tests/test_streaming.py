@@ -160,3 +160,60 @@ def test_streaming_cdc_upsert_sink(spark, tmp_path):
     run_available(spark)
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_sla_monitoring_batch_and_streaming(spark, tmp_path):
+    """Reference roadmap "Enhance alerts": batch sla_timer fires breach
+    handlers and re-raises failures; QuerySLAListener watches every
+    micro-batch trigger on the session event bus."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from airflow_loan_etl_pipeline_spark.streaming.monitor import (
+        QuerySLAListener,
+        sla_timer,
+    )
+
+    # --- batch: breach fires, result stands
+    breaches = []
+    with sla_timer("slow_job", 0.0, on_breach=lambda n, s: breaches.append((n, s))):
+        _time.sleep(0.01)
+    assert breaches and breaches[0][0] == "slow_job"
+
+    # --- batch: failure handler fires AND the exception propagates
+    fails = []
+    with pytest.raises(ValueError):
+        with sla_timer("bad_job", 10, on_failure=lambda n, e: fails.append(n)):
+            raise ValueError("boom")
+    assert fails == ["bad_job"]
+
+    # --- streaming: per-trigger watchdog (sla=0 -> every trigger breaches)
+    listener = QuerySLAListener(0.0)
+    spark.streams.addListener(listener)
+    try:
+        land = str(tmp_path / "sla_in")
+        os.makedirs(land)
+        with open(os.path.join(land, "a.csv"), "w") as f:
+            f.write("k,v\n1,a\n")
+        q = (
+            spark.readStream.schema("k int, v string")
+            .option("header", True)
+            .csv(land)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: df.count())
+            .option("checkpointLocation", str(tmp_path / "sla_ckpt"))
+            .queryName("sla_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        deadline = _time.time() + 15
+        while not listener.breaches and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert listener.events, "listener saw no trigger progress"
+        assert listener.breaches and listener.breaches[0][0] == "sla_probe"
+        assert not listener.failures
+    finally:
+        spark.streams.removeListener(listener)
