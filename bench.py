@@ -150,6 +150,33 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Round-2 additions timed SEPARATELY so the headline total stays
+    # comparable to the recorded baseline suite.
+    extra = {}
+    for name in (
+        "ngram_jaccard_pairs_capped",
+        "minhash_lsh_pairs_capped",
+        "simhash_pairs_capped",
+        "docs_tfidf_top_terms",
+        "kmeans_refine_step",
+        "embeddings_quantized_int8",
+        "corpus_mix_sample",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_promotable_suppliers",
+        "orders_retention_cohorts",
+        "events_user_value_anomalies",
+        "orders_expectations",
+    ):
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        extra[name] = round(dt, 3)
+        print(f"# extra {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
     stream_metrics = streaming_e2e(spark, sf_dir)
     print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)
 
@@ -163,6 +190,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "streaming_e2e": stream_metrics,
+                "extra_queries": extra,
             }
         )
     )
