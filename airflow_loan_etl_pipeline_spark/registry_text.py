@@ -732,6 +732,53 @@ def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REACH_RECURSION = """
+    ue AS (
+        SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
+    ),
+    reach(src, dst, depth) AS (
+        SELECT src, dst, 1 FROM ue
+        UNION ALL
+        SELECT r.src, e.dst, r.depth + 1
+        FROM reach r JOIN ue e ON r.dst = e.src
+        WHERE r.depth < 3
+    )
+    SELECT src AS doc_id, count(DISTINCT dst) AS n_reachable
+    FROM reach WHERE dst != src
+    GROUP BY src
+"""
+
+
+@query(
+    "dup_reach_3hop",
+    oracle=None,  # assembled below from the registered pairs oracle
+)
+def dup_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop near-dup neighborhoods via Spark 4's native RECURSIVE
+    CTE: per document, how many documents sit within ≤3 undirected hops
+    in the LSH pair graph — the "how contagious is this duplicate"
+    diagnostic. Recursion is UNION ALL with an explicit depth bound
+    (Spark doesn't yet support UNION-distinct recursion, so the bound,
+    not fixpoint dedup, guarantees termination on cyclic graphs); the
+    outer DISTINCT collapses path multiplicity. Same text runs on the
+    DuckDB side over the registered pairs oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    D.minhash_lsh_pairs(docs).createOrReplaceTempView("nd_pairs")
+    return spark.sql(f"WITH RECURSIVE {_REACH_RECURSION}")
+
+
+from airflow_loan_etl_pipeline_spark.registry import ORACLE as _OR2  # noqa: E402
+
+_OR2["dup_reach_3hop"] = (
+    "WITH RECURSIVE nd_pairs AS ("
+    + _OR2["minhash_lsh_pairs"]
+    + "), "
+    + _REACH_RECURSION
+)
+
+
 _MIX_RATES = {"en": 80, "zh": 40, "es": 40, "de": 25, "fr": 25}
 
 
