@@ -336,3 +336,34 @@ def user_value_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = user_value_ewma(ev)
     return out.select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))
+
+
+@query(
+    "events_props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k,
+           max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's native VARIANT type:
+    parse_json once into the binary-encoded open type, typed
+    variant_get extraction, then aggregate — the at-scale JSON path
+    (VARIANT avoids per-expression string re-parsing and is the
+    shredding-ready storage answer; get_json_object re-parses the
+    string for every extraction). Oracle uses DuckDB's JSON extraction
+    over the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.selectExpr(
+        "event_type",
+        "variant_get(parse_json(props), '$.k', 'int') AS k",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
