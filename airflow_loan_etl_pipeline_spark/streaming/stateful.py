@@ -60,6 +60,94 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, "
+    "n_events bigint, total_value double"
+)
+SESSION_STATE_SCHEMA = "start bigint, end bigint, n bigint, total double"
+
+
+def sessionize_with_timeout(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-user sessions closed by EVENT-TIME timeout: a session's
+    summary row is emitted only once no event has arrived for ``gap``
+    of event time — decided by the WATERMARK, not the wall clock, so
+    results are deterministic and replayable (processing-time timeouts
+    depend on when batches happen to run).
+
+    This is the custom-stateful pattern native ``session_window`` can't
+    express once per-session state goes beyond built-in aggregates
+    (quotas, distinct sets, model features): state is (start, end,
+    count, sum) per user; each batch folds its rows in, re-arms the
+    timer at ``last_event + gap``; when the watermark passes the timer,
+    Spark calls the function with ``hasTimedOut`` and the CLOSED
+    session is emitted exactly once (append semantics).
+
+    Timestamps cross the boundary as epoch seconds (bigint) — the
+    contract that avoids engine-local timestamp rendering.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour)s?", gap.strip())
+    if not m:
+        raise ValueError(f"unsupported gap: {gap!r}")
+    unit_s = {"second": 1, "minute": 60, "hour": 3600}[m.group(2)]
+    gap_ms = int(m.group(1)) * unit_s * 1000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start // 1000],
+                    "session_end": [end // 1000],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        start, end, n, total = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            start = lo if start is None else min(start, lo)
+            end = hi if end is None else max(end, hi)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        if start is None:
+            return
+        state.update((start, end, n, total))
+        # Arm the event-time timer; it must sit beyond the current
+        # watermark (Spark rejects timers already in the past).
+        state.setTimeoutTimestamp(
+            max(end + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def foreach_batch_archive(
     out_dir: str, summaries: list[dict] | None = None
 ):

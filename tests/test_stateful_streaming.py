@@ -237,3 +237,61 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert (1, 1.0) in [
         (r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 2
     ]
+
+
+def test_event_time_timeout_sessions_close_deterministically(spark, tmp_path):
+    """Sessions close when the WATERMARK passes last_event + gap —
+    event-time-driven, so the three-run sequence below is fully
+    deterministic: run1 opens user 1's session; run2's 10:30 event
+    advances the watermark past the 10:00:30 + 5min timer; run3 gives
+    Spark the batch in which the fired timeout emits the closed
+    session."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    land = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(land)
+    closed: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id bigint, value double")
+            .option("header", True)
+            .csv(land)
+        )
+        q = (
+            sessionize_with_timeout(stream, gap="5 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: closed.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with open(os.path.join(land, "b1.csv"), "w") as f:
+        f.write(
+            "ts,user_id,value\n"
+            "2024-01-01 10:00:00,1,1.0\n"
+            "2024-01-01 10:00:30,1,2.0\n"
+        )
+    run_once()
+    assert closed == []  # session open, nothing emitted yet
+
+    with open(os.path.join(land, "b2.csv"), "w") as f:
+        f.write("ts,user_id,value\n2024-01-01 10:30:00,2,5.0\n")
+    run_once()  # watermark advances to 10:30 at END of this batch
+
+    with open(os.path.join(land, "b3.csv"), "w") as f:
+        f.write("ts,user_id,value\n2024-01-01 11:00:00,2,1.0\n")
+    run_once()  # timer fired: user 1's closed session emitted
+
+    sessions = {r.user_id: r for r in closed}
+    assert 1 in sessions, f"user 1 session never closed: {closed}"
+    s = sessions[1]
+    assert s.n_events == 2 and s.total_value == 3.0
+    assert s.session_end - s.session_start == 30
