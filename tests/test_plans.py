@@ -136,3 +136,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_q21_self_joins_do_not_broadcast_fact(spark, sf_dir):
+    """The SHUFFLE_MERGE hints on q21's two lineitem self-joins must
+    hold: under the 64 MB broadcast threshold Catalyst would broadcast
+    the whole fact table as a build side — 3x slower at sf0.1 and an
+    OOM at cluster scale (the build side grows with the data)."""
+    import airflow_loan_etl_pipeline_spark.registry_sql  # noqa: F401
+
+    plan = _plan(registry.QUERIES["q21_last_shipper"](spark, sf_dir))
+    assert "SortMergeJoin" in plan

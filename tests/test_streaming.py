@@ -217,3 +217,55 @@ def test_sla_monitoring_batch_and_streaming(spark, tmp_path):
         assert not listener.failures
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned: an event arriving AFTER the watermark
+    has passed its window is DROPPED from the streaming aggregation —
+    the bounded-state contract (without it every window stays open
+    forever; at 100 TB of history that's an OOM, not a feature)."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.streaming.windows import tumbling
+
+    land = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(land)
+    finalized: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id bigint, value double")
+            .option("header", True)
+            .csv(land)
+        )
+        agg = tumbling(stream, duration="10 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: finalized.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with open(os.path.join(land, "b1.csv"), "w") as f:
+        f.write("ts,user_id,value\n2024-01-01 10:05:00,1,1.0\n")
+    run_once()  # watermark -> 09:55
+
+    with open(os.path.join(land, "b2.csv"), "w") as f:
+        f.write(
+            "ts,user_id,value\n"
+            "2024-01-01 11:00:00,1,4.0\n"   # advances watermark to 10:50
+            "2024-01-01 09:30:00,1,100.0\n" # LATE: 09:30 < 09:55 watermark
+        )
+    run_once()
+
+    with open(os.path.join(land, "b3.csv"), "w") as f:
+        f.write("ts,user_id,value\n2024-01-01 12:00:00,1,1.0\n")
+    run_once()  # watermark 11:50 finalizes the 10:00 and 11:00 windows
+
+    by_start = {r.w.start.strftime("%H:%M"): r for r in finalized}
+    assert "10:00" in by_start
+    assert by_start["10:00"].total_value == 1.0  # late 100.0 was dropped
+    assert "09:30" not in by_start and "09:00" not in by_start
