@@ -67,3 +67,46 @@ def test_empty_dir_yields_empty_frame(spark, tmp_path):
         spark.read.format("file_listing").option("path", str(d)).load()
     )
     assert df.count() == 0
+
+
+def test_streaming_listing_exactly_once(spark, tmp_path):
+    """The connector as a STREAMING source: the checkpoint's offset log
+    is the processed-file ledger — file 1 is served once in run 1 and
+    never again; run 2 serves only the newly-landed file."""
+    import os as _os
+    import time as _time
+
+    _register(spark)
+    d = tmp_path / "stream_landing"
+    d.mkdir()
+    ckpt = str(tmp_path / "ls_ckpt")
+    got: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("file_listing")
+            .option("path", str(d))
+            .option("prefix", "loan_")
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    f1 = d / "loan_a.csv"
+    f1.write_text("id\n1\n")
+    _os.utime(f1, (1000.0, 1000.0))
+    run_once()
+    assert [r.name for r in got] == ["loan_a.csv"]
+
+    f2 = d / "loan_b.csv"
+    f2.write_text("id\n2\n")
+    _os.utime(f2, (2000.0, 2000.0))
+    run_once()
+    assert sorted(r.name for r in got) == ["loan_a.csv", "loan_b.csv"]
+    assert len(got) == 2  # exactly once: loan_a not re-served
