@@ -409,6 +409,49 @@ def simhash_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, how many
+    of its distinct word ``n``-grams also appear in a held-out benchmark
+    corpus. Training sets ship only after documents overlapping the eval
+    suites are flagged/dropped — the standard n-gram-overlap
+    decontamination (GPT-3 appendix C / PaLM style, done here at n=3 to
+    suit the tiny fixture docs; production uses n=8–13).
+
+    Output: (doc_id, n_sh, n_overlap, overlap_frac) for CONTAMINATED
+    training docs only (n_overlap > 0).
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct benchmark-shingle set is **broadcast** — the training
+    corpus is never shuffled; the whole check is one scan-local
+    hash-join probe per training shingle plus a ~1-row/doc
+    map-side-combinable count aggregate keyed on doc_id.
+    """
+    tr = shingle_rows(train, id_col, text_col, n)
+    tr = tr.select(id_col, "n_sh", F.expr(HASH60.format(x="s_str")).alias("s"))
+    ev = (
+        shingle_rows(benchmark, id_col, text_col, n, repartition=False)
+        .select(F.expr(HASH60.format(x="s_str")).alias("s"))
+        .distinct()
+    )
+    hits = tr.join(F.broadcast(ev), "s")
+    return (
+        hits.groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            id_col,
+            "n_sh",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_sh"), 4).alias("overlap_frac"),
+        )
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -236,3 +236,167 @@ def bpe_token_estimate(
         ).alias("n_pretokens"),
         F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).alias("est_bpe_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText filter
+    family): fraction of duplicated tokens and of duplicated word
+    n-grams. Heavily self-repeating documents (boilerplate, listings,
+    SEO spam) are dropped from LLM corpora before any cross-document
+    dedup runs.
+
+    ``dup_ngram_frac = 1 - distinct_ngrams / ngram_positions`` — 0 for a
+    text that never repeats an n-gram, → 1 as the doc degenerates into a
+    loop. Docs shorter than ``n`` tokens are excluded (no n-gram
+    positions to score).
+
+    Scale shape: the distinct-n-gram count rides :func:`dedup.shingle_rows`
+    (Arrow-batched, already the corpus shingling primitive), collapsed
+    to ~1 row/doc by a map-side-combinable max; token counts are a pure
+    projection; the final equi-join keys on doc_id. No pass touches the
+    corpus more than once.
+    """
+    from airflow_loan_etl_pipeline_spark.operators.dedup import shingle_rows
+
+    t = tokens(text_col)
+    tok_stats = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+    ).filter(F.col("n_tokens") >= n)
+    # shingle_rows emits one row per DISTINCT shingle with the per-doc
+    # count attached; max() collapses back to one row per doc.
+    distinct_ngrams = (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.max("n_sh").alias("n_distinct_ngrams"))
+    )
+    out = tok_stats.join(distinct_ngrams, id_col)
+    positions = F.col("n_tokens") - F.lit(n - 1)
+    return out.select(
+        id_col,
+        "n_tokens",
+        positions.alias("ngram_positions"),
+        "n_distinct_ngrams",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_tokens") / F.col("n_tokens"), 4
+        ).alias("dup_token_frac"),
+        F.round(F.lit(1.0) - F.col("n_distinct_ngrams") / positions, 4).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    bin_tokens: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence-packing plan: concatenate documents in
+    id order and cut every ``bin_tokens`` tokens — the packing step that
+    turns a filtered corpus into fixed-length training sequences.
+
+    A document lands in the bin where the running token total stood
+    when it arrived (``floor(cumsum_before / bin_tokens)``): greedy
+    concatenation with documents spanning bin boundaries, which is how
+    production packers behave (split-and-carry), summarized at doc
+    granularity by the bin each doc STARTS in.
+
+    Scale shape: the running sum partitions by ``part_col`` (corpus
+    shard / source), so no global single-partition window exists — each
+    source packs independently, exactly how a sharded packer runs, and
+    the window input is one int per doc, not the text. Output is one
+    row per (source, bin): doc count + token fill.
+    """
+    from pyspark.sql import Window
+
+    sized = df.select(
+        F.col(part_col), F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / bin_tokens),
+    )
+    return binned.groupBy(part_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_in_bin"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    each document explodes into chunks of ``window`` tokens every
+    ``stride`` tokens, final partial chunk included.
+
+    Output carries the chunk fingerprint (md5) instead of the chunk
+    text — at 100 TB the downstream chunk-level dedup/indexing keys on
+    the fingerprint, and the full text re-materializes only for chunks
+    that survive.
+
+    Scale shape: pure map-side explode (fan-out ≈ n_tokens/stride per
+    doc), zero shuffles; the per-chunk slice/concat runs on the already
+    tokenized array.
+    """
+    t = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)), F.lit(stride)
+    )
+    ex = df.select(
+        F.col(id_col), t.alias("_toks"), F.posexplode(starts)
+    ).withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_start")
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start"), window)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+# Conservative, engine-portable PII patterns (same semantics under
+# Java regex and RE2/DuckDB): emails, international-ish phone numbers,
+# 16-digit card numbers. A production scrubber swaps in a vetted
+# library behind the same column contract; these give the operator its
+# real shape (N patterns, ordered replace, per-doc hit counts).
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("card", r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"),
+    ("phone", r"\+[0-9]{1,3}[- ][0-9]{3,14}"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for corpus release: replace emails / card numbers /
+    phone numbers with ``<TYPE>`` tokens and count hits per category.
+
+    Patterns apply in fixed order (card before phone: a hyphenated card
+    number contains phone-shaped substrings). Pure codegen projection —
+    ``regexp_replace``/``regexp_count`` are JVM-side, no UDF, no
+    shuffle; at 100 TB this runs at scan speed.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, out.alias("clean_text"))

@@ -66,3 +66,57 @@ def user_value_ewma(
         .repartition(sc.defaultParallelism, key)
         .mapInPandas(op, schema=f"{key} bigint, n_events bigint, ewma double")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest time each step
+    completes GIVEN the previous step already had (strictly later
+    timestamp), reduced to per-step user counts + conversion rates.
+
+    Implemented as one conditional aggregation per step: stage k's
+    candidate events filter on ``ts > stage_{k-1}_ts``, so each stage is
+    a groupBy(user) min over the (already user-partitioned) events — the
+    stage-k join keys on ``key`` and reuses the same hash partitioning,
+    AQE collapsing the tiny per-user stage frames. The fact table is
+    scanned once per step but only (key, ts) columns survive the scan.
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.select(key, ts_col, type_col)
+    stage = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    reached = [stage]
+    for i, step in enumerate(steps[1:], start=1):
+        prev = reached[-1]
+        nxt = (
+            ev.filter(F.col(type_col) == step)
+            .join(prev, key)
+            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .groupBy(key)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        reached.append(nxt)
+
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(f"n_{i}")) for i, df in enumerate(reached)
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    cols = [F.col(f"n_{i}").alias(f"users_{s}") for i, s in enumerate(steps)]
+    rates = [
+        F.round(F.col(f"n_{i}") / F.col(f"n_{i-1}"), 4).alias(
+            f"rate_{steps[i]}"
+        )
+        for i in range(1, len(steps))
+    ]
+    return row.select(*cols, *rates)

@@ -590,3 +590,32 @@ def events_gapfill_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS users_view,
+           (SELECT count(*) FROM c) AS users_click,
+           (SELECT count(*) FROM p) AS users_purchase,
+           round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4)
+               AS rate_click,
+           round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
+               AS rate_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel: per-step user
+    counts + step-to-step conversion rates (strictly-increasing
+    timestamps between steps)."""
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))

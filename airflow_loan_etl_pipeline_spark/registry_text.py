@@ -816,3 +816,136 @@ def docs_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + chars/4 estimate, the corpus-cost projection for training
     budgets."""
     return X.bpe_token_estimate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep additions: repetition filter, decontamination, packing,
+# chunking, PII scrub (round 2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "docs_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len({_TOKS}) - 2 AS ngram_positions,
+           len({_SHINGLES_DUCK}) AS n_distinct_ngrams,
+           round(1.0 - len(list_distinct({_TOKS})) / len({_TOKS}), 4)
+               AS dup_token_frac,
+           round(1.0 - len({_SHINGLES_DUCK}) / (len({_TOKS}) - 2), 4)
+               AS dup_ngram_frac
+    FROM documents
+    WHERE len({_TOKS}) >= 3
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter inputs: duplicated
+    token / duplicated 3-gram fractions per doc."""
+    return X.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0),
+    tr AS (SELECT * FROM ex WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, tr.n_sh, count(*) AS n_overlap,
+           round(count(*) / tr.n_sh, 4) AS overlap_frac
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY 1, 2
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing any 3-gram with the held-out benchmark slice
+    (doc_id % 20 == 0). The benchmark shingle set is broadcast — the
+    training corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.decontaminate(train, bench)
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH sized AS (SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents),
+    binned AS (SELECT source, doc_id, n_tok,
+        cast(floor(coalesce(sum(n_tok) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+            AS bigint) AS bin_id
+        FROM sized)
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS tokens_in_bin,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence-packing plan per corpus source: which
+    512-token training bin each document starts in, summarized per bin."""
+    return X.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 1, 1), 8))
+                      AS chunk_start
+           FROM t)
+    SELECT doc_id,
+           cast((chunk_start - 1) // 8 AS int) AS chunk_idx,
+           cast(chunk_start AS int) AS chunk_start,
+           len(toks[chunk_start:chunk_start + 15]) AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_start:chunk_start + 15], ' '))
+               AS chunk_fp
+    FROM ex
+    """,
+)
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 16, stride 8): map-side
+    explode, chunk fingerprints instead of chunk text."""
+    return X.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    """Chained redaction CTEs generated from the SAME pattern table the
+    Spark operator uses (ordered: each count runs on the previous
+    pattern's redacted text). Built by concatenation, not f-strings —
+    the regexes contain literal braces."""
+    parts = ["WITH s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    prev = "s0"
+    for i, (name, pat) in enumerate(X.PII_PATTERNS, 1):
+        carried = ", ".join("n_" + n for n, _ in X.PII_PATTERNS[: i - 1])
+        carried = (carried + ", ") if carried else ""
+        parts.append(
+            "s{i} AS (SELECT doc_id, {carried}"
+            "len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            "regexp_replace(t, '{pat}', '<{up}>', 'g') AS t FROM {prev})".format(
+                i=i, carried=carried, pat=pat, name=name,
+                up=name.upper(), prev=prev,
+            )
+        )
+        prev = "s" + str(i)
+    names = ", ".join("n_" + n for n, _ in X.PII_PATTERNS)
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT doc_id, "
+        + names
+        + ", t AS clean_text FROM "
+        + prev
+    )
+
+
+@query("docs_pii_scrub", oracle=_pii_oracle())
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / card numbers / phones) with per-category
+    hit counts — pure regexp codegen projection, runs at scan speed."""
+    return X.redact_pii(load_table(spark, sf_dir, "documents"))

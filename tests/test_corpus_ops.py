@@ -1,0 +1,115 @@
+"""Round-2 corpus-prep operators: repetition scoring, decontamination,
+sequence packing, chunking, PII redaction, event funnels. Semantics
+pinned on tiny hand-checkable inputs (the registry oracle covers the
+fixture-scale differential check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.operators import dedup as D
+from airflow_loan_etl_pipeline_spark.operators import text as X
+from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # no repeats at all
+            (2, "x y x y x y x y"),      # 2-token loop
+            (3, "a b"),                  # < n tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].dup_token_frac == 0.0 and rows[1].dup_ngram_frac == 0.0
+    # doc 2: 8 tokens, 2 distinct -> dup_token 0.75; 6 trigram positions,
+    # 2 distinct trigrams ("x y x", "y x y") -> dup_ngram 1 - 2/6
+    assert rows[2].dup_token_frac == 0.75
+    assert rows[2].dup_ngram_frac == round(1 - 2 / 6, 4)
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "completely unrelated training text here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox questions")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in D.decontaminate(train, bench).collect()}
+    # doc 1 shares exactly the "quick brown fox" trigram; doc 2 is clean.
+    assert set(out) == {1}
+    assert out[1].n_overlap == 1
+    assert out[1].n_sh == 4
+    assert out[1].overlap_frac == 0.25
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    # 3 docs of 300 tokens each in one source: cumsum-before = 0/300/600
+    # -> bins 0, 0, 1 with bin_tokens=512.
+    docs = spark.createDataFrame(
+        [(i, "s1", " ".join(["w"] * 300)) for i in range(3)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.bin_id: r
+        for r in X.pack_sequences(docs, bin_tokens=512).collect()
+    }
+    assert out[0].n_docs == 2 and out[0].tokens_in_bin == 600
+    assert out[0].first_doc == 0 and out[0].last_doc == 1
+    assert out[1].n_docs == 1 and out[1].first_doc == 2
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(1, 21))  # 20 tokens
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        X.chunk_documents(docs, window=16, stride=8).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts: 1, 9, 17 -> sizes 16, 12, 4; every token covered.
+    assert [r.chunk_start for r in rows] == [1, 9, 17]
+    assert [r.n_chunk_tokens for r in rows] == [16, 12, 4]
+    assert len({r.chunk_fp for r in rows}) == 3
+
+
+def test_redact_pii_patterns_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.org card 4111-1111-1111-1111 tel +44 2079460000"),
+            (2, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.redact_pii(docs).collect()}
+    r = out[1]
+    assert (r.n_email, r.n_card, r.n_phone) == (1, 1, 1)
+    assert r.clean_text == "mail <EMAIL> card <CARD> tel <PHONE>"
+    assert out[2].clean_text == "no pii at all"
+    assert (out[2].n_email, out[2].n_card, out[2].n_phone) == (0, 0, 0)
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (click must
+    # not count); u3 views only.
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 09:30:00", "view"),
+        (3, "2024-01-01 11:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    r = funnel(ev).collect()[0]
+    assert (r.users_view, r.users_click, r.users_purchase) == (3, 1, 1)
+    assert r.rate_click == round(1 / 3, 4)
+    assert r.rate_purchase == 1.0
