@@ -49,3 +49,61 @@ def rollup_metrics(df: DataFrame, group_cols: list[str], amount_col: str) -> Dat
 def cube_metrics(df: DataFrame, group_cols: list[str], amount_col: str) -> DataFrame:
     """All grouping-set combinations (§7 phase 2)."""
     return df.cube(*group_cols).agg(*_metrics(amount_col))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 30) -> DataFrame:
+    """Exact frequent-item detection (keys with count > n/k) via the
+    two-phase candidate-then-verify pattern: per-partition Misra-Gries
+    sketches nominate candidates, an exact recount restricted to those
+    candidates verifies them.
+
+    Why not one groupBy? A global ``groupBy(key).count()`` shuffles
+    EVERY distinct key; at 100 TB with a long-tailed key domain the
+    shuffle is dominated by tail keys that can never be heavy. Phase 1
+    reduces each partition to ≤ k candidate keys with zero shuffle
+    (Misra-Gries guarantee: undercount ≤ n_p/(k+1), so any key with
+    global count > n/k survives in at least one partition — the
+    standard averaging argument makes the candidate union a SUPERSET of
+    the true heavy hitters). Phase 2 recounts exactly, but only rows
+    matching the broadcast candidate set survive the scan, so the
+    verify shuffle carries heavy keys only. Output is therefore EXACT
+    and partitioning-independent even though the sketch is not.
+    """
+    import pandas as pd
+
+    key_type = dict(df.dtypes)[key_col]
+
+    def mg(batches):
+        counters: pd.Series = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                # Merge-prune (Agarwal et al.): subtract the (k+1)-th
+                # largest weight from all, keep strictly positive —
+                # preserves the n_p/(k+1) undercount bound.
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({key_col: counters.index})
+
+    cand = (
+        df.select(key_col)
+        .mapInPandas(mg, schema=f"{key_col} {key_type}")
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / k)
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 4).alias("frac"),
+        )
+    )

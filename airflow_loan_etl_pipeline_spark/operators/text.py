@@ -400,3 +400,35 @@ def redact_pii(
         counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), *counts, out.alias("clean_text"))
+
+
+def quota_select(
+    df: DataFrame,
+    per_stratum: int = 50,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-quota corpus selection: the top ``per_stratum`` documents
+    per stratum by quality score — how a curated training mix enforces
+    per-domain budgets ("at most N pages per site / per source") instead
+    of a global threshold that lets one domain dominate.
+
+    Scale shape: the score is a map-side projection; the only shuffle is
+    the per-stratum top-k window, which partitions by the stratum — and
+    ranks (score, id) pairs, not documents: the text never enters the
+    exchange. Ties break on doc_id so the selection is deterministic.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(df, id_col, text_col).select(id_col, "quality_score")
+    strata = df.select(id_col, stratum_col)
+    j = strata.join(scored, id_col)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_stratum)
+        .select(stratum_col, id_col, "quality_score", "rn")
+    )

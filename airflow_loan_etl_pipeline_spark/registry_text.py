@@ -949,3 +949,50 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails / card numbers / phones) with per-category
     hit counts — pure regexp codegen projection, runs at scan speed."""
     return X.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_heavy_tokens",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    n AS (SELECT count(*) AS n_total FROM t),
+    c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+    SELECT term, cnt, round(cnt / (SELECT n_total FROM n), 4) AS frac
+    FROM c WHERE cnt > (SELECT n_total FROM n) / 30
+    """,
+)
+def docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with count > n/30) via per-partition
+    Misra-Gries candidates + broadcast exact verify — the two-phase
+    shape that keeps tail keys out of the shuffle at 100 TB."""
+    from airflow_loan_etl_pipeline_spark.operators.aggregates import heavy_hitters
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return heavy_hitters(tok, "term", k=30)
+
+
+@query(
+    "corpus_quota_select",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               floor((0.4 * least(len({_TOKS}) / 64.0, 1.0)
+                   + 0.3 * (len(list_distinct({_TOKS})) / len({_TOKS}))
+                   + 0.3 * least((len(list_filter({_TOKS}, x -> x IN ({_SW})))
+                         / len({_TOKS})) * 5.0, 1.0)) * 10000) / 10000
+                   AS quality_score
+        FROM documents
+    ),
+    r AS (SELECT source, doc_id, quality_score,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY quality_score DESC, doc_id) AS rn
+          FROM q)
+    SELECT source, doc_id, quality_score, rn FROM r WHERE rn <= 10
+    """,
+)
+def corpus_quota_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota: keep the 10 best-scoring docs per
+    source — per-domain budget selection for a curated training mix."""
+    return X.quota_select(load_table(spark, sf_dir, "documents"), per_stratum=10)

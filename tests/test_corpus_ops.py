@@ -113,3 +113,29 @@ def test_funnel_strict_ordering(spark):
     assert (r.users_view, r.users_click, r.users_purchase) == (3, 1, 1)
     assert r.rate_click == round(1 / 3, 4)
     assert r.rate_purchase == 1.0
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    # Zipf-ish stream: 'hot' = 600 of 1100 rows, 'warm' = 300, tail of
+    # 200 distinct singletons x1. k=5 -> threshold n/k = 220.
+    rows = (
+        [("hot",)] * 600 + [("warm",)] * 300 + [(f"tail{i}",) for i in range(200)]
+    )
+    from airflow_loan_etl_pipeline_spark.operators.aggregates import heavy_hitters
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "term string").repartition(parts)
+        out = {r.term: r.cnt for r in heavy_hitters(df, "term", k=5).collect()}
+        assert out == {"hot": 600, "warm": 300}, parts
+
+
+def test_quota_select_deterministic_ties(spark):
+    # 4 identical-quality docs per stratum, quota 2 -> lowest ids win.
+    rows = [
+        (i, f"s{i % 2}", "alpha beta gamma delta epsilon zeta")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.quota_select(docs, per_stratum=2)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [("s0", 0), ("s0", 2), ("s1", 1), ("s1", 3)]
