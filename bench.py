@@ -167,6 +167,14 @@ def main() -> None:
         "orders_retention_cohorts",
         "events_user_value_anomalies",
         "orders_expectations",
+        "docs_repetition",
+        "docs_decontaminate",
+        "docs_pack_sequences",
+        "docs_chunks",
+        "docs_pii_scrub",
+        "events_funnel",
+        "docs_heavy_tokens",
+        "corpus_quota_select",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
