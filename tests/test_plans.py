@@ -147,3 +147,44 @@ def test_q21_self_joins_do_not_broadcast_fact(spark, sf_dir):
 
     plan = _plan(registry.QUERIES["q21_last_shipper"](spark, sf_dir))
     assert "SortMergeJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    # The training corpus must never shuffle: the benchmark shingle set
+    # is the broadcast build side; any SortMergeJoin here would shuffle
+    # 100 TB of training shingles to meet a tiny eval suite.
+    plan = _plan(registry.QUERIES["docs_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_verify_join_broadcasts_candidates(spark, sf_dir):
+    # Phase-2 recount: candidate set broadcast into the scan-side
+    # semi-join, so tail keys are filtered before the count shuffle.
+    plan = _plan(registry.QUERIES["docs_heavy_tokens"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # Pure map-side explode: any Exchange would mean chunking shuffles
+    # the corpus.
+    plan = _plan(registry.QUERIES["docs_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark, sf_dir):
+    plan = _plan(registry.QUERIES["docs_pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # formatted mode's whole-stage marker
+
+
+def test_pack_sequences_partitions_by_source(spark, sf_dir):
+    # The running-sum window must partition by source (no global
+    # single-partition window), and the window input is (source, id,
+    # n_tok) — the text column must not survive into the exchange.
+    plan = _plan(registry.QUERIES["docs_pack_sequences"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema  # scanned to size tokens...
+    windows = [ln for ln in plan.splitlines() if "Window" in ln][0]
+    assert "text" not in windows  # ...but never enters the window
