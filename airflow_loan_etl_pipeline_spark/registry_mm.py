@@ -367,3 +367,55 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "lineitem_equidepth_hist",
+    oracle="""
+    WITH c AS (SELECT round(l_extendedprice * 100) AS cents FROM lineitem),
+    b AS (SELECT quantile_cont(cents,
+              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM c)
+    SELECT (CASE WHEN cents >= bs[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[4] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[5] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[6] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[7] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[8] THEN 1 ELSE 0 END)
+         + (CASE WHEN cents >= bs[9] THEN 1 ELSE 0 END) AS bucket,
+           count(*) AS n_rows,
+           min(cents) / 100.0 AS bucket_min,
+           max(cents) / 100.0 AS bucket_max
+    FROM c, b GROUP BY 1
+    """,
+)
+def lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram the scale-correct way: compute the
+    9 boundary values with one aggregate, broadcast the single boundary
+    row, bucket with 9 codegen'd comparisons, and count per bucket —
+    two scans, ZERO global sort. The naive `ntile(10) OVER (ORDER BY
+    price)` formulation is a total sort through one partition at 100 TB.
+    Interpolation runs over integer cents so boundaries are bit-exact
+    across engines; at scale, swap `percentile` for `percentile_approx`
+    (mergeable t-digest) without touching the bucketing side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    probs = ", ".join(f"0.{i}D" for i in range(1, 10))
+    b = li.agg(F.expr(f"percentile(cents, array({probs}))").alias("bs"))
+    bucket = None
+    for i in range(1, 10):
+        term = F.when(F.col("cents") >= F.expr(f"bs[{i - 1}]"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("cents") / F.lit(1e2)).alias("bucket_min"),
+            (F.max("cents") / F.lit(1e2)).alias("bucket_max"),
+        )
+    )

@@ -996,3 +996,45 @@ def corpus_quota_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota: keep the 10 best-scoring docs per
     source — per-domain budget selection for a curated training mix."""
     return X.quota_select(load_table(spark, sf_dir, "documents"), per_stratum=10)
+
+
+@query(
+    "embedding_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base),
+    pairs AS (
+        SELECT l.vec_id AS a0, r.vec_id AS b0
+        FROM bucketed l JOIN bucketed r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round(list_dot_product(l.v, r.v) /
+                    sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
+                    6) >= 0.35
+    ),
+    ue AS (
+        SELECT a0 AS a, b0 AS b FROM pairs
+        UNION
+        SELECT b0 AS a, a0 AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+    SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN lbl l ON l.node = e.vec_id
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup composition: LSH-blocked embedding near-dup pairs
+    → pointer-jumping transitive closure → one cluster id per vector.
+    The full near-dup pipeline (candidate pairs alone over-delete:
+    A~B, B~C must keep ONE of {A,B,C})."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_dup_pairs(emb, threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return D.dup_clusters(emb, pairs, id_col="vec_id")

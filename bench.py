@@ -175,6 +175,8 @@ def main() -> None:
         "events_funnel",
         "docs_heavy_tokens",
         "corpus_quota_select",
+        "lineitem_equidepth_hist",
+        "embedding_dup_clusters",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
