@@ -370,17 +370,37 @@ def simhash_pairs(
     a pair is reported iff SOME band both docs share is small enough —
     the deliberate trade the cap buys.
     """
+    sig = simhash(df, id_col, text_col, bits)
+    return hamming_pairs(
+        sig, id_col, "simhash", bits=bits, max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded hamming-distance pairs over ANY precomputed ``bits``-wide
+    signature column (SimHash, perceptual/block hashes of binary assets,
+    ...): split into ``max_hamming + 1`` contiguous bit bands, gather
+    per-band buckets, verify with an exact popcount — lossless by
+    pigeonhole, so the result equals the brute-force O(n²) scan (modulo
+    ``max_bucket``, documented on :func:`simhash_pairs`)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    sig = simhash(df, id_col, text_col, bits)
     bands = ", ".join(
         f"named_struct('band_id', {b}, "
-        f"'band_key', (simhash div {1 << (b * band_bits)}) % {1 << band_bits})"
+        f"'band_key', ({hash_col} div {1 << (b * band_bits)}) % {1 << band_bits})"
         for b in range(n_bands)
     )
     exploded = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("simhash"),
         F.explode(F.expr(f"array({bands})")).alias("b"),
     ).select(id_col, "simhash", "b.band_id", "b.band_key")
     exploded = exploded.repartition(

@@ -221,3 +221,35 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
             yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame"])
 
     return df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def block_hash(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    bits: int = 32,
+) -> DataFrame:
+    """Codec-free near-dup signature for opaque binary assets: the
+    payload is cut into ``bits`` equal blocks and each contributes one
+    parity bit (md5 of the block), so payloads differing in one block
+    differ in ~1 signature bit — feed :func:`dedup.hamming_pairs` for
+    banded asset-level dedup with NO image/audio decoder in the loop.
+    (A codec-aware pipeline swaps in a true perceptual hash — dhash of
+    decoded pixels — behind the same (id, hash) contract.)
+
+    Pure codegen projection: ``bits`` md5 calls per row, no UDF, no
+    shuffle. Blocks are byte ranges; md5/substring run on the binary
+    payload JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    blk = f"greatest(cast(ceil(octet_length({payload_col}) / {bits}) AS int), 1)"
+    terms = " + ".join(
+        f"(cast(conv(substr(md5(substring({payload_col}, 1 + {b} * _blk, _blk)),"
+        f" 1, 1), 16, 10) AS bigint) % 2) * {1 << b}"
+        for b in range(bits)
+    )
+    return (
+        df.withColumn("_blk", F.expr(blk))
+        .select(id_col, F.expr(terms).alias("phash"))
+    )

@@ -419,3 +419,47 @@ def lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cents") / F.lit(1e2)).alias("bucket_max"),
         )
     )
+
+
+def _blockhash_oracle() -> str:
+    """Block-parity hash over the ASCII text (byte-identical to the
+    UTF-8 payload Spark hashes), pairs by BRUTE-FORCE hamming — also
+    re-proving the banded generator's pigeonhole losslessness."""
+    terms = " + ".join(
+        "(('0x' || substr(md5(substr(text, 1 + {b} * blk, blk)), 1, 1))::BIGINT"
+        " % 2) * {w}".format(b=b, w=1 << b)
+        for b in range(32)
+    )
+    return f"""
+    WITH sized AS (SELECT doc_id,  text,
+            greatest(cast(ceil(length(text) / 32) AS int), 1) AS blk
+        FROM documents),
+    h AS (SELECT doc_id, {terms} AS phash FROM sized)
+    SELECT l.doc_id AS asset_a, r.doc_id AS asset_b,
+           cast(bit_count(xor(l.phash, r.phash)) AS int) AS hamming
+    FROM h l JOIN h r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.phash, r.phash)) <= 3
+    """
+
+
+@query("asset_dup_pairs", oracle=_blockhash_oracle())
+def asset_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level near-dup pairs over opaque binary payloads: codec-free
+    block-parity hash (multimodal.block_hash) + the banded hamming join
+    shared with SimHash. The oracle recomputes pairs by brute force, so
+    this entry also certifies the banding is lossless."""
+    from airflow_loan_etl_pipeline_spark.operators.dedup import hamming_pairs
+    from airflow_loan_etl_pipeline_spark.operators.multimodal import block_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    sig = block_hash(assets)
+    pairs = hamming_pairs(sig, id_col="asset_id", hash_col="phash")
+    return pairs.select(
+        F.col("doc_a").alias("asset_a"),
+        F.col("doc_b").alias("asset_b"),
+        "hamming",
+    )

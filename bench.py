@@ -177,6 +177,7 @@ def main() -> None:
         "corpus_quota_select",
         "lineitem_equidepth_hist",
         "embedding_dup_clusters",
+        "asset_dup_pairs",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

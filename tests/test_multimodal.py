@@ -107,3 +107,30 @@ def test_read_binary_assets_ingests_files(spark, tmp_path):
         assets.filter(assets.media_type == "image")
     ).collect()
     assert len(feats) == 1 and feats[0]["n_bytes"] == 80
+
+
+def test_block_hash_flags_near_identical_payloads(spark):
+    """One corrupted block moves ~1 signature bit: the banded hamming
+    join must pair the original with its near-copy, identical payloads
+    at distance 0, and leave an unrelated payload unpaired."""
+    from airflow_loan_etl_pipeline_spark.operators.dedup import hamming_pairs
+    from airflow_loan_etl_pipeline_spark.operators.multimodal import block_hash
+
+    base = bytes(range(256)) * 8  # 2048 bytes -> 64-byte blocks
+    corrupted = base[:100] + b"\x00\x00\x00" + base[103:]  # one block touched
+    unrelated = bytes((i * 37 + 11) % 256 for i in range(2048))  # deterministic
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),       # exact copy
+        (3, bytearray(corrupted)),  # near copy
+        (4, bytearray(unrelated)),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    sig = block_hash(assets)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_pairs(sig, id_col="asset_id", hash_col="phash").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 1 <= pairs[(1, 3)] <= 3 and 1 <= pairs[(2, 3)] <= 3
+    assert not any(4 in p for p in pairs)
