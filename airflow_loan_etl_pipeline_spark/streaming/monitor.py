@@ -105,3 +105,31 @@ class QuerySLAListener(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         if event.exception is not None:
             self.failures.append((str(event.id), str(event.exception)))
+
+
+def with_quality_observation(
+    df, name: str = "quality", value_col: str | None = None
+):
+    """Attach engine-native observed metrics (``df.observe``) to a plan:
+    row count, null count of ``value_col``, and its sum. Metrics are
+    computed INSIDE the action that materializes the DataFrame — zero
+    extra passes, zero extra shuffles, collected on the driver via
+    ``Observation`` (batch) — unlike a separate ``.count()`` audit query
+    that re-reads 100 TB. This is the Spark-native replacement for the
+    reference DAG's per-task row-count bookkeeping
+    (drive_auto_compress_email.py:315-325: XCom dict summaries).
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action has run.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        metrics += [
+            F.sum(F.col(value_col).isNull().cast("long")).alias("n_nulls"),
+            F.sum(value_col).alias("value_sum"),
+        ]
+    return df.observe(obs, *metrics), obs

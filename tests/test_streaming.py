@@ -269,3 +269,21 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "10:00" in by_start
     assert by_start["10:00"].total_value == 1.0  # late 100.0 was dropped
     assert "09:30" not in by_start and "09:00" not in by_start
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """df.observe computes audit metrics inside the materializing action
+    — no second pass over the data (the reference re-counted via
+    separate XCom bookkeeping)."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.streaming.monitor import (
+        with_quality_observation,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    observed, obs = with_quality_observation(ev, "ev_quality", "value")
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_nulls"] == 0
+    assert abs(got["value_sum"]) > 0
