@@ -61,3 +61,48 @@ def quarantine_split(
     clean = tagged.filter(F.size("_failed_rules") == 0).drop("_failed_rules")
     bad = tagged.filter(F.size("_failed_rules") > 0)
     return clean, bad
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic: the ``top`` heaviest key values with their
+    share of all rows and the ratio to a perfectly uniform key — the
+    measurement that decides whether a join/agg on this key needs
+    salting or AQE skew handling BEFORE the 100 TB run discovers it.
+
+    One hash aggregate (map-side combined) + a broadcast 1-row total;
+    TakeOrdered for the top slice.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 4).alias("row_share"),
+            F.round(
+                F.col("cnt") / (F.col("n_rows") / F.col("n_keys")), 4
+            ).alias("x_uniform"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(top)
+    )
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-partition balance: rows per Spark partition (id, count,
+    share of max). The companion diagnostic to :func:`key_skew_stats` —
+    key skew explains WHY, this shows WHERE the straggler task is."""
+    per = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    mx = per.agg(F.max("n_rows").alias("max_rows"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "partition_id",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("max_rows"), 4).alias("share_of_max"),
+    )

@@ -568,3 +568,24 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage."""
     register_views(spark, sf_dir)
     return spark.sql(_FUZZY_Q)
+
+
+@query(
+    "events_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
+    SELECT user_id, cnt,
+           round(cnt / (SELECT n_rows FROM t), 4) AS row_share,
+           round(cnt / ((SELECT n_rows FROM t) / (SELECT n_keys FROM t)), 4)
+               AS x_uniform
+    FROM c ORDER BY cnt DESC, user_id ASC LIMIT 10
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic on the events user_id — the pre-flight
+    measurement that decides salting/AQE-skew handling before a 100 TB
+    join discovers the straggler."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import key_skew_stats
+
+    return key_skew_stats(load_table(spark, sf_dir, "events"), "user_id")
