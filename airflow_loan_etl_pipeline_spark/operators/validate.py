@@ -106,3 +106,35 @@ def partition_stats(df: DataFrame) -> DataFrame:
         "n_rows",
         F.round(F.col("n_rows") / F.col("max_rows"), 4).alias("share_of_max"),
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum of a table: per-row md5 over
+    the canonicalized row text, folded with modular SUM — identical
+    bytes give an identical checksum on any engine, any partitioning,
+    any row order. The integrity primitive of a reproducible corpus
+    release ("this training snapshot is exactly what we published").
+
+    Map-side projection + one 1-row aggregate; no shuffle wider than
+    the final combine. Sum-mod-2^61 (not xor): xor is blind to rows
+    duplicated an even number of times.
+    """
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = "cast(conv(substr(md5(_canon), 1, 15), 16, 10) AS bigint)"
+    return (
+        df.select(canon.alias("_canon"))
+        .select(F.expr(h).alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # Fold in DECIMAL(38,0): an int64 sum of 2^61-bounded hashes
+            # overflows after ~4 rows under ANSI; 38 digits hold ~10^18
+            # rows' worth of partial sums before the final mod.
+            F.expr(
+                "cast(sum(cast(_h AS decimal(38,0)))"
+                f" % {1 << 61} AS bigint)"
+            ).alias("checksum"),
+        )
+    )

@@ -589,3 +589,27 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_loan_etl_pipeline_spark.operators.validate import key_skew_stats
 
     return key_skew_stats(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "documents_checksum",
+    oracle="""
+    WITH h AS (SELECT ('0x' || substr(md5(
+            concat_ws(chr(31),
+                coalesce(doc_id::VARCHAR, chr(0)),
+                coalesce(text, chr(0)),
+                coalesce(lang, chr(0)),
+                coalesce(source, chr(0)),
+                coalesce(n_chars::VARCHAR, chr(0)))), 1, 15))::BIGINT AS hh
+        FROM documents)
+    SELECT count(*) AS n_rows,
+           cast(sum(hh) % 2305843009213693952 AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def documents_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive corpus-release checksum over every documents
+    column — partitioning/ordering independent by construction."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import table_checksum
+
+    return table_checksum(load_table(spark, sf_dir, "documents"))

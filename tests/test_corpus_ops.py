@@ -149,3 +149,18 @@ def test_partition_stats_reports_balance(spark):
     assert sum(r.n_rows for r in rows) == 1000
     assert len(rows) == 4
     assert max(r.share_of_max for r in rows) == 1.0
+
+
+def test_table_checksum_order_insensitive_and_content_sensitive(spark):
+    from airflow_loan_etl_pipeline_spark.operators.validate import table_checksum
+
+    rows = [(i, f"text {i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, t string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, t string").repartition(7)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(99, "text 99!")], "id long, t string"
+    )
+    assert table_checksum(mutated).collect()[0].checksum != ca.checksum
