@@ -432,3 +432,40 @@ def quota_select(
         .filter(F.col("rn") <= per_stratum)
         .select(stratum_col, id_col, "quality_score", "rn")
     )
+
+
+def corpus_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-addressed train/val/test assignment: bucket =
+    ``md5(doc_id) % 100``; the top ``test_pct`` buckets are test, the
+    next ``val_pct`` val, the rest train. Reduced to per-(stratum,
+    split) counts.
+
+    Same determinism contract as :func:`corpus_mix_sample` — a document
+    lands in the same split on any engine, partitioning, or rerun, and
+    adding documents never moves existing ones between splits (the
+    property a frozen eval set requires; a seeded ``randomSplit``
+    reshuffles everything on every change).
+
+    Scale shape: scan-local md5 + one small aggregate keyed by
+    (stratum, split).
+    """
+    h = (
+        f"cast(conv(substr(md5(cast({id_col} AS string)), 1, 8), 16, 10) "
+        "AS bigint) % 100"
+    )
+    split = (
+        F.when(F.expr(h) >= 100 - test_pct, F.lit("test"))
+        .when(F.expr(h) >= 100 - test_pct - val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.select(F.col(stratum_col), split.alias("split"))
+        .groupBy(stratum_col, "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

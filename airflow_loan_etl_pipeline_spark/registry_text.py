@@ -1038,3 +1038,64 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return D.dup_clusters(emb, pairs, id_col="vec_id")
+
+
+@query(
+    "corpus_split",
+    oracle="""
+    WITH b AS (SELECT lang,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+        FROM documents)
+    SELECT lang,
+           CASE WHEN bkt >= 95 THEN 'test'
+                WHEN bkt >= 90 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split counts per language —
+    deterministic on any engine/partitioning; adding docs never moves
+    existing ones between splits."""
+    return X.corpus_split(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_dedup_final",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    ue AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+    keep AS (SELECT d.doc_id
+             FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+             WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id)
+    SELECT d.lang, count(*) AS n_docs, sum(len(str_split(d.text, ' '))) AS n_tokens
+    FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup materialization: MinHash-LSH candidate pairs →
+    transitive clusters → keep one representative (min id) per cluster,
+    reduced to per-language doc/token counts — what actually ships
+    after near-dup analysis (pairs alone over-delete: A~B, B~C must
+    keep one of the three, not two pair-winners)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    clusters = D.dup_clusters(docs, pairs)
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept = docs.join(reps, "doc_id", "left_semi")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )

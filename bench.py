@@ -178,6 +178,10 @@ def main() -> None:
         "lineitem_equidepth_hist",
         "embedding_dup_clusters",
         "asset_dup_pairs",
+        "events_key_skew",
+        "documents_checksum",
+        "corpus_split",
+        "corpus_dedup_final",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
