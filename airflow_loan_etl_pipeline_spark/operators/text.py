@@ -469,3 +469,84 @@ def corpus_split(
         .groupBy(stratum_col, "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def oov_stats(
+    df: DataFrame, vocab_k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-coverage diagnostic: per document, the fraction of
+    token OCCURRENCES outside the corpus top-``vocab_k`` vocabulary —
+    the out-of-vocabulary rate that sizes a tokenizer's vocab against
+    a corpus (high OOV → byte-fallback blowup in sequence length).
+
+    Scale shape: the vocabulary head is tiny and **broadcast**; the
+    corpus-side pass is one explode + a left join against the broadcast
+    + a ~1-row/doc count aggregate. The corpus never shuffles for the
+    vocab probe.
+    """
+    vocab = top_terms(df, k=vocab_k, id_col=id_col, text_col=text_col).select(
+        "term", F.lit(1).alias("_v")
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    joined = tok.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_v").isNull().cast("long")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("_v").isNull().cast("long")) / F.count(F.lit(1)), 4
+        ).alias("oov_rate"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    top: int = 15,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: top adjacent-token bigrams by pointwise
+    mutual information. PMI uses the RATIONAL form
+    ``count(ab) * n_tokens / (count(a) * count(b))`` — the log is
+    monotone, so rankings match the textbook score while every
+    arithmetic op stays IEEE-exact for the oracle.
+
+    Scale shape: bigrams come from a positional self-join on
+    (doc, pos+1) over the exploded tokens — both sides reuse one
+    exchange keyed by (doc, pos); unigram counts aggregate the same
+    exploded rows; the final top-k is TakeOrdered. The positional join
+    beats an interpreted `transform(sequence(...))` bigram lambda and
+    keeps everything whole-stage codegen.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " "))
+    ).select(id_col, F.col("pos"), F.col("col").alias("w"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    lhs = tok.select(id_col, "pos", F.col("w").alias("w1"))
+    rhs = tok.select(
+        id_col, (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    big = (
+        lhs.join(rhs, [id_col, "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c", "c_a")), "w1")
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_b")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1", "w2", "c_ab",
+            F.round(
+                F.col("c_ab") * F.col("n_tokens") / (F.col("c_a") * F.col("c_b")), 6
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top)

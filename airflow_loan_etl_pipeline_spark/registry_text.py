@@ -1099,3 +1099,48 @@ def corpus_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
+
+
+@query(
+    "docs_oov_rate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term FROM (
+        SELECT term, count(*) AS c FROM t GROUP BY 1
+        ORDER BY c DESC, term ASC LIMIT 20))
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                    THEN 1 ELSE 0 END) AS n_oov,
+           round(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                          THEN 1 ELSE 0 END) / count(*), 4) AS oov_rate
+    FROM t GROUP BY doc_id
+    """,
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-20
+    vocabulary head — the broadcast-probe tokenizer-coverage check."""
+    return X.oov_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_pmi_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, i AS pos, ({_TOKS})[i] AS w
+               FROM documents,
+                    unnest(generate_series(1, len({_TOKS}))) AS u(i)),
+    n AS (SELECT count(*) AS n_tokens FROM t),
+    uni AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+    big AS (SELECT l.w AS w1, r.w AS w2, count(*) AS c_ab
+            FROM t l JOIN t r ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT w1, w2, c_ab,
+           round(c_ab * (SELECT n_tokens FROM n) / (ua.c * ub.c), 6) AS pmi_ratio
+    FROM big JOIN uni ua ON ua.w = big.w1
+             JOIN uni ub ON ub.w = big.w2
+    ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT 15
+    """,
+)
+def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by rational PMI over adjacent-token bigrams
+    (positional self-join, codegen throughout)."""
+    return X.pmi_bigrams(load_table(spark, sf_dir, "documents"))

@@ -182,6 +182,8 @@ def main() -> None:
         "documents_checksum",
         "corpus_split",
         "corpus_dedup_final",
+        "docs_oov_rate",
+        "docs_pmi_bigrams",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
