@@ -71,6 +71,10 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 30) -> DataFrame:
     """
     import pandas as pd
 
+    # NULL keys are excluded up front (and from n): pandas value_counts
+    # drops NaN, so a null-heavy key could never be nominated — it must
+    # not count toward the threshold base either.
+    df = df.filter(F.col(key_col).isNotNull())
     key_type = dict(df.dtypes)[key_col]
 
     def mg(batches):

@@ -535,10 +535,14 @@ def pmi_bigrams(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
+    # No explicit broadcast on the unigram table: it is VOCABULARY-sized
+    # (can reach 10^7+ rows on a web corpus — too big to force onto every
+    # executor). The joins key on the word, so their shuffles are bounded
+    # by vocab, not corpus; AQE still picks broadcast when uni is small.
     scored = (
-        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
-                 .withColumnRenamed("c", "c_a")), "w1")
-        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_b")), "w2")
+        big.join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c", "c_a"), "w1")
+        .join(uni.selectExpr("w AS w2", "c AS c_b"), "w2")
         .crossJoin(F.broadcast(n_tok))
         .select(
             "w1", "w2", "c_ab",

@@ -113,8 +113,10 @@ def funnel(
     for c in counts[1:]:
         row = row.crossJoin(c)
     cols = [F.col(f"n_{i}").alias(f"users_{s}") for i, s in enumerate(steps)]
+    # try_divide, not `/`: under ANSI mode an empty previous stage
+    # (count 0) must yield a NULL rate, not a DIVIDE_BY_ZERO error.
     rates = [
-        F.round(F.col(f"n_{i}") / F.col(f"n_{i-1}"), 4).alias(
+        F.round(F.try_divide(F.col(f"n_{i}"), F.col(f"n_{i-1}")), 4).alias(
             f"rate_{steps[i]}"
         )
         for i in range(1, len(steps))
