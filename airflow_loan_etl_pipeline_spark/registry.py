@@ -619,3 +619,34 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
 
     return funnel(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT ts::DATE AS day, hour(ts) AS hr,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP(day, hr)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly, daily, and
+    grand-total aggregates of the event stream in ONE pass (GROUP BY
+    ROLLUP over the truncated time hierarchy) — the continuous-aggregate
+    maintenance shape, instead of one scan per granularity. Partial
+    aggregation collapses each hour map-side before the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -347,3 +347,30 @@ def merge_upsert(
             _shutil.rmtree(dst)
     _shutil.rmtree(staging, ignore_errors=True)
     return len(touched)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet export: ``repartitionByRange`` (sampled
+    range boundaries → balanced RANGE exchange across executors) +
+    ``sortWithinPartitions``. File k holds keys strictly below file
+    k+1, so a reader can binary-search the file listing and parquet
+    row-group min/max prune WITHIN each file — without ever running
+    ``orderBy`` into a single writer.
+
+    This is the sorted-output shape `df.orderBy(...).write` also
+    produces, made explicit: the point is what it AVOIDS — a
+    ``coalesce(1)``-style single-task sort of the full dataset.
+    """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

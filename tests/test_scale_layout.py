@@ -324,3 +324,36 @@ def test_merge_upsert_swap_leaves_no_stale_aside(spark, tmp_path):
     assert "swapclean" in siblings
     assert not [s for s in siblings if "__old__" in s or "__staging__" in s]
     assert spark.read.parquet(target).collect()[0].v == "b"
+
+
+def test_write_sorted_ranges_do_not_overlap(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted export: per-file key ranges must be
+    disjoint (binary-searchable listing), rows complete, and the plan
+    must show a RANGE exchange — not a single-partition global sort."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.sources.io import write_sorted
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning(l_orderkey" in plan
+    out = str(tmp_path / "sorted")
+    write_sorted(li, out, ["l_orderkey"], num_files=8)
+
+    import pyspark.sql.functions as F
+
+    files = (
+        spark.read.parquet(out)
+        .select(F.input_file_name().alias("f"), "l_orderkey")
+        .groupBy("f")
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(files) > 1
+    for prev, cur in zip(files, files[1:]):
+        assert prev.hi <= cur.lo
+    assert spark.read.parquet(out).count() == li.count()
