@@ -1,0 +1,60 @@
+"""Graph analytics over candidate-pair graphs (the structures dedup
+emits): PageRank-style centrality. Companion to dedup.dup_clusters
+(connected components) — clusters say WHICH documents are tied
+together, centrality says which node is the most-linked representative.
+
+Scale shape per iteration: one equi-join of the edge list against the
+current rank vector (both keyed on the node id — the join reuses one
+hash partitioning across iterations) + one map-side-combinable sum
+aggregate. Lineage is truncated per iteration (localCheckpoint; use
+reliable checkpoints on durable storage at cluster scale, same note as
+dup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank (simplified: dangling mass leaks, the
+    standard edge-list formulation). ``edges`` is directed (src, dst);
+    pass both directions for an undirected pair graph.
+
+    Deterministic given (graph, iterations): every step is
+    join + sum + affine map, so an ANSI-SQL oracle can replay the exact
+    iteration count (registry entry ``dup_pagerank`` does, with
+    programmatically generated CTE stages).
+    """
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    base = nodes.select(F.col(id_col).alias("v")).crossJoin(F.broadcast(n1))
+    ranks = base.select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("v").alias(id_col), F.round("r", 6).alias("rank"))

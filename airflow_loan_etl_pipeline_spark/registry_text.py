@@ -1144,3 +1144,53 @@ def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top collocations by rational PMI over adjacent-token bigrams
     (positional self-join, codegen throughout)."""
     return X.pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Replay the exact PageRank iteration count as chained CTEs. Float
+    literals are CAST AS DOUBLE: bare decimals parse as DECIMAL in
+    DuckDB and would run the recurrence in fixed-point, diverging from
+    Spark's double arithmetic. (1 - damping) is precomputed in Python so
+    both engines consume the identical IEEE double."""
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    parts = [
+        f"pairs AS ({_PAIRS_SQL})",
+        "ue AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "n AS (SELECT count(*) AS c FROM documents)",
+        "outdeg AS (SELECT src, count(*) AS d FROM ue GROUP BY 1)",
+        "r0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) "
+        "AS r FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT d.doc_id AS v, "
+            f"{base} / (SELECT c FROM n) + {damp} * coalesce(infl.s, 0.0) AS r "
+            f"FROM documents d LEFT JOIN ("
+            f"SELECT ue.dst AS v, sum(r{i-1}.r / outdeg.d) AS s "
+            f"FROM ue JOIN r{i-1} ON ue.src = r{i-1}.v "
+            f"JOIN outdeg ON outdeg.src = ue.src GROUP BY 1) infl "
+            f"ON infl.v = d.doc_id)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT v AS doc_id, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
+@query("dup_pagerank", oracle=_pagerank_oracle())
+def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup candidate graph: 3 PageRank
+    iterations on the (undirected, symmetrized) MinHash-LSH pair graph
+    — which document is the most-linked representative of its
+    near-dup neighborhood."""
+    from airflow_loan_etl_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = D.minhash_lsh_pairs(docs)
+    edges = p.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    return pagerank(docs, edges)

@@ -184,6 +184,8 @@ def main() -> None:
         "corpus_dedup_final",
         "docs_oov_rate",
         "docs_pmi_bigrams",
+        "events_time_rollup",
+        "dup_pagerank",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
