@@ -80,3 +80,69 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row (same key) with
+    timestamp >= the left timestamp — next-event attribution (click →
+    next purchase), the mirror of the backward join above and an
+    operator neither Spark nor DuckDB has natively.
+
+    Same one-shuffle union+window shape, reflected: left rows sort
+    BEFORE right rows at equal timestamps (so ``>=`` ties match) and a
+    ``first(..., ignorenulls)`` over the [current, ∞) frame carries the
+    next right payload backward. Deterministic when the right side is
+    unique per (key, ts) — pre-aggregate it (as the registry query
+    does) if it is not.
+    """
+    lcols = [c for c in left.columns if c != left_ts]
+    tagged_l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in key_cols],
+    )
+    tagged_r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in key_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *key_cols,
+        "_side",
+        "_ts",
+        *[F.col(f"_l_{c}") for c in lcols if c not in key_cols],
+        F.first("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 0).drop("_side")
+    out = out.withColumnRenamed("_ts", left_ts)
+    for c in lcols:
+        if c not in key_cols:
+            out = out.withColumnRenamed(f"_l_{c}", c)
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out

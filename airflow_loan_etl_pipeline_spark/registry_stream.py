@@ -9,7 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table
-from airflow_loan_etl_pipeline_spark.operators.asof import asof_join
+from airflow_loan_etl_pipeline_spark.operators.asof import (
+    asof_join,
+    asof_join_forward,
+)
 from airflow_loan_etl_pipeline_spark.registry import query
 from airflow_loan_etl_pipeline_spark.streaming.windows import session, sliding
 
@@ -208,3 +211,46 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("r_ts")
     )
     return interval_join(clicks, views, within="2 hours", watermark="4 hours")
+
+
+@query(
+    "events_asof_next_purchase",
+    oracle="""
+    WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, ts, max(value) AS bval FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT a.event_id,
+           epoch(a.ts) AS click_ts,
+           epoch(nx.ts) AS purchase_ts,
+           round(nx.bval, 2) AS purchase_value
+    FROM a JOIN LATERAL (
+        SELECT b.ts, b.bval FROM b
+        WHERE b.user_id = a.user_id AND b.ts >= a.ts
+        ORDER BY b.ts ASC LIMIT 1
+    ) nx ON true
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's next (>=)
+    purchase — next-event attribution via the mirrored union+window
+    composition (one shuffle, no range expansion). Oracle is a LATERAL
+    first-row lookup; right side pre-deduped per (user, ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("bval"))
+    )
+    out = asof_join_forward(
+        clicks, purchases, key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["bval"],
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("double").alias("click_ts"),
+        F.col("asof_ts").cast("double").alias("purchase_ts"),
+        F.round("asof_bval", 2).alias("purchase_value"),
+    )
