@@ -33,10 +33,14 @@ def pagerank(
     iteration count (registry entry ``dup_pagerank`` does, with
     programmatically generated CTE stages).
     """
+    # Pin the edge list and degrees ONCE: edges usually arrive as an
+    # expensive pipeline (LSH pair generation) that must not re-execute
+    # on every iteration's lazy re-evaluation.
+    edges = edges.localCheckpoint()
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.select(F.col(id_col).alias("v")).crossJoin(F.broadcast(n1))
     ranks = base.select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
 
     for _ in range(iterations):
         contrib = (

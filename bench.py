@@ -186,6 +186,7 @@ def main() -> None:
         "docs_pmi_bigrams",
         "events_time_rollup",
         "dup_pagerank",
+        "events_asof_next_purchase",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
