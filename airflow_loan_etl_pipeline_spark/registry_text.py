@@ -1194,3 +1194,61 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     return pagerank(docs, edges)
+
+
+@query(
+    "corpus_build_summary",
+    oracle=f"""
+    WITH RECURSIVE
+    tr AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+    q AS (SELECT doc_id FROM (
+        SELECT doc_id, len({_TOKS}) AS n_tokens,
+               floor((0.4 * least(len({_TOKS}) / 64.0, 1.0)
+                   + 0.3 * (len(list_distinct({_TOKS})) / len({_TOKS}))
+                   + 0.3 * least((len(list_filter({_TOKS}, x -> x IN ({_SW})))
+                         / len({_TOKS})) * 5.0, 1.0)) * 10000) / 10000 AS qs
+        FROM tr)
+        WHERE qs >= 0.5 AND n_tokens BETWEEN 20 AND 2000),
+    s1 AS (SELECT * FROM tr WHERE doc_id IN (SELECT doc_id FROM q)),
+    reps AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM reps)),
+    pairs0 AS ({_PAIRS_SQL}),
+    pairs AS (SELECT * FROM pairs0
+              WHERE doc_a IN (SELECT doc_id FROM s2)
+                AND doc_b IN (SELECT doc_id FROM s2)),
+    ue AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    r(a, b) AS (SELECT a, b FROM ue
+                UNION SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+    s3 AS (SELECT s2.* FROM s2 LEFT JOIN lbl ON lbl.node = s2.doc_id
+           WHERE coalesce(lbl.cluster_id, s2.doc_id) = s2.doc_id),
+    exs3 AS (SELECT doc_id, len(sh) AS n_sh,
+                    unnest(list_transform(sh,
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+             FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM s3)),
+    evb AS (SELECT DISTINCT unnest(list_transform({_SHINGLES_DUCK},
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+            FROM documents WHERE doc_id % 20 = 0),
+    contaminated AS (SELECT e.doc_id FROM exs3 e JOIN evb ON e.h = evb.h
+                     GROUP BY e.doc_id, e.n_sh
+                     HAVING round(count(*) / e.n_sh, 4) >= 0.2),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 95
+                THEN 'test'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 90
+                THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           sum(len({_TOKS})) AS n_tokens
+    FROM s4 GROUP BY 1
+    """,
+)
+def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full corpus build (quality gate → exact dedup →
+    near-dup cluster dedup → benchmark decontamination → frozen split)
+    as one composed plan, reduced to the shipped per-split summary.
+    See plans/corpus_build.py for the stage-by-stage scale notes."""
+    from airflow_loan_etl_pipeline_spark.plans.corpus_build import build_corpus
+
+    return build_corpus(spark, sf_dir)

@@ -187,6 +187,7 @@ def main() -> None:
         "events_time_rollup",
         "dup_pagerank",
         "events_asof_next_purchase",
+        "corpus_build_summary",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
