@@ -164,3 +164,27 @@ def test_table_checksum_order_insensitive_and_content_sensitive(spark):
         rows[:-1] + [(99, "text 99!")], "id long, t string"
     )
     assert table_checksum(mutated).collect()[0].checksum != ca.checksum
+
+
+def test_asof_forward_ties_and_no_match(spark):
+    """Forward as-of: >= ties match (purchase at the same instant
+    counts), and a left row after the last right row drops on inner."""
+    from airflow_loan_etl_pipeline_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"),
+         (1, 11, "2024-01-01 12:00:00"),
+         (2, 20, "2024-01-01 09:00:00")],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0),   # same instant as event 10
+         (1, "2024-01-01 11:00:00", 7.0),   # before event 11 -> no match for it
+         (2, "2024-01-01 09:30:00", 9.0)],
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {r.event_id: r for r in asof_join_forward(
+        left, right, ["user_id"], "ts", "ts", ["v"]).collect()}
+    assert out[10].asof_v == 5.0          # >= tie matches
+    assert 11 not in out                  # nothing after 12:00 -> inner drops
+    assert out[20].asof_v == 9.0

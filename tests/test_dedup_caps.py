@@ -118,3 +118,27 @@ def test_null_text_does_not_crash_shingling(spark):
     assert flat.filter(F.col("doc_id") == 2).count() == 1
     # And the full pair pipeline survives.
     D.ngram_jaccard_pairs(docs, threshold=0.0).count()
+
+
+def test_minhash_signatures_are_union_mergeable(spark):
+    """sig(A ∪ B) = elementwise min(sig(A), sig(B)) — the algebraic
+    property that lets 100 TB shards compute signatures independently
+    and merge WITHOUT re-shingling (each signature slot is a min over
+    shingle hashes, and min distributes over union)."""
+    from pyspark.sql import functions as F
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, a + " " + b)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.sig for r in D.minhash_signatures(docs).collect()}
+    merged = [min(x, y) for x, y in zip(sigs[1], sigs[2])]
+    # doc 3 concatenates a and b, so its shingle set is a superset of
+    # A ∪ B shingles only for shingles fully inside a or b — use the
+    # union of the two shingle sets directly instead:
+    union_docs = spark.createDataFrame(
+        [(1, a), (1, b)], "doc_id long, text string"
+    )
+    sig_union = D.minhash_signatures(union_docs).collect()[0].sig
+    assert sig_union == merged
