@@ -31,10 +31,11 @@ MIN_TOKENS, MAX_TOKENS = 20, 2000
 CONTAMINATION_FRAC = 0.2
 
 
-def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full build over the documents table; benchmark slice =
-    ``doc_id % 20 == 0``. Returns the per-split summary (split, n_docs,
-    n_tokens) of the shipped corpus."""
+def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped corpus itself: every surviving document with its
+    frozen split label — feed this to ``ship_corpus`` (or any sink).
+    ``build_corpus`` below reduces it to the per-split summary the
+    oracle verifies."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
@@ -86,11 +87,30 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.expr(h) >= 90, F.lit("val"))
         .otherwise(F.lit("train"))
     )
+    return s4.withColumn("split", split)
+
+
+def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full build over the documents table; benchmark slice =
+    ``doc_id % 20 == 0``. Returns the per-split summary (split, n_docs,
+    n_tokens) of the shipped corpus."""
     return (
-        s4.select(split.alias("split"), F.size(F.split("text", " ")).alias("n_tok"))
+        corpus_docs(spark, sf_dir)
+        .select("split", F.size(F.split("text", " ")).alias("n_tok"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+def ship_corpus(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Materialize the shipped corpus partitioned by split — consumers
+    read exactly one split directory (partition pruning), and the
+    frozen content-addressed assignment means re-shipping after
+    appending new source documents never rewrites which split an
+    existing document lives in."""
+    corpus_docs(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(out_path)

@@ -188,3 +188,42 @@ def test_asof_forward_ties_and_no_match(spark):
     assert out[10].asof_v == 5.0          # >= tie matches
     assert 11 not in out                  # nothing after 12:00 -> inner drops
     assert out[20].asof_v == 9.0
+
+
+def test_ship_corpus_partitions_match_summary(spark, sf_dir, tmp_path):
+    """The shipped partition layout must agree with the oracle-verified
+    summary: one directory per split, counts identical, and reading one
+    split prunes to that directory."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.plans.corpus_build import (
+        build_corpus,
+        ship_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    ship_corpus(spark, sf_dir, out)
+    summary = {r.split: r.n_docs for r in build_corpus(spark, sf_dir).collect()}
+    dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == set(summary)
+    shipped = spark.read.parquet(out)
+    got = {r.split: r.cnt for r in
+           shipped.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == summary
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing must conserve the corpus: every doc in exactly one bin,
+    total tokens preserved, bins contiguous in doc order per source."""
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (50 + i))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = X.pack_sequences(docs, bin_tokens=256).collect()
+    assert sum(r.n_docs for r in out) == 30
+    assert sum(r.tokens_in_bin for r in out) == sum(50 + i for i in range(30))
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.bin_id)
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.last_doc < cur.first_doc  # contiguous, no overlap
