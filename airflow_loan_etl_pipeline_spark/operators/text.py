@@ -546,8 +546,13 @@ def pmi_bigrams(
         .crossJoin(F.broadcast(n_tok))
         .select(
             "w1", "w2", "c_ab",
+            # Multiply in DOUBLE: c_ab * n_tokens in int64 overflows on a
+            # ~1e10-token corpus (ANSI mode then kills the job); the
+            # oracle casts identically so both engines run the same
+            # IEEE product.
             F.round(
-                F.col("c_ab") * F.col("n_tokens") / (F.col("c_a") * F.col("c_b")), 6
+                F.col("c_ab") * F.col("n_tokens").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b")), 6
             ).alias("pmi_ratio"),
         )
     )

@@ -1134,7 +1134,7 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t l JOIN t r ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
             GROUP BY 1, 2 HAVING count(*) >= 5)
     SELECT w1, w2, c_ab,
-           round(c_ab * (SELECT n_tokens FROM n) / (ua.c * ub.c), 6) AS pmi_ratio
+           round(c_ab * (SELECT n_tokens FROM n)::DOUBLE / (ua.c::DOUBLE * ub.c), 6) AS pmi_ratio
     FROM big JOIN uni ua ON ua.w = big.w1
              JOIN uni ub ON ub.w = big.w2
     ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT 15
