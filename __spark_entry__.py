@@ -18,6 +18,7 @@ from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401  (regi
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401  (registers queries)
 from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401  (registers queries)
 from airflow_loan_etl_pipeline_spark import registry_sql  # noqa: F401  (registers queries)
+from airflow_loan_etl_pipeline_spark import registry_stats  # noqa: F401  (registers queries)
 from airflow_loan_etl_pipeline_spark.plans.loan_etl import run_loan_etl
 
 SF0001 = "/root/testdata/sf0.001"

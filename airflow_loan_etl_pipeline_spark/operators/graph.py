@@ -62,3 +62,39 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("v").alias(id_col), F.round("r", 6).alias("rank"))
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected candidate-pair graph
+    (edges canonical ``doc_a < doc_b``) — the clustering-density
+    diagnostic for a near-dup graph: high triangle counts mean tight
+    dup cliques (template spam), zero means chains of borderline pairs.
+
+    Standard two-join wedge closure entirely on the canonical
+    orientation: each triangle a<b<c is found exactly once as
+    (a,b)+(b,c)+(a,c), so no global dedup pass is needed. Both joins
+    are equi-joins on node ids; fan-out is bounded by the pair
+    generator's bucket caps upstream (dedup.minhash_lsh_pairs
+    max_bucket), which is what makes wedge counting tractable at scale.
+    Per-node counts come from exploding each triangle's three corners —
+    a constant 3x of the (small) triangle set, not of the edges.
+    """
+    e = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.col("ab.a").alias("x"),
+            F.col("ab.b").alias("y"),
+            F.col("bc.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1,0 +1,203 @@
+"""Statistical diagnostics over fact tables and the document corpus:
+group-wise OLS trend (native ``regr_*`` aggregates), lag-1
+autocorrelation, Benford first-digit audit, pairwise source
+Jensen-Shannon divergence, and market-basket lift.
+
+Extends the reference's aggregate surface
+(/root/reference/airflow/include/loan_spark_etl.py:91-131 stops at
+count/sum) with the statistical aggregates Spark ships natively —
+every operator here is pure JVM codegen (no UDFs), one shuffle on its
+grouping key, and map-side-combinable, so each scales linearly with
+executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixture epoch: x is measured in days since this instant so the OLS
+# normal equations stay well-conditioned (raw epoch-seconds puts the
+# regressor mean at ~1.7e9 and the co-moment cancellation at ~9
+# digits).
+TREND_EPOCH = "2024-01-01 00:00:00"
+
+
+def trend_regression(
+    events: DataFrame,
+    key_col: str = "event_type",
+    y_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key OLS of y against time (days since TREND_EPOCH) using
+    Spark's native regr_slope / regr_intercept / corr aggregates —
+    single-pass co-moment accumulation, map-side partials, one shuffle
+    of 5 doubles per key.
+    """
+    x = (
+        F.col(ts_col).cast("double")
+        - F.unix_timestamp(F.lit(TREND_EPOCH)).cast("double")
+    ) / F.lit(86400.0)
+    y = F.col(y_col)
+    return (
+        events.select(F.col(key_col), y.alias("_y"), x.alias("_x"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("_y", "_x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("_y", "_x"), 6).alias("intercept"),
+            F.round(F.corr("_y", "_x"), 6).alias("time_corr"),
+        )
+    )
+
+
+def autocorr_lag1(
+    events: DataFrame,
+    key_col: str = "event_type",
+    y_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key lag-1 autocorrelation: one window pass to align each
+    value with its predecessor (deterministic total order via the
+    id tiebreak), then a corr aggregate. Two shuffles on the same key —
+    Catalyst reuses the window's hash partitioning for the groupBy.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    lagged = events.select(
+        F.col(key_col),
+        F.col(y_col).alias("_y"),
+        F.lag(y_col).over(w).alias("_prev"),
+    )
+    return lagged.groupBy(key_col).agg(
+        F.count("_prev").alias("n_pairs"),
+        F.round(F.corr("_y", "_prev"), 6).alias("autocorr_lag1"),
+    )
+
+
+def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column
+    against Benford's law — the classic bulk data-quality / fraud
+    screen. One groupBy on a 1-byte key; shares are computed as
+    ``floor(count * 1e4 / total)`` so both engines floor the SAME
+    IEEE double (count*1e4 is exact below 2^53).
+    """
+    tot = df.filter(F.col(amount_col) > 0).count()
+    digit = F.substring(F.floor(F.col(amount_col)).cast("string"), 1, 1).cast("int")
+    benford = F.floor(F.log10(1 + 1 / F.col("digit").cast("double")) * 1e4) / 1e4
+    return (
+        df.filter(F.col(amount_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "digit",
+            "n_rows",
+            (F.floor(F.col("n_rows") * 1e4 / F.lit(float(tot))) / 1e4).alias(
+                "observed_share"
+            ),
+            benford.alias("benford_share"),
+        )
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("observed_share") - F.col("benford_share")), 4),
+        )
+    )
+
+
+def js_divergence_by_key(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-key token
+    distributions — the corpus-balance diagnostic ("how different is
+    source A's language from source B's"). Works from the INNER join on
+    shared tokens only: for tokens present in one side alone the mixture
+    m = p/2, so those terms contribute exactly ``p*ln(2)``, recovered in
+    closed form from the shared probability mass. That keeps the pair
+    join equi-keyed on token (no full-outer blowup); with K keys and V
+    vocabulary the shuffle is O(K*V) distribution rows, never documents.
+    """
+    tok = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    counts = tok.groupBy("k", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("k").agg(F.sum("c").alias("tot"))
+    dist = counts.join(F.broadcast(totals), "k").select(
+        "k", "w", (F.col("c") / F.col("tot")).alias("p")
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    ln2 = math.log(2.0)
+    pa, pb = F.col("a.p"), F.col("b.p")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.k").alias("source_a"), F.col("b.k").alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_tokens"),
+            F.sum(pa * F.log(2 * pa / (pa + pb))).alias("_sp"),
+            F.sum(pb * F.log(2 * pb / (pa + pb))).alias("_sq"),
+            F.sum(pa).alias("_cp"),
+            F.sum(pb).alias("_cq"),
+        )
+    )
+    js = (
+        F.col("_sp")
+        + F.col("_sq")
+        + (2 - F.col("_cp") - F.col("_cq")) * F.lit(ln2)
+    ) / 2
+    return pairs.select(
+        "source_a", "source_b", "n_shared_tokens", F.round(js, 6).alias("js_divergence")
+    )
+
+
+def basket_lift(
+    lineitem: DataFrame,
+    part: DataFrame,
+    item_col: str = "p_brand",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association over order contents: for every pair of
+    brands co-occurring in an order, support and lift. The part dim
+    broadcasts; the only wide shuffle is the basket self-join keyed on
+    orderkey (co-partitioned both sides). Pair fan-out is bounded by
+    (items per order choose 2) — 7 lineitems max in TPC-H — never by
+    table size, so the plan survives 100x data unchanged.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", item_col)), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    n_orders = baskets.select("okey").distinct().count()
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_pair_count)
+    )
+    ca = F.broadcast(item_counts).alias("ca")
+    cb = F.broadcast(item_counts).alias("cb")
+    lift = (
+        F.col("pair_orders")
+        * F.lit(float(n_orders))
+        / (F.col("ca.c") * F.col("cb.c").cast("double"))
+    )
+    return (
+        pair_counts.join(ca, F.col("item_a") == F.col("ca.item"))
+        .join(cb, F.col("item_b") == F.col("cb.item"))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_orders",
+            (F.floor(F.col("pair_orders") * 1e4 / F.lit(float(n_orders))) / 1e4).alias(
+                "support"
+            ),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

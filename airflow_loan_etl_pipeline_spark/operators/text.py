@@ -559,3 +559,66 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    retrieval primitive over an LLM corpus (quality-weighted sampling,
+    topic probes, eval-set mining). Whole pipeline is native codegen:
+    one explode pass computes term frequencies, the per-term document
+    frequencies are a tiny broadcast, and the per-doc score is a
+    map-side expression — one shuffle keyed on (doc, term), nothing
+    keyed on text. At 100 TB the df table is the only global state and
+    it is vocabulary-sized.
+
+    Emits every matching doc (no LIMIT): rank cutoffs on an IEEE score
+    are engine-order-sensitive at ties, full output is not.
+    """
+    terms = tuple(terms)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("_toks").alias("w"))
+        .filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(term_score), 4).alias("bm25"),
+        )
+    )

@@ -1,0 +1,254 @@
+"""Registry entries for the statistical-diagnostics operators
+(operators/stats.py), BM25 retrieval, triangle counting over the
+near-dup graph, and the release snapshot diff.
+
+Oracle SQL shares numeric constants with the Spark operators via
+f-string generation (BM25 k1/b, the trend epoch) so the two sides
+cannot drift; float outputs follow the repo's parity rules — shares
+are ``floor(exact_int * 1e4 / total)`` so both engines floor the same
+IEEE double, and irrational-valued scores round at 4-6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark.operators import dedup as D
+from airflow_loan_etl_pipeline_spark.operators import graph as G
+from airflow_loan_etl_pipeline_spark.operators import stats as ST
+from airflow_loan_etl_pipeline_spark.operators import text as X
+from airflow_loan_etl_pipeline_spark.operators import validate as V
+from airflow_loan_etl_pipeline_spark.registry import ORACLE, query
+
+# dup_triangles reuses the registered minhash_lsh_pairs oracle as its
+# edge CTE — make sure registry_text has populated it regardless of the
+# caller's import order.
+from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401, E402
+
+
+@query(
+    "events_trend_regression",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(regr_slope(value, x), 6) AS slope_per_day,
+           round(regr_intercept(value, x), 6) AS intercept,
+           round(corr(value, x), 6) AS time_corr
+    FROM (SELECT event_type, value,
+                 (epoch(ts) - epoch(TIMESTAMP '{ST.TREND_EPOCH}')) / 86400.0 AS x
+          FROM events) t
+    GROUP BY event_type
+    """,
+)
+def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value trend via Spark's native OLS aggregates
+    (regr_slope/regr_intercept/corr) — single-pass co-moments, map-side
+    partials, one shuffle of five doubles per key. Extends the
+    reference's count/sum aggregate surface
+    (/root/reference/airflow/include/loan_spark_etl.py:91-131)."""
+    return ST.trend_regression(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    SELECT event_type,
+           count(prev) AS n_pairs,
+           round(corr(value, prev), 6) AS autocorr_lag1
+    FROM (SELECT event_type, value,
+                 lag(value) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS prev
+          FROM events) t
+    GROUP BY event_type
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event type: one window pass aligning
+    each value with its predecessor (event_id tiebreak for a total
+    order), then a corr aggregate on the same key partitioning."""
+    return ST.autocorr_lag1(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_benford_digits",
+    oracle="""
+    WITH f AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM f),
+         d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                      count(*) AS n_rows
+               FROM f GROUP BY 1),
+         s AS (SELECT digit, n_rows,
+                      floor(n_rows * 1e4 / t) / 1e4 AS observed_share,
+                      floor(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1e4) / 1e4 AS benford_share
+               FROM d, tot)
+    SELECT digit, n_rows, observed_share, benford_share,
+           round(abs(observed_share - benford_share), 4) AS abs_dev
+    FROM s
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of order totals against Benford's
+    law — the bulk data-quality screen. One groupBy on a 1-byte key."""
+    return ST.benford_first_digit(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "docs_source_divergence",
+    oracle="""
+    WITH tok AS (SELECT source AS k, unnest(str_split(text, ' ')) AS w
+                 FROM documents),
+         counts AS (SELECT k, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         tots AS (SELECT k, sum(c) AS tot FROM counts GROUP BY 1),
+         dist AS (SELECT counts.k, w, c / tot AS p
+                  FROM counts JOIN tots ON counts.k = tots.k)
+    SELECT a.k AS source_a, b.k AS source_b,
+           count(*) AS n_shared_tokens,
+           round((sum(a.p * ln(2 * a.p / (a.p + b.p)))
+                  + sum(b.p * ln(2 * b.p / (a.p + b.p)))
+                  + (2 - sum(a.p) - sum(b.p)) * ln(2)) / 2, 6) AS js_divergence
+    FROM dist a JOIN dist b ON a.w = b.w AND a.k < b.k
+    GROUP BY 1, 2
+    """,
+)
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions — the corpus-balance diagnostic. Shared-token inner
+    join plus closed-form correction for one-sided tokens (their
+    mixture term is exactly p*ln2), so the shuffle is vocabulary-sized,
+    never document-sized."""
+    return ST.js_divergence_by_key(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "basket_brand_lift",
+    oracle="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM baskets),
+         ic AS (SELECT item, count(*) AS c FROM baskets GROUP BY 1),
+         pc AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_orders
+                FROM baskets a JOIN baskets b
+                  ON a.okey = b.okey AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT item_a, item_b, pair_orders,
+           floor(pair_orders * 1e4 / n_orders) / 1e4 AS support,
+           round(pair_orders * n_orders / (ca.c * CAST(cb.c AS DOUBLE)), 6) AS lift
+    FROM pc CROSS JOIN n
+    JOIN ic ca ON ca.item = item_a
+    JOIN ic cb ON cb.item = item_b
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between part brands co-occurring in an
+    order: support and lift. Part dim broadcasts; the only wide shuffle
+    is the basket self-join co-partitioned on orderkey, with pair
+    fan-out bounded per order, not per table."""
+    return ST.basket_lift(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+BM25_TERMS = ("spark", "merge", "window", "scan")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "docs_bm25_scores",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+                         str_split(text, ' ') AS toks
+                  FROM documents),
+         corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+         tf AS (SELECT doc_id, dl, w, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS w FROM docs) t
+                WHERE w IN ({_TERMS_SQL})
+                GROUP BY 1, 2, 3),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id, count(*) AS n_terms_hit,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * {X.BM25_K1 + 1!r}
+                        / (tf + {X.BM25_K1!r}
+                           * (1 - {X.BM25_B!r}
+                              + {X.BM25_B!r} * dl / avgdl)))), 4) AS bm25
+    FROM tf JOIN dfreq USING (w) CROSS JOIN corpus
+    GROUP BY doc_id
+    """,
+)
+def docs_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed probe-term set
+    — retrieval over the corpus with a vocabulary-sized broadcast of
+    document frequencies and zero UDFs. Full output (no LIMIT): rank
+    cutoffs on IEEE scores are engine-order-sensitive at ties."""
+    return X.bm25_scores(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+@query("dup_triangles", oracle=None)  # assembled below from the pairs oracle
+def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts in the LSH near-dup pair graph —
+    high counts flag tight template-spam cliques, not chains of
+    borderline pairs. Canonical-orientation wedge closure: two
+    equi-joins, each triangle found exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return G.triangle_participation(D.minhash_lsh_pairs(docs))
+
+
+ORACLE["dup_triangles"] = (
+    "WITH nd_pairs AS ("
+    + ORACLE["minhash_lsh_pairs"]
+    + """),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM nd_pairs),
+    tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+            FROM e ab
+            JOIN e bc ON ab.b = bc.a
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+    SELECT doc_id, count(*) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri) t
+    GROUP BY doc_id
+    """
+)
+
+
+@query(
+    "corpus_release_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id,
+                        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+                                 ELSE text END) AS fp_old
+                 FROM documents WHERE doc_id % 10 <> 0),
+         new AS (SELECT doc_id, md5(text) AS fp_new
+                 FROM documents WHERE doc_id % 13 <> 5),
+         j AS (SELECT fp_old, fp_new
+               FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old = fp_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs
+    FROM j GROUP BY 1
+    """,
+)
+def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two deterministic corpus snapshots
+    (validate.snapshot_diff): added / removed / changed / unchanged
+    counts. The full-outer join shuffles only (key, 16-byte hash)
+    projections regardless of document width. The two snapshots are
+    derived in-query (id-modulus membership, content perturbation) so
+    the diff semantics are oracle-checkable without extra fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1")))
+            .otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return (
+        V.snapshot_diff(old, new, "doc_id", "fp")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -206,6 +206,14 @@ def main() -> None:
         "dup_pagerank",
         "events_asof_next_purchase",
         "corpus_build_summary",
+        "events_trend_regression",
+        "events_autocorr_lag1",
+        "orders_benford_digits",
+        "docs_source_divergence",
+        "basket_brand_lift",
+        "docs_bm25_scores",
+        "dup_triangles",
+        "corpus_release_diff",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark import registry
 from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_stats  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.catalog import load_table
@@ -188,3 +189,36 @@ def test_pack_sequences_partitions_by_source(spark, sf_dir):
     assert "text" in read_schema  # scanned to size tokens...
     windows = [ln for ln in plan.splitlines() if "Window" in ln][0]
     assert "text" not in windows  # ...but never enters the window
+
+
+def test_trend_regression_is_single_partial_final_agg(spark, sf_dir):
+    """The regr_* trend query must be one partial+final hash aggregate
+    over the scan - no window, no join, one exchange on the group key."""
+    plan = _plan(registry.QUERIES["events_trend_regression"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_regr_slope" in plan  # map-side co-moment partials
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_basket_lift_broadcasts_dim_and_counts(spark, sf_dir):
+    """Part dim and the brand-count sides must broadcast; the only
+    sort-merge-eligible join is the basket self-join on orderkey."""
+    plan = _plan(registry.QUERIES["basket_brand_lift"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bm25_broadcasts_docfreq_and_corpus_stats(spark, sf_dir):
+    """df table and corpus stats are vocabulary-sized global state -
+    they must reach the score map-side as broadcasts, leaving one
+    shuffle keyed on (doc, term) plus the final per-doc aggregate."""
+    plan = _plan(registry.QUERIES["docs_bm25_scores"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus stats cross join
+
+
+def test_source_divergence_broadcasts_totals(spark, sf_dir):
+    """Per-source token totals (K rows) broadcast into the distribution
+    projection; the pair join shuffles vocabulary-sized distributions,
+    never documents."""
+    plan = _plan(registry.QUERIES["docs_source_divergence"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -14,6 +14,7 @@ from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_sql  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_stats  # noqa: F401
 from airflow_loan_etl_pipeline_spark.catalog import TABLE_NAMES
 
 

@@ -1,0 +1,87 @@
+"""Unit tests for the statistical-diagnostics operators
+(operators/stats.py), BM25, triangle counting, and snapshot_diff —
+semantics the differential oracle already pins numerically; these
+cover the edge behavior and known-graph shapes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.operators import graph as G
+from airflow_loan_etl_pipeline_spark.operators import stats as ST
+from airflow_loan_etl_pipeline_spark.operators import validate as V
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "fp"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["doc_id", "fp"]
+    )
+    rows = {
+        r["doc_id"]: r["status"]
+        for r in V.snapshot_diff(old, new, "doc_id", "fp").collect()
+    }
+    assert rows == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_triangle_participation_counts_known_graph(spark):
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in G.triangle_participation(edges).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_participation_empty_on_triangle_free_graph(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    assert G.triangle_participation(edges).count() == 0
+
+
+def test_benford_ignores_nonpositive_amounts(spark):
+    df = spark.createDataFrame(
+        [(123.4,), (0.0,), (-5.0,), (987.0,), (1.2,)], ["amt"]
+    )
+    rows = {r["digit"]: r["n_rows"] for r in ST.benford_first_digit(df, "amt").collect()}
+    assert rows == {1: 2, 9: 1}
+
+
+def test_trend_regression_recovers_exact_line(spark):
+    # y = 2*x + 1 sampled hourly: slope_per_day = 48, intercept = 1.
+    rows = [
+        ("a", float(2 * (h / 24.0) + 1), f"2024-01-0{1 + h // 24} {h % 24:02d}:00:00")
+        for h in range(48)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "value", "ts_s"]).select(
+        "event_type", "value", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = ST.trend_regression(df).collect()[0]
+    assert out["slope_per_day"] == 2.0
+    assert out["intercept"] == 1.0
+    assert out["time_corr"] == 1.0
+
+
+def test_js_divergence_zero_for_identical_distributions(spark):
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "a b c")], ["source", "text"]
+    )
+    out = ST.js_divergence_by_key(df).collect()
+    assert len(out) == 1
+    assert out[0]["js_divergence"] == 0.0
+    assert out[0]["n_shared_tokens"] == 3
+
+
+def test_js_divergence_ln2_for_disjoint_distributions(spark):
+    # Disjoint vocabularies share no tokens -> the pair never appears
+    # in the inner-join output (documented contract: fully disjoint
+    # pairs are absent; their JS is the ln(2) maximum by definition).
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "x y z")], ["source", "text"]
+    )
+    assert ST.js_divergence_by_key(df).count() == 0
