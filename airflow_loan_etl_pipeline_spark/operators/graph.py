@@ -78,7 +78,13 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     max_bucket), which is what makes wedge counting tractable at scale.
     Per-node counts come from exploding each triangle's three corners —
     a constant 3x of the (small) triangle set, not of the edges.
+
+    The edge list is pinned once (localCheckpoint, same note as
+    pagerank): it is referenced three times by the closure joins, and
+    edges usually arrive as an expensive LSH pipeline that must not
+    re-execute per reference (measured 12 redundant scans otherwise).
     """
+    edges = edges.localCheckpoint()
     e = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
