@@ -201,3 +201,45 @@ def basket_lift(
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    — the drift / association screen over corpus metadata (is language
+    independent of source?). One contingency groupBy, then broadcast
+    marginals; cells with zero observed count are folded in closed form
+    (their (0-e)^2/e term is just e, and sum(e) over ALL cells is N, so
+    the missing-cell mass is N - sum(e over observed cells)) — no dense
+    cross join of the category domains is ever materialized.
+    """
+    ct = (
+        df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rt = ct.groupBy("r").agg(F.sum("c").alias("rtot"))
+    cl = ct.groupBy("s").agg(F.sum("c").alias("stot"))
+    n = ct.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("s").alias("ns"),
+    )
+    # Marginal product in DOUBLE: rtot*stot in int64 overflows once row
+    # and column totals pass ~3e9 rows (trivially true at 100 TB).
+    e = F.col("rtot").cast("double") * F.col("stot") / F.col("n")
+    return (
+        ct.join(F.broadcast(rt), "r")
+        .join(F.broadcast(cl), "s")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_observed_cells"),
+            ((F.first("nr") - 1) * (F.first("ns") - 1)).alias("dof"),
+            F.round(
+                F.sum((F.col("c") - e) * (F.col("c") - e) / e)
+                + F.first("n")
+                - F.sum(e),
+                4,
+            ).alias("chi2"),
+        )
+    )

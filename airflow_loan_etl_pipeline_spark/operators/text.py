@@ -622,3 +622,27 @@ def bm25_scores(
             F.round(F.sum(term_score), 4).alias("bm25"),
         )
     )
+
+
+def length_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_chars_cap: int = 400,
+) -> DataFrame:
+    """Importance sampling with keep-probability proportional to
+    document length (capped): keep iff
+    ``md5(doc_id) % 1e6 < min(n_chars, cap) * 1e6 / cap``. Same
+    content-addressed determinism as corpus_mix_sample — the identical
+    document makes the identical cut on any engine or partitioning —
+    but with a CONTINUOUS per-row weight instead of per-stratum rates.
+    Pure scan-local codegen filter, no shuffle.
+    """
+    h = (
+        f"cast(conv(substr(md5(cast({id_col} AS string)), 1, 8), 16, 10) "
+        "AS bigint) % 1000000"
+    )
+    threshold = (
+        F.least(F.col("n_chars"), F.lit(weight_chars_cap)) * 1e6
+        / F.lit(float(weight_chars_cap))
+    )
+    return df.withColumn("_u", F.expr(h)).filter(F.col("_u") < threshold).drop("_u")

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 EWMA_ALPHA = 0.3
 
@@ -122,3 +123,38 @@ def funnel(
         for i in range(1, len(steps))
     ]
     return row.select(*cols, *rates)
+
+
+def collapse_state_runs(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+) -> DataFrame:
+    """SCD Type-2 style history build: collapse consecutive identical
+    states per key into validity runs (valid_from, valid_to, n_periods)
+    — gaps-and-islands via the row_number difference (rows sharing
+    ``rn_overall - rn_within_state`` form one run). Two window passes
+    and the final groupBy all share the same key partitioning, so
+    Catalyst plans ONE shuffle on the key; no self-join, no range
+    expansion. State must be a discrete column (derive buckets from
+    exact integers upstream, not from IEEE aggregates, so run
+    boundaries are engine-reproducible).
+    """
+    w_all = Window.partitionBy(key_col).orderBy(time_col)
+    w_state = Window.partitionBy(key_col, state_col).orderBy(time_col)
+    runs = df.select(
+        key_col,
+        time_col,
+        state_col,
+        (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("_grp"),
+    )
+    return (
+        runs.groupBy(key_col, state_col, "_grp")
+        .agg(
+            F.min(time_col).alias("valid_from"),
+            F.max(time_col).alias("valid_to"),
+            F.count(F.lit(1)).alias("n_periods"),
+        )
+        .drop("_grp")
+    )

@@ -252,3 +252,125 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "docs_lang_source_chi2",
+    oracle="""
+    WITH ct AS (SELECT lang AS r, source AS s, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+         rt AS (SELECT r, sum(c) AS rtot FROM ct GROUP BY 1),
+         cl AS (SELECT s, sum(c) AS stot FROM ct GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                      count(DISTINCT r) AS nr,
+                      count(DISTINCT s) AS ns
+               FROM ct)
+    SELECT count(*) AS n_observed_cells,
+           (first(nr) - 1) * (first(ns) - 1) AS dof,
+           round(sum((c - CAST(rtot AS DOUBLE) * stot / n)
+                     * (c - CAST(rtot AS DOUBLE) * stot / n)
+                     / (CAST(rtot AS DOUBLE) * stot / n))
+                 + first(n)
+                 - sum(CAST(rtot AS DOUBLE) * stot / n), 4) AS chi2
+    FROM ct JOIN rt USING (r) JOIN cl USING (s) CROSS JOIN n
+    """,
+)
+def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of language vs source — the metadata
+    drift/association screen. Contingency groupBy + broadcast
+    marginals; zero-observed cells folded in closed form (no dense
+    category cross join)."""
+    return ST.chi_square_independence(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@query(
+    "user_tier_scd2",
+    oracle="""
+    WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+         st AS (SELECT user_id, day,
+                       CASE WHEN n >= 3 THEN 'high'
+                            WHEN n = 2 THEN 'mid'
+                            ELSE 'low' END AS tier
+                FROM daily),
+         runs AS (SELECT user_id, day, tier,
+                         row_number() OVER (PARTITION BY user_id ORDER BY day)
+                         - row_number() OVER (PARTITION BY user_id, tier ORDER BY day)
+                           AS grp
+                  FROM st)
+    SELECT user_id, tier,
+           min(day) AS valid_from,
+           max(day) AS valid_to,
+           count(*) AS n_periods
+    FROM runs GROUP BY user_id, tier, grp
+    """,
+)
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of a per-user daily activity tier: collapse
+    consecutive identical states into validity runs
+    (timeseries.collapse_state_runs, gaps-and-islands). The state is
+    derived from an exact integer (daily event count), never an IEEE
+    aggregate, so run boundaries are engine-reproducible; all windows
+    and the final groupBy share one user_id shuffle."""
+    from airflow_loan_etl_pipeline_spark.operators import timeseries as T
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tiered = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("n") >= 3, "high")
+        .when(F.col("n") == 2, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    return T.collapse_state_runs(tiered, "user_id", "day", "tier")
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < least(n_chars, 400) * 1e6 / 400.0
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling, content-addressed
+    (text.length_weighted_sample): the same doc makes the same cut on
+    any engine/partitioning. Scan-local filter, zero shuffle."""
+    return X.length_weighted_sample(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+    )
+
+
+@query(
+    "docs_length_pct_rank",
+    oracle="""
+    SELECT doc_id, lang,
+           round(percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id), 6)
+               AS len_pct_rank
+    FROM documents
+    """,
+)
+def docs_length_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percent-rank normalization of document length — the
+    group-wise score-calibration primitive (rank-normalize a raw signal
+    within each stratum before mixing strata). percent_rank is rational
+    ((rank-1)/(n-1)) so both engines produce identical doubles; one
+    window shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.round(F.percent_rank().over(w), 6).alias("len_pct_rank")
+    )

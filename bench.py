@@ -214,6 +214,10 @@ def main() -> None:
         "docs_bm25_scores",
         "dup_triangles",
         "corpus_release_diff",
+        "docs_lang_source_chi2",
+        "user_tier_scd2",
+        "corpus_weighted_sample",
+        "docs_length_pct_rank",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

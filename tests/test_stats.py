@@ -85,3 +85,42 @@ def test_js_divergence_ln2_for_disjoint_distributions(spark):
         [("s1", "a a b"), ("s2", "x y z")], ["source", "text"]
     )
     assert ST.js_divergence_by_key(df).count() == 0
+
+
+def test_collapse_state_runs_gaps_and_islands(spark):
+    from airflow_loan_etl_pipeline_spark.operators import timeseries as T
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "b")],
+        ["k", "t", "st"],
+    )
+    runs = sorted(
+        (r["k"], r["st"], r["valid_from"], r["valid_to"], r["n_periods"])
+        for r in T.collapse_state_runs(df, "k", "t", "st").collect()
+    )
+    assert runs == [
+        (1, "a", 1, 2, 2),
+        (1, "a", 4, 4, 1),
+        (1, "b", 3, 3, 1),
+        (2, "b", 1, 1, 1),
+    ]
+
+
+def test_chi_square_zero_for_independent_columns(spark):
+    # Perfectly balanced 2x2 contingency: chi2 == 0, dof == 1.
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 5
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = ST.chi_square_independence(df, "a", "b").collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["dof"] == 1
+    assert out["n_observed_cells"] == 4
+
+
+def test_chi_square_counts_missing_cells_mass(spark):
+    # Diagonal-only occupancy: the two absent cells contribute their
+    # expected mass (closed form), total chi2 = N for a 2x2 diagonal.
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = ST.chi_square_independence(df, "a", "b").collect()[0]
+    assert out["chi2"] == 20.0
+    assert out["n_observed_cells"] == 2
