@@ -374,3 +374,105 @@ def docs_length_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.round(F.percent_rank().over(w), 6).alias("len_pct_rank")
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH fp AS (SELECT DISTINCT source,
+                       md5(array_to_string((str_split(text, ' '))[1:8], ' ')) AS fp
+                FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_docs
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source content overlap by opening-passage
+    fingerprint (md5 of the first 8 tokens — the standard blocking key
+    for "same page, different boilerplate tail") — the "which feeds
+    re-crawl each other" dedup diagnostic. Distinct (source,
+    fingerprint) projection, then a fingerprint self-equi-join: the
+    shuffle carries 16-byte hashes, never text, and pair fan-out is
+    bounded by per-fingerprint source multiplicity (≤ K sources), not
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")).alias(
+            "fp"
+        ),
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
+
+
+from airflow_loan_etl_pipeline_spark.registry_text import (  # noqa: E402
+    _HASH32_DUCK,
+    _SHINGLES_DUCK,
+)
+
+_HASH32_SPARK = "cast(conv(substr(md5({x}), 1, 8), 16, 10) AS bigint)"
+
+
+@query(
+    "docs_novelty",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+         srows AS (SELECT doc_id, len(shingles) AS n_shingles,
+                          unnest(shingles) AS s
+                   FROM tok),
+         h AS (SELECT doc_id, n_shingles,
+                      {_HASH32_DUCK.format(x='s')} AS sh
+               FROM srows),
+         firsts AS (SELECT sh, min(doc_id) AS first_doc FROM h GROUP BY 1)
+    SELECT h.doc_id, h.n_shingles,
+           count(CASE WHEN f.first_doc < h.doc_id THEN 1 END) AS n_seen_before,
+           floor((h.n_shingles
+                  - count(CASE WHEN f.first_doc < h.doc_id THEN 1 END))
+                 * 1e4 / h.n_shingles) / 1e4 AS novelty_share
+    FROM h JOIN firsts f USING (sh)
+    GROUP BY h.doc_id, h.n_shingles
+    """,
+)
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against the corpus prefix (by doc_id order):
+    the share of a doc's distinct shingles whose global first occurrence
+    is an EARLIER document — the curriculum / redundancy-scoring signal
+    ("this page is 90% already-seen trigrams"). First-occurrence is a
+    min-aggregate over 8-byte shingle hashes; the join back carries
+    (hash, doc_id) only, so text never shuffles. Same one-pass
+    mapInPandas shingling as the dedup family (dedup.shingle_rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srows = D.shingle_rows(docs).select(
+        "doc_id",
+        F.col("n_sh").alias("n_shingles"),
+        F.expr(_HASH32_SPARK.format(x="s_str")).alias("sh"),
+    )
+    firsts = srows.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1)).alias(
+        "n_seen_before"
+    )
+    return (
+        srows.join(firsts, "sh")
+        .groupBy("doc_id", "n_shingles")
+        .agg(seen)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen_before",
+            (
+                F.floor(
+                    (F.col("n_shingles") - F.col("n_seen_before"))
+                    * 1e4
+                    / F.col("n_shingles")
+                )
+                / 1e4
+            ).alias("novelty_share"),
+        )
+    )

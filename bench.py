@@ -218,6 +218,8 @@ def main() -> None:
         "user_tier_scd2",
         "corpus_weighted_sample",
         "docs_length_pct_rank",
+        "source_overlap_matrix",
+        "docs_novelty",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
