@@ -19,6 +19,7 @@ from airflow_loan_etl_pipeline_spark import registry
 from airflow_loan_etl_pipeline_spark import registry_rel  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_sql  # noqa: F401
+from airflow_loan_etl_pipeline_spark import registry_stats  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_stream  # noqa: F401
 from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.session import get_spark
