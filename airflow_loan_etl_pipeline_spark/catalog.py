@@ -33,16 +33,28 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as a long and rebuild a microsecond
-    timestamp with integer division (a double division would lose
-    precision above 2^53 ns).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet
+    reader rejects — read as long, rebuild a microsecond timestamp with
+    integer division; double division would lose precision above
+    2^53 ns) and plain TIMESTAMP(MICROS) (pass through). Dispatch on the
+    dtype the reader actually surfaces so both generations load.
     """
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # Downstream operators cast ts to bigint/double (epoch math),
+            # which TIMESTAMP_NTZ forbids; normalize to session-tz LTZ
+            # TIMESTAMP — the exact dtype the nanos rebuild produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Surface parquet naive timestamps as session-tz TIMESTAMP (LTZ),
+        # not TIMESTAMP_NTZ: epoch math (cast to bigint/double, window())
+        # is legal on LTZ only, and the UTC session pin makes the two
+        # encodings numerically identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
