@@ -322,6 +322,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT of the smaller
+    shingle set in the larger — ``inter / least(na, nb)``.
+
+    Jaccard misses quote-inclusion: a 50-token doc pasted verbatim into
+    a 5000-token doc has containment 1.0 but Jaccard ~0.01, so a
+    Jaccard-thresholded dedup keeps both and the short doc's content is
+    double-weighted in training. Containment (Broder's resemblance
+    companion measure) is the standard fix for subset/superset dups —
+    boilerplate headers, quoted replies, concatenated shards.
+
+    Same physical shape as :func:`ngram_jaccard_pairs` (one shuffle on
+    the 8-byte shingle hash, codegen self-equi-join, pair-count
+    aggregate); only the final scoring expression differs, so the
+    ``max_df`` hot-shingle cap and the AQE-exempt numbered repartition
+    carry over unchanged. Containment is MORE sensitive to hot shingles
+    than Jaccard (a small doc of pure boilerplate is "contained" in
+    everything), so at 100 TB run this capped.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    ex = sh.select(
+        F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
+    )
+    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
+    a = ex.select("s", F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    b = ex.select("s", F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("na"), F.col("nb")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """Per-document SimHash over token hashes: one explode + one

@@ -471,6 +471,88 @@ def corpus_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the NEAR-DUP CLUSTER id, not
+    the document id: every member of a duplicate cluster lands in the
+    same split.
+
+    :func:`corpus_split` hashes the doc id, so two near-identical
+    documents can straddle train and test — the classic eval-leakage
+    bug (the model is "tested" on a paraphrase of a training doc).
+    Hashing the cluster representative instead makes leakage across
+    splits impossible by construction, while keeping the same
+    determinism contract: content-addressed, engine/partitioning/rerun
+    independent, and adding documents never moves existing clusters.
+
+    Scale shape: the cluster map is (doc_id, cluster_id) — one equi-join
+    on the doc id (broadcastable when only dup clusters are passed;
+    singletons default to their own id via the left join + coalesce),
+    then scan-local md5. No new shuffle beyond the join.
+    """
+    labeled = docs.select(id_col).join(
+        clusters.select(
+            F.col(id_col), F.col("cluster_id").alias("_cid")
+        ),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("_cid"), F.col(id_col)))
+    h = (
+        "cast(conv(substr(md5(cast(cluster_id AS string)), 1, 8), 16, 10) "
+        "AS bigint) % 100"
+    )
+    split = (
+        F.when(F.expr(h) >= 100 - test_pct, F.lit("test"))
+        .when(F.expr(h) >= 100 - test_pct - val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return labeled.select(
+        F.col(id_col), F.col("cluster_id"), split.alias("split")
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every document
+    by ``md5(seed || id)`` — a content-addressed permutation that is
+    identical on any engine, partition layout, or rerun (a seeded
+    ``orderBy(rand())`` is none of those: rand() is per-partition-seeded,
+    so the SAME seed gives a different order after a repartition).
+
+    Training pipelines need this once per epoch spec: interleaving
+    sources destroys the within-source ordering correlations (curriculum
+    accidents, crawl-date clumping) that hurt convergence.
+
+    Scale shape: one range shuffle. ``row_number`` over a global ORDER BY
+    is planned as a range partition on the hash (sampled bounds) +
+    within-partition sort — the hash key is uniform by construction, so
+    the range partitions are balanced with no skew handling needed. For
+    the materialization path, skip the rank entirely and
+    ``repartitionByRange(n, hash).sortWithinPartitions(hash)`` — same
+    order, no single-partition window (see io.write_sorted_ranged).
+    """
+    h = (
+        f"cast(conv(substr(md5(concat(cast({seed} AS string), ':', "
+        f"cast({id_col} AS string))), 1, 15), 16, 10) AS bigint)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", F.expr(h))
+        .withColumn("shuffle_rank", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def oov_stats(
     df: DataFrame, vocab_k: int = 20, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1252,3 +1252,94 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_loan_etl_pipeline_spark.plans.corpus_build import build_corpus
 
     return build_corpus(spark, sf_dir)
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
+    inter AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+        FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / least(na, nb), 4) AS containment
+    FROM inter WHERE round(inter / least(na, nb), 4) >= 0.5
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (subset/superset) near-dup pairs: containment of the
+    smaller shingle set in the larger. Catches quote-inclusion dups —
+    a short doc pasted into a long one scores ~1.0 here but ~0.01
+    Jaccard, so Jaccard-only dedup double-weights it in training."""
+    return D.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    ue AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+    labeled AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                     % 100 >= 95 THEN 'test'
+                WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                     % 100 >= 90 THEN 'val'
+                ELSE 'train' END AS split
+    FROM labeled
+    """,
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split hashed on the NEAR-DUP CLUSTER id: near-
+    duplicate documents can never straddle train and test (the eval-
+    leakage bug a doc-id-hashed split allows). Composition: MinHash-LSH
+    pairs -> pointer-jumping clusters -> content-addressed split of the
+    cluster representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    clusters = D.dup_clusters(docs, pairs)
+    return X.leakage_safe_split(docs, clusters)
+
+
+@query(
+    "corpus_shuffle_order",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY hh ASC, doc_id ASC) AS shuffle_rank
+    FROM h
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc ranked by
+    md5(seed:id) — identical on any engine/partitioning/rerun, unlike
+    orderBy(rand(seed)) whose per-partition seeding reorders after any
+    repartition. The per-epoch interleave that breaks crawl-date and
+    source clumping."""
+    return X.shuffle_order(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "shuffle_rank")

@@ -221,6 +221,9 @@ def main() -> None:
         "docs_length_pct_rank",
         "source_overlap_matrix",
         "docs_novelty",
+        "ngram_containment_pairs",
+        "corpus_split_leakage_safe",
+        "corpus_shuffle_order",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -227,3 +227,73 @@ def test_pack_sequences_conserves_tokens(spark):
         rs.sort(key=lambda r: r.bin_id)
         for prev, cur in zip(rs, rs[1:]):
             assert prev.last_doc < cur.first_doc  # contiguous, no overlap
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, short),                    # 5 tokens, 3 trigrams
+            (2, filler + " " + short),     # short doc pasted into long one
+            (3, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    # every trigram of doc 1 appears in doc 2 -> containment 1.0
+    assert cont == {(1, 2): 1.0}
+    # symmetric Jaccard is ~3/63 -- far below any useful threshold
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    assert jac == []
+
+
+def test_containment_max_df_drops_hot_shingles(spark):
+    hot = "the of and"  # appears in every doc
+    docs = spark.createDataFrame(
+        [(i, hot + f" unique{i} filler{i} tail{i}") for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    uncapped = D.ngram_containment_pairs(docs, threshold=0.1).collect()
+    assert len(uncapped) > 0  # hot trigram links every pair
+    capped = D.ngram_containment_pairs(docs, threshold=0.1, max_df=3).collect()
+    assert capped == []  # df=7 shingle dropped; no informative overlap
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    # two chained clusters: {1,2,3} and {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    clusters = D.dup_clusters(docs, pairs)
+    out = {r.doc_id: r for r in X.leakage_safe_split(docs, clusters).collect()}
+    assert len(out) == 10
+    # all members of a cluster share rep AND split
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    assert out[7].cluster_id == out[8].cluster_id == 7
+    assert out[7].split == out[8].split
+    # singletons label themselves
+    assert out[5].cluster_id == 5
+
+
+def test_shuffle_order_is_partitioning_invariant_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.shuffle_rank for r in X.shuffle_order(docs).collect()}
+    b = {
+        r.doc_id: r.shuffle_rank
+        for r in X.shuffle_order(docs.repartition(7)).collect()
+    }
+    assert a == b  # same order under any physical layout
+    assert sorted(a.values()) == list(range(1, 101))  # a true permutation
+    # different seed -> different permutation (content-addressed, not id order)
+    c = {r.doc_id: r.shuffle_rank for r in X.shuffle_order(docs, seed=7).collect()}
+    assert c != a
