@@ -243,3 +243,81 @@ def chi_square_independence(
             ).alias("chi2"),
         )
     )
+
+
+RFM_ANCHOR = "1998-12-31"
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores), reduced to per-segment counts.
+
+    Deliberately NOT the textbook ``ntile(4)`` formulation: a global
+    ntile is a single-partition window — the whole customer table
+    through one task. Instead the three quartile boundaries are computed
+    as ONE tiny aggregate (exact interpolated percentiles over integer
+    days / counts / cents, per the engine's cross-engine parity rule)
+    and broadcast back as a 1-row cross join; scoring is then a
+    scan-local comparison ladder. Two shuffles total (per-customer agg +
+    final segment count), both map-side combinable, nothing global.
+
+    Ties differ from ntile semantics at quartile boundaries (every tied
+    value gets the SAME score here, where ntile splits ties by rank
+    order) — for segmentation that is the better contract anyway, and it
+    is what makes the distributed plan possible.
+    """
+    per_cust = orders.groupBy(cust_col).agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max(F.col(date_col).cast("date"))
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("bigint")).alias("mon_cents"),
+    )
+    qs = per_cust.agg(
+        *[
+            F.expr(f"percentile(rec_days, {p})").alias(f"r{i}")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.expr(f"percentile(freq, {p})").alias(f"f{i}")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.expr(f"percentile(mon_cents, {p})").alias(f"m{i}")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+    )
+    # Low recency is GOOD: score 4 for the most recent quartile.
+    r_score = (
+        F.lit(4)
+        - (F.col("rec_days") > F.col("r1")).cast("int")
+        - (F.col("rec_days") > F.col("r2")).cast("int")
+        - (F.col("rec_days") > F.col("r3")).cast("int")
+    )
+    f_score = (
+        F.lit(1)
+        + (F.col("freq") > F.col("f1")).cast("int")
+        + (F.col("freq") > F.col("f2")).cast("int")
+        + (F.col("freq") > F.col("f3")).cast("int")
+    )
+    m_score = (
+        F.lit(1)
+        + (F.col("mon_cents") > F.col("m1")).cast("int")
+        + (F.col("mon_cents") > F.col("m2")).cast("int")
+        + (F.col("mon_cents") > F.col("m3")).cast("int")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(qs))
+        .select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

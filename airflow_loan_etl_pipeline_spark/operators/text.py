@@ -728,3 +728,92 @@ def length_weighted_sample(
         / F.lit(float(weight_chars_cap))
     )
     return df.withColumn("_u", F.expr(h)).filter(F.col("_u") < threshold).drop("_u")
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the poor-man's LM quality filter (the CCNet
+    recipe scores docs with a KenLM model; the unigram corpus model is
+    its zero-dependency analogue). Documents full of rare/garbage
+    tokens score very negative; boilerplate scores near the corpus mode.
+
+    Plan: one explode of token occurrences, a map-side-combinable
+    count aggregate, a 1-row total broadcast, then a token-level
+    equi-join back to the occurrences and a per-doc avg. The join keys
+    on the raw token string (dictionary-encoded, shuffle-compressed);
+    at 100 TB swap the join for a BROADCAST of the top-V vocabulary
+    with a rare-token floor probability — the tail of the distribution
+    carries almost no mass, so the cutoff changes scores negligibly
+    while removing the corpus-sized shuffle entirely.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "t", F.log(F.col("c") / F.col("n_total")).alias("lp")
+    )
+    return (
+        tok.join(lp, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # round(x, 6), not floor-scaling: log values are irrational,
+            # never exact decimal halves (the repo's float-parity rule).
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def length_rebalance(
+    df: DataFrame,
+    bucket_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Uniform length-distribution rebalance: bucket documents by token
+    count, then down-sample every bucket to the SMALLEST bucket's size,
+    keeping the deterministically-first docs by content hash.
+
+    Long-tail length skew is a real training-mix problem (crawl corpora
+    are dominated by short docs; naive sampling starves the long-doc
+    buckets that teach long-range structure). Selection inside a bucket
+    is ranked by ``md5(doc_id)`` — engine/partitioning/rerun invariant,
+    no RNG.
+
+    Plan: scan-local bucketing, one tiny bucket-size aggregate joined
+    back by broadcast, one window partitioned BY BUCKET (parallel across
+    buckets — never global), one final count. The window's per-bucket
+    ordering is the scale constraint: a mega-bucket sorts in one task's
+    spill space, which is exactly the skew the rebalance exists to
+    remove, and the post-filter output is min_size rows per bucket.
+    """
+    from pyspark.sql import Window
+
+    # Integer division, never a double→int cast: Spark's cast truncates
+    # while DuckDB's rounds half-to-even — `div` is floor on both.
+    b = df.select(
+        F.col(id_col),
+        F.expr(
+            f"size(split({text_col}, ' ')) div {bucket_tokens}"
+        ).alias("bucket"),
+    )
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    target = sizes.agg(F.min("n_docs").alias("n_target"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    kept = (
+        b.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("n_target"))
+    )
+    return (
+        kept.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(sizes, "bucket")
+        .select("bucket", "n_docs", "n_kept")
+    )

@@ -158,3 +158,37 @@ def collapse_state_runs(
         )
         .drop("_grp")
     )
+
+
+def debounce(
+    events: DataFrame,
+    min_gap_s: int = 60,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key event debounce: an event is kept iff it is the key's
+    first event or arrives at least ``min_gap_s`` after the PREVIOUS
+    RAW event (lag semantics — deliberately not "previous kept": that
+    variant is sequentially dependent, O(run-length) iterations on any
+    engine, while lag-debounce is one window pass; for bot-burst and
+    double-fire cleanup the two differ only inside sustained bursts,
+    where lag-debounce is the stricter filter).
+
+    One shuffle (the window key), deterministic total order via the id
+    tiebreak. Reduced to per-type kept/dropped counts.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = F.col(ts_col).cast("double") - F.lag(
+        F.col(ts_col).cast("double")
+    ).over(w)
+    flagged = events.select(
+        F.col(key_cols[1]),
+        (gap.isNull() | (gap >= min_gap_s)).cast("int").alias("keep"),
+    )
+    return flagged.groupBy(key_cols[1]).agg(
+        F.sum("keep").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).alias("n_dropped"),
+    )

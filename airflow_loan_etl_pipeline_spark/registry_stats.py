@@ -19,6 +19,7 @@ from airflow_loan_etl_pipeline_spark.operators import dedup as D
 from airflow_loan_etl_pipeline_spark.operators import graph as G
 from airflow_loan_etl_pipeline_spark.operators import stats as ST
 from airflow_loan_etl_pipeline_spark.operators import text as X
+from airflow_loan_etl_pipeline_spark.operators import timeseries as TS
 from airflow_loan_etl_pipeline_spark.operators import validate as V
 from airflow_loan_etl_pipeline_spark.registry import ORACLE, query
 
@@ -476,3 +477,125 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_share"),
         )
     )
+
+
+@query(
+    "docs_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS n_total FROM cnt),
+    lp AS (SELECT t, ln(c / (SELECT n_total FROM tot)) AS lp FROM cnt)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob
+    FROM tok JOIN lp USING (t)
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    token distribution — the zero-dependency analogue of the CCNet
+    KenLM quality filter (rare/garbage-token docs score very negative)."""
+    return X.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{ST.RFM_ANCHOR}') AS rec_days,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY 1
+    ),
+    qs AS (
+        SELECT quantile_cont(rec_days, 0.25) AS r1,
+               quantile_cont(rec_days, 0.5) AS r2,
+               quantile_cont(rec_days, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1,
+               quantile_cont(freq, 0.5) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(mon_cents, 0.25) AS m1,
+               quantile_cont(mon_cents, 0.5) AS m2,
+               quantile_cont(mon_cents, 0.75) AS m3
+        FROM per_cust
+    )
+    SELECT 4 - CAST(rec_days > r1 AS INT) - CAST(rec_days > r2 AS INT)
+             - CAST(rec_days > r3 AS INT) AS r_score,
+           1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+             + CAST(freq > f3 AS INT) AS f_score,
+           1 + CAST(mon_cents > m1 AS INT) + CAST(mon_cents > m2 AS INT)
+             + CAST(mon_cents > m3 AS INT) AS m_score,
+           count(*) AS n_customers
+    FROM per_cust CROSS JOIN qs
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation without the textbook global-ntile single-
+    partition window: exact quartile thresholds as one tiny broadcast
+    aggregate (interpolated percentiles over integer days/counts/cents
+    for cross-engine parity), scoring as a scan-local comparison
+    ladder, reduced to per-segment counts."""
+    return ST.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 1 ELSE 0 END)
+               AS n_kept,
+           sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 0 ELSE 1 END)
+               AS n_dropped
+    FROM g GROUP BY 1
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) event debounce: keep events ≥60 s after the
+    previous raw event (lag semantics — one window pass; the
+    previous-KEPT variant is sequentially dependent and documented as
+    the deliberate non-choice). Double-fire/bot-burst cleanup."""
+    return TS.debounce(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "corpus_length_rebalance",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) // 16 AS bucket
+        FROM documents
+    ),
+    sizes AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+    target AS (SELECT min(n_docs) AS n_target FROM sizes),
+    ranked AS (
+        SELECT bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id)
+                   AS rk
+        FROM b
+    )
+    SELECT bucket, n_docs, count(*) AS n_kept
+    FROM ranked CROSS JOIN target JOIN sizes USING (bucket)
+    WHERE rk <= n_target
+    GROUP BY bucket, n_docs
+    """,
+)
+def corpus_length_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform length-distribution rebalance: bucket docs by token
+    count, down-sample every bucket to the smallest bucket's size,
+    selecting deterministically by content hash (no RNG). The
+    training-mix step that stops short-doc crawl skew from starving
+    long-context learning."""
+    return X.length_rebalance(load_table(spark, sf_dir, "documents"))

@@ -224,6 +224,10 @@ def main() -> None:
         "ngram_containment_pairs",
         "corpus_split_leakage_safe",
         "corpus_shuffle_order",
+        "docs_unigram_logprob",
+        "orders_rfm_segments",
+        "events_debounce",
+        "corpus_length_rebalance",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -297,3 +297,33 @@ def test_shuffle_order_is_partitioning_invariant_permutation(spark):
     # different seed -> different permutation (content-addressed, not id order)
     c = {r.doc_id: r.shuffle_rank for r in X.shuffle_order(docs, seed=7).collect()}
     assert c != a
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in X.unigram_logprob(docs).collect()}
+    # counts: a=2, b=1, c=1, total=4
+    d1 = (2 * math.log(2 / 4) + math.log(1 / 4)) / 3
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logprob == round(d1, 6)
+    assert out[2].avg_logprob == round(math.log(1 / 4), 6)
+    # the rare-token doc scores strictly lower
+    assert out[2].avg_logprob < out[1].avg_logprob
+
+
+def test_length_rebalance_downsamples_to_min_bucket(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"), (2, "c d"), (3, "e f"),          # bucket 1 (2//2)
+            (4, "g h i j"), (5, "k l m n"),              # bucket 2
+            (6, "o"),                                    # bucket 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: r for r in X.length_rebalance(docs, bucket_tokens=2).collect()}
+    assert {b: r.n_docs for b, r in out.items()} == {0: 1, 1: 3, 2: 2}
+    assert all(r.n_kept == 1 for r in out.values())  # min bucket size is 1

@@ -124,3 +124,42 @@ def test_chi_square_counts_missing_cells_mass(spark):
     out = ST.chi_square_independence(df, "a", "b").collect()[0]
     assert out["chi2"] == 20.0
     assert out["n_observed_cells"] == 2
+
+
+def test_rfm_segments_scores_quartiles(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import rfm_segments
+
+    # freq varies 1..4; recency and monetary constant across customers.
+    rows = []
+    for cust, n in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        for i in range(n):
+            # per-customer TOTAL spend is constant (monetary is a sum)
+            rows.append((cust, "1998-01-01", 1200.0 / n))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = rfm_segments(orders).collect()
+    # identical recency/monetary -> same r/m everywhere; freq quartiles
+    # split the four customers into four distinct f_scores.
+    assert sorted(r.f_score for r in out) == [1, 2, 3, 4]
+    assert all(r.n_customers == 1 for r in out)
+    assert len({(r.r_score, r.m_score) for r in out}) == 1
+
+
+def test_debounce_lag_semantics(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import debounce
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0, ""),
+            (2, "2024-01-01 00:00:30", 7, "click", 1.0, ""),  # 30s: drop
+            (3, "2024-01-01 00:01:30", 7, "click", 1.0, ""),  # 60s: keep
+            (4, "2024-01-01 00:01:40", 7, "click", 1.0, ""),  # 10s: drop
+            (5, "2024-01-01 00:00:10", 8, "click", 1.0, ""),  # other key
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in debounce(events).collect()}
+    assert out["click"].n_kept == 3  # ids 1, 3, 5
+    assert out["click"].n_dropped == 2  # ids 2, 4
