@@ -531,13 +531,24 @@ def shuffle_order(
     sources destroys the within-source ordering correlations (curriculum
     accidents, crawl-date clumping) that hurt convergence.
 
-    Scale shape: one range shuffle. ``row_number`` over a global ORDER BY
-    is planned as a range partition on the hash (sampled bounds) +
-    within-partition sort — the hash key is uniform by construction, so
-    the range partitions are balanced with no skew handling needed. For
-    the materialization path, skip the rank entirely and
-    ``repartitionByRange(n, hash).sortWithinPartitions(hash)`` — same
-    order, no single-partition window (see io.write_sorted_ranged).
+    Scale shape: the naive ``row_number() OVER (ORDER BY hash)`` plans
+    as an Exchange SinglePartition — the whole corpus through one task.
+    This uses the standard distributed global-rank recipe instead:
+    range-partition on (hash, id) (uniform key → balanced bounds), rank
+    LOCALLY per shuffle partition (parallel window on the partition id),
+    then add per-partition offsets computed from a tiny
+    partitions-count aggregate (≤ parallelism rows) broadcast back. The
+    global rank is exact whatever bounds the range sampler picked,
+    because ranges are ordered and ranking is dense within each. For a
+    pure materialization, skip ranking entirely:
+    ``repartitionByRange(n, hash).sortWithinPartitions(hash)`` gives
+    the same order.
+
+    The offsets branch re-derives the ranked subtree (the
+    ``spark_partition_id`` marker blocks exchange reuse); at corpus
+    scale persist/localCheckpoint the ranked frame first so the range
+    shuffle runs once — both passes are balanced-parallel either way,
+    which is the point: the naive formulation serializes the corpus.
     """
     h = (
         f"cast(conv(substr(md5(concat(cast({seed} AS string), ':', "
@@ -545,11 +556,31 @@ def shuffle_order(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
-    return (
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranked = (
         df.withColumn("_h", F.expr(h))
-        .withColumn("shuffle_rank", F.row_number().over(w))
-        .drop("_h")
+        .repartitionByRange(n, F.col("_h"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    local = ranked.withColumn("_lrk", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # ≤ `n` rows: the running-offset window is single-partition over a
+    # parallelism-sized aggregate, not over the corpus.
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "shuffle_rank", (F.col("_lrk") + F.col("_off")).cast("bigint")
+        )
+        .drop("_h", "_pid", "_lrk", "_off")
     )
 
 

@@ -222,3 +222,56 @@ def test_source_divergence_broadcasts_totals(spark, sf_dir):
     never documents."""
     plan = _plan(registry.QUERIES["docs_source_divergence"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_segments_has_no_window(spark, sf_dir):
+    """RFM scoring must avoid the textbook global ntile (a single-
+    partition window): thresholds arrive as a 1-row broadcast cross
+    join, scoring is scan-local, and the only exchanges are the two
+    map-side-combinable aggregates."""
+    plan = _plan(registry.QUERIES["orders_rfm_segments"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row thresholds
+    assert "partial_percentile" in plan  # percentile agg is partial+final
+
+
+def test_shuffle_order_never_single_partitions_the_corpus(spark, sf_dir):
+    """The global training-order rank must use the distributed recipe
+    (range partition + per-partition local rank + broadcast offsets).
+    The documents table must NEVER pass through Exchange
+    SinglePartition — the only SinglePartition allowed is the
+    parallelism-sized offset aggregate."""
+    plan = _plan(registry.QUERIES["corpus_shuffle_order"](spark, sf_dir))
+    assert "Arguments: rangepartitioning" in plan
+    assert "spark_partition_id" in plan.lower()
+    # offsets reach the rank join as a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
+    # a SinglePartition exchange may only feed a Window/agg over the
+    # tiny _pid counts — it must never sit directly on the parquet scan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Arguments: SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 6): i])
+            assert "Scan parquet" not in ctx
+
+
+def test_containment_pins_aqe_exempt_repartition(spark, sf_dir):
+    """The containment pair expansion must ride the numbered,
+    AQE-exempt repartition on the shingle hash (REPARTITION_BY_NUM) so
+    the multiply-out stage can't be coalesced serial — the same pin the
+    Jaccard generator carries. (At fixture scale one join side
+    broadcasts; at corpus scale the shared exchange makes the self-join
+    shuffle-free on both sides.)"""
+    plan = _plan(registry.QUERIES["ngram_containment_pairs"](spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_length_rebalance_window_is_per_bucket(spark, sf_dir):
+    """The rebalance window must partition BY BUCKET (parallel), never
+    be a global window, and the target size must broadcast."""
+    plan = _plan(registry.QUERIES["corpus_length_rebalance"](spark, sf_dir))
+    assert "Window" in plan
+    assert "partitionBy=[bucket" in plan.replace(" ", "").replace(
+        "partitionBy=[bucket", "partitionBy=[bucket"
+    ) or "hashpartitioning(bucket" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_target
