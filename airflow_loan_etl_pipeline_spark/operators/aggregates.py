@@ -111,3 +111,38 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 30) -> DataFrame:
             F.round(F.col("cnt") / F.col("n_total"), 4).alias("frac"),
         )
     )
+
+
+def merge_aggregates(
+    old_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental aggregate-table maintenance: combine an existing
+    aggregate table with the aggregate of a NEW batch, producing exactly
+    what re-aggregating (history + batch) from scratch would.
+
+    The reference recomputes its aggregate output over the full input on
+    every run (loan_spark_etl.py:178-184) — fine at MB scale, a full
+    100 TB re-scan at corpus scale. Counts/sums/mins/maxs are
+    decomposable aggregates (Gray et al., "Data Cube"): the merged table
+    is ``unionByName`` + one re-aggregate over rows proportional to
+    |keyspace|, not |history|. Averages derive as sum/count at read
+    time; non-decomposable metrics (exact distinct, percentile) need
+    sketches (HLL / KLL) merged the same way — see
+    ``event_type_stats_approx``.
+
+    Scale shape: the union's two inputs are aggregate-sized. One
+    map-side-combinable shuffle on the keys; the history FACTS are never
+    read.
+    """
+    merged = old_agg.unionByName(delta_agg)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

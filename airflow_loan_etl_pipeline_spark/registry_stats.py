@@ -599,3 +599,43 @@ def corpus_length_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-mix step that stops short-doc crawl skew from starving
     long-context learning."""
     return X.length_rebalance(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "loan_agg_incremental",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS loan_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def loan_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, differentially verified: the
+    orders history (< 1997-07-01) is aggregated once (simulating the
+    standing aggregate table), the newer slice is aggregated as the
+    incoming batch, and merge_aggregates combines the two WITHOUT
+    re-reading history facts. The oracle aggregates the FULL table from
+    scratch — the equality is the correctness proof of the
+    decomposable-aggregate merge."""
+    from airflow_loan_etl_pipeline_spark.operators.aggregates import (
+        grouped_metrics,
+        merge_aggregates,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cut = F.lit("1997-07-01").cast("timestamp")
+    hist = grouped_metrics(
+        orders.filter(F.col("o_orderdate") < cut), keys, "o_totalprice"
+    )
+    delta = grouped_metrics(
+        orders.filter(F.col("o_orderdate") >= cut), keys, "o_totalprice"
+    )
+    merged = merge_aggregates(
+        hist, delta, keys, sum_cols=("loan_count", "total_amount")
+    )
+    return merged.select(
+        *keys, "loan_count", F.round("total_amount", 2).alias("total_amount")
+    )

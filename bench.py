@@ -228,6 +228,7 @@ def main() -> None:
         "orders_rfm_segments",
         "events_debounce",
         "corpus_length_rebalance",
+        "loan_agg_incremental",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
