@@ -321,3 +321,49 @@ def rfm_segments(
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    seq_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next state | state), with counts.
+
+    The user-journey summary (click→view→purchase flow structure) and
+    the sequence-model sanity check a behavioral corpus build runs.
+
+    Plan: one window pass per user timeline (lag, deterministic id
+    tiebreak) → bigram count aggregate (|states|² rows at most) → the
+    per-row denominator joins back from a states-sized broadcast.
+    Probabilities are floored exact-integer ratios (the repo's
+    cross-engine float rule).
+    """
+    w = Window.partitionBy(seq_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    bi = (
+        events.select(
+            F.col(state_col).alias("to_state"),
+            F.lag(state_col).over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    outdeg = bi.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("_out")
+    )
+    return (
+        bi.join(F.broadcast(outdeg), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            (F.floor(F.col("n_transitions") * 1e4 / F.col("_out")) / 1e4).alias(
+                "p_transition"
+            ),
+        )
+    )

@@ -192,3 +192,38 @@ def debounce(
         F.sum("keep").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("keep")).alias("n_dropped"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation weighted
+    by how long it was the key's current value (duration to the next
+    observation). The right mean for irregularly-sampled series —
+    sensor states, prices, account balances — where the arithmetic mean
+    over-weights bursts of rapid updates.
+
+    One window pass (lead) on the key partitioning; keys with a single
+    observation carry no interval and are excluded (documented
+    contract). Same shuffle as any per-key window; nothing global.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    dt = (
+        F.lead(F.col(ts_col).cast("double")).over(w)
+        - F.col(ts_col).cast("double")
+    )
+    span = events.select(
+        F.col(key_col), F.col(value_col).alias("_v"), dt.alias("_dt")
+    ).filter(F.col("_dt").isNotNull())
+    return span.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt"), 6).alias(
+            "twap"
+        ),
+    )

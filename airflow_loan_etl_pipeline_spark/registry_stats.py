@@ -639,3 +639,53 @@ def loan_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         *keys, "loan_count", F.round("total_amount", 2).alias("total_amount")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH bi AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_state,
+               event_type AS to_state
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_state, to_state, count(*) AS n_transitions
+        FROM bi WHERE from_state IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT from_state, sum(n_transitions) AS o FROM cnt GROUP BY 1)
+    SELECT from_state, to_state, n_transitions,
+           floor(n_transitions * 1e4 / o) / 1e4 AS p_transition
+    FROM cnt JOIN deg USING (from_state)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences —
+    the click→view→purchase journey structure. One window pass, a
+    |states|²-bounded count aggregate, broadcast denominators."""
+    return ST.transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_user_twap",
+    oracle="""
+    WITH span AS (
+        SELECT user_id, value,
+               epoch(lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) - epoch(ts)
+                   AS dt
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_intervals,
+           round(sum(value * dt) / sum(dt), 6) AS twap
+    FROM span WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): observations
+    weighted by how long they were current — the correct mean for
+    irregularly-sampled series. One per-key window pass."""
+    return TS.time_weighted_avg(load_table(spark, sf_dir, "events"))

@@ -229,6 +229,8 @@ def main() -> None:
         "events_debounce",
         "corpus_length_rebalance",
         "loan_agg_incremental",
+        "events_transition_matrix",
+        "events_user_twap",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

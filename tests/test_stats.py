@@ -163,3 +163,52 @@ def test_debounce_lag_semantics(spark):
     out = {r.event_type: r for r in debounce(events).collect()}
     assert out["click"].n_kept == 3  # ids 1, 3, 5
     assert out["click"].n_dropped == 2  # ids 2, 4
+
+
+def test_transition_matrix_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        transition_matrix,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "a", 0.0, ""),
+            (2, "2024-01-01 00:00:01", 7, "b", 0.0, ""),
+            (3, "2024-01-01 00:00:02", 7, "a", 0.0, ""),
+            (4, "2024-01-01 00:00:03", 7, "b", 0.0, ""),
+            (5, "2024-01-01 00:00:00", 8, "a", 0.0, ""),
+            (6, "2024-01-01 00:00:01", 8, "c", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.from_state, r.to_state): r for r in transition_matrix(events).collect()
+    }
+    # user 7: a->b, b->a, a->b; user 8: a->c. From 'a': 2x b, 1x c.
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("a", "b")].p_transition == 0.6666
+    assert out[("a", "c")].p_transition == 0.3333
+    assert out[("b", "a")].p_transition == 1.0
+
+
+def test_time_weighted_avg_vs_arithmetic_mean(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # value 10 holds for 90s, then three rapid updates of 0 (burst)
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "t", 10.0, ""),
+            (2, "2024-01-01 00:01:30", 7, "t", 0.0, ""),
+            (3, "2024-01-01 00:01:35", 7, "t", 0.0, ""),
+            (4, "2024-01-01 00:01:40", 7, "t", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_weighted_avg(events).collect()[0]
+    # intervals: 10 for 90s, 0 for 5s, 0 for 5s -> 900/100 = 9.0
+    assert out.n_intervals == 3
+    assert out.twap == 9.0  # arithmetic mean of values would be 2.5
