@@ -367,3 +367,45 @@ def transition_matrix(
             ),
         )
     )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Gini coefficient of per-key revenue — the concentration /
+    inequality diagnostic (is 80% of spend coming from 2% of
+    customers?). For a training corpus run it on per-source token
+    counts: a Gini near 1 means the mix is dominated by one source.
+
+    Gini over the closed form on ascending-sorted values:
+    ``(2·Σ(rank·x)) / (n·Σx) − (n+1)/n``. Ranks come from
+    :func:`~..topk.global_rank` (range partition + local rank +
+    broadcast offsets) — never a single-partition window. Amounts are
+    aggregated as exact integer cents so Σx and Σ(rank·x) are
+    order-independent integers; the only float op is the final division
+    (the repo's cross-engine parity rule).
+    """
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
+    per_key = orders.groupBy(key_col).agg(
+        F.sum(F.round(F.col(amount_col) * 100).cast("bigint")).alias("_cents")
+    )
+    ranked = global_rank(per_key, ["_cents", key_col], rank_col="_rk")
+    # Σ(rank·cents) overflows int64 once n·Σcents passes 2^63 (any
+    # realistic corpus): accumulate in DECIMAL(38,0) — still exact and
+    # order-independent — and drop to double only for the final ratio
+    # (both engines then divide the same nearest-doubles).
+    s1 = F.sum(
+        (F.col("_rk") * F.col("_cents")).cast("decimal(38,0)")
+    ).cast("double")
+    s0 = F.sum("_cents").cast("double")
+    n_keys = F.count(F.lit(1))
+    return ranked.agg(
+        n_keys.alias("n_keys"),
+        F.round(
+            (2 * s1) / (n_keys * s0) - (n_keys + 1) / n_keys.cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -550,38 +550,17 @@ def shuffle_order(
     shuffle runs once — both passes are balanced-parallel either way,
     which is the point: the naive formulation serializes the corpus.
     """
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
     h = (
         f"cast(conv(substr(md5(concat(cast({seed} AS string), ':', "
         f"cast({id_col} AS string))), 1, 15), 16, 10) AS bigint)"
     )
-    from pyspark.sql import Window
-
-    n = df.sparkSession.sparkContext.defaultParallelism
-    ranked = (
-        df.withColumn("_h", F.expr(h))
-        .repartitionByRange(n, F.col("_h"), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy("_pid").orderBy(
-        F.col("_h").asc(), F.col(id_col).asc()
-    )
-    local = ranked.withColumn("_lrk", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # ≤ `n` rows: the running-offset window is single-partition over a
-    # parallelism-sized aggregate, not over the corpus.
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "shuffle_rank", (F.col("_lrk") + F.col("_off")).cast("bigint")
-        )
-        .drop("_h", "_pid", "_lrk", "_off")
-    )
+    return global_rank(
+        df.withColumn("_h", F.expr(h)),
+        ["_h", id_col],
+        rank_col="shuffle_rank",
+    ).drop("_h")
 
 
 def oov_stats(

@@ -34,3 +34,46 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact dense global rank (1..n) by ``order_cols`` WITHOUT the
+    single-partition window a naive ``row_number() OVER (ORDER BY ...)``
+    plans to.
+
+    The distributed recipe: range-partition on the sort key (ordered,
+    disjoint ranges), rank LOCALLY per shuffle partition (a parallel
+    window on the partition id), then add per-partition row-count
+    offsets — a parallelism-sized aggregate broadcast back. Ranks are
+    exact for ANY bounds the range sampler picked, because ranges are
+    ordered and local ranking is dense. ``order_cols`` must be a total
+    order (append a unique id as tie-break).
+
+    The offsets branch re-derives the ranked subtree (the
+    ``spark_partition_id`` marker blocks exchange reuse); persist the
+    ranked frame first when the input is expensive. Used by
+    text.shuffle_order (training-order permutation) and
+    stats.revenue_concentration (Gini ranks).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranked = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    local = ranked.withColumn("_lrk", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrk", "_off")
+    )

@@ -689,3 +689,32 @@ def events_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by how long they were current — the correct mean for
     irregularly-sampled series. One per-key window pass."""
     return TS.time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_revenue_gini",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM per_key
+    )
+    SELECT count(*) AS n_keys,
+           round((2 * CAST(sum(rk * cents) AS DOUBLE))
+                     / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """,
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    diagnostic (run it on per-source token counts in a corpus build).
+    Ranks via the distributed global-rank recipe (never a single-
+    partition window); exact integer-cents accumulation in
+    DECIMAL(38,0), double only at the final ratio."""
+    return ST.revenue_concentration(load_table(spark, sf_dir, "orders"))

@@ -231,6 +231,7 @@ def main() -> None:
         "loan_agg_incremental",
         "events_transition_matrix",
         "events_user_twap",
+        "orders_revenue_gini",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

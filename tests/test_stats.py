@@ -212,3 +212,21 @@ def test_time_weighted_avg_vs_arithmetic_mean(spark):
     # intervals: 10 for 90s, 0 for 5s, 0 for 5s -> 900/100 = 9.0
     assert out.n_intervals == 3
     assert out.twap == 9.0  # arithmetic mean of values would be 2.5
+
+
+def test_revenue_gini_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        revenue_concentration,
+    )
+
+    def gini_of(amounts):
+        rows = [(i, "1998-01-01", a) for i, a in enumerate(amounts)]
+        orders = spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate string, o_totalprice double"
+        )
+        return revenue_concentration(orders).collect()[0]
+
+    equal = gini_of([5.0, 5.0, 5.0, 5.0])
+    assert equal.n_keys == 4 and equal.gini == 0.0  # perfect equality
+    skew = gini_of([1.0, 3.0])
+    assert skew.gini == 0.25  # closed form for [1, 3]
