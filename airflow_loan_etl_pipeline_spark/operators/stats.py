@@ -409,3 +409,73 @@ def revenue_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def winsorized_stats(
+    events: "DataFrame",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> "DataFrame":
+    """Robust per-key mean via winsorization: values are clipped to the
+    key's [p05, p95] band before averaging — the outlier-resistant
+    aggregate a metrics pipeline uses when a fat tail (bot bursts,
+    pricing glitches) would swamp the arithmetic mean.
+
+    Thresholds are exact interpolated percentiles over integer CENTS
+    (the repo's cross-engine percentile rule), computed per key in the
+    same single aggregate pass, then joined back as a keys-sized
+    broadcast; clipping and the final mean are scan-local. Two
+    map-side-combinable shuffles on the key, nothing global.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    th = (
+        events.select(F.col(key_col), cents.alias("_c"))
+        .groupBy(key_col)
+        .agg(
+            (F.expr(f"percentile(_c, {lo_p})") / 100).alias("_lo"),
+            (F.expr(f"percentile(_c, {hi_p})") / 100).alias("_hi"),
+        )
+    )
+    clipped = events.join(F.broadcast(th), key_col).select(
+        F.col(key_col),
+        F.col(value_col).alias("_v"),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")).alias(
+            "_w"
+        ),
+    )
+    return clipped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("_v"), 6).alias("mean_raw"),
+        F.round(F.avg("_w"), 6).alias("mean_winsorized"),
+    )
+
+
+def zipf_fit(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank). Natural language sits near -1;
+    a much flatter slope flags synthetic/templated text, a steeper one
+    flags vocabulary collapse (the cheap corpus-health summary).
+
+    Term counts are one map-side-combinable aggregate; ranks come from
+    :func:`~..topk.global_rank` over (-count, term) — vocabulary-sized,
+    never a single-partition window; the fit is Spark's native
+    regr_slope/regr_r2 co-moment aggregate (one pass, five doubles).
+    """
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
+    cnt = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_negc", -F.col("c"))
+    )
+    ranked = global_rank(cnt, ["_negc", "t"], rank_col="rk")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(c), ln(rk))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(c), ln(rk))"), 6).alias("r2"),
+    )

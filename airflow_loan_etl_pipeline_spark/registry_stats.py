@@ -718,3 +718,53 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition window); exact integer-cents accumulation in
     DECIMAL(38,0), double only at the final ratio."""
     return ST.revenue_concentration(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(CAST(round(value * 100) AS BIGINT), 0.05) / 100
+                   AS lo,
+               quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100
+                   AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(avg(value), 6) AS mean_raw,
+           round(avg(least(greatest(value, lo), hi)), 6) AS mean_winsorized
+    FROM events JOIN th USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type mean via winsorization at the type's
+    [p05, p95] band — thresholds as exact integer-cents percentiles in
+    one keys-sized broadcast aggregate, clipping scan-local."""
+    return ST.winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "docs_zipf_fit",
+    oracle="""
+    WITH cnt AS (
+        SELECT t, count(*) AS c
+        FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents) x
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk FROM cnt
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope,
+           round(regr_r2(ln(c), ln(rk)), 6) AS r2
+    FROM ranked
+    """,
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the vocabulary (OLS of ln freq vs ln rank;
+    natural text sits near -1) — the one-row corpus-health summary.
+    Ranks via the distributed global_rank, fit via native regr_*
+    co-moment aggregates."""
+    return ST.zipf_fit(load_table(spark, sf_dir, "documents"))

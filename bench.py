@@ -232,6 +232,8 @@ def main() -> None:
         "events_transition_matrix",
         "events_user_twap",
         "orders_revenue_gini",
+        "events_winsorized_stats",
+        "docs_zipf_fit",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

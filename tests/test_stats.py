@@ -230,3 +230,41 @@ def test_revenue_gini_hand_computed(spark):
     assert equal.n_keys == 4 and equal.gini == 0.0  # perfect equality
     skew = gini_of([1.0, 3.0])
     assert skew.gini == 0.25  # closed form for [1, 3]
+
+
+def test_winsorized_mean_resists_outlier(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    # 19 values of 1.0 and one 1000.0 outlier
+    rows = [(i, "2024-01-01 00:00:00", 7, "t", 1.0, "") for i in range(19)]
+    rows.append((99, "2024-01-01 00:00:00", 7, "t", 1000.0, ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = winsorized_stats(events).collect()[0]
+    assert out.mean_raw == round((19 + 1000) / 20, 6)  # 50.95
+    # p95 interpolates at position 18.05 of 20: 1.0 + 0.05*(1000-1)
+    # = 50.95 -> the outlier clips to 50.95, winsorized mean 3.4975
+    assert out.mean_winsorized == 3.4975
+    assert out.mean_winsorized < out.mean_raw / 10
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import zipf_fit
+
+    # construct frequencies c = 64 / rank exactly: ln c = ln 64 - ln rk
+    words = []
+    # c = 12 / rank for actual dense ranks 1..4 -> exact -1 power law
+    for rk, c in ((1, 12), (2, 6), (3, 4), (4, 3)):
+        words += [f"w{rk}"] * c
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    out = zipf_fit(docs).collect()[0]
+    assert out.n_terms == 4
+    assert out.zipf_slope == -1.0
+    assert out.r2 == 1.0

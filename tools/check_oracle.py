@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -84,7 +85,21 @@ def compare(name, spark_df, duck_rel) -> tuple[bool, bool, str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # Driver-parity mode: a PLAIN session, none of the engine's
+        # confs (no UTC pin, no inferTimestampNTZ=false, default AQE).
+        # The driver's correctness gate runs queries exactly like this —
+        # any query that silently depends on an engine-session conf
+        # passes the default gate and fails the driver's.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle_check_plain")
+            .master("local[32]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duck_conn(sf_dir)
     failures = []
     for name, fn in registry.QUERIES.items():
