@@ -768,3 +768,41 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks via the distributed global_rank, fit via native regr_*
     co-moment aggregates."""
     return ST.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_tier_temporal_join",
+    oracle=f"""
+    WITH scd AS ({{scd}}),
+    j AS (
+        SELECT e.value, s.tier
+        FROM events e JOIN scd s
+          ON e.user_id = s.user_id
+         AND CAST(e.ts AS DATE) BETWEEN s.valid_from AND s.valid_to
+    )
+    SELECT tier, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM j GROUP BY tier
+    """.format(scd=ORACLE["user_tier_scd2"]),
+)
+def events_tier_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: every event joined to the SCD-2 tier
+    version VALID AT ITS EVENT TIME (user equality + validity-range
+    containment) — the standard warehouse pattern for late-arriving
+    facts against versioned dimensions. The versioned dim is
+    user×runs-sized → broadcast, so the fact table never shuffles for
+    the range condition; reduced to per-tier totals."""
+    from airflow_loan_etl_pipeline_spark.registry import QUERIES
+
+    events = load_table(spark, sf_dir, "events")
+    scd = QUERIES["user_tier_scd2"](spark, sf_dir)
+    e_day = F.to_date("ts")
+    j = events.join(
+        F.broadcast(scd),
+        (events["user_id"] == scd["user_id"])
+        & e_day.between(scd["valid_from"], scd["valid_to"]),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -234,6 +234,7 @@ def main() -> None:
         "orders_revenue_gini",
         "events_winsorized_stats",
         "docs_zipf_fit",
+        "events_tier_temporal_join",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
