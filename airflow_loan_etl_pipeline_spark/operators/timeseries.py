@@ -227,3 +227,38 @@ def time_weighted_avg(
             "twap"
         ),
     )
+
+
+def interval_concurrency(
+    starts: "DataFrame",
+    ends: "DataFrame",
+    date_col: str = "day",
+) -> "DataFrame":
+    """How many intervals are open on each day — computed WITHOUT a
+    range join. Expanding every interval against a calendar (or range-
+    joining facts to days) is O(rows × span); the delta trick is two
+    scans: +1 at each start date, −1 the day after each end date, sum
+    deltas per day, then one running sum over the date axis.
+
+    The running-sum window is ordered over DISTINCT ACTIVE DATES — its
+    cardinality is the calendar span (a few thousand rows for years of
+    data), not the fact count, so the single-partition window is
+    bounded by construction; everything fact-sized happens in the two
+    map-side-combinable delta aggregates.
+
+    ``starts``/``ends`` each carry one DATE column named ``date_col``.
+    An interval is open on [start, end] inclusive.
+    """
+    deltas = starts.select(
+        F.col(date_col).alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        ends.select(
+            F.date_add(F.col(date_col), 1).alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("dd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("dd").over(w).alias("n_open")
+    )

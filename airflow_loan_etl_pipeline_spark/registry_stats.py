@@ -806,3 +806,37 @@ def events_tier_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH closed AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS cd
+        FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders
+        UNION ALL
+        SELECT cd + 1 AS day, -1 AS d FROM closed
+    ),
+    daily AS (SELECT day, sum(d) AS dd FROM deltas GROUP BY 1)
+    SELECT day, sum(dd) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS n_open
+    FROM daily
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (placed but not fully shipped) via the
+    interval-concurrency delta trick — +1/-1 delta aggregation plus a
+    calendar-bounded running sum, never a fact×days range join. The
+    time-travelling inventory/backlog query every ops dashboard runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    starts = orders.select(F.col("o_orderdate").cast("date").alias("day"))
+    ends = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("day"))
+        .select("day")
+    )
+    return TS.interval_concurrency(starts, ends)

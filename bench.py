@@ -235,6 +235,7 @@ def main() -> None:
         "events_winsorized_stats",
         "docs_zipf_fit",
         "events_tier_temporal_join",
+        "orders_open_backlog",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

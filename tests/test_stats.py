@@ -268,3 +268,24 @@ def test_zipf_fit_exact_power_law(spark):
     assert out.n_terms == 4
     assert out.zipf_slope == -1.0
     assert out.r2 == 1.0
+
+
+def test_interval_concurrency_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    starts = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-02",), ("2024-01-02",)], "day string"
+    ).select(F.col("day").cast("date").alias("day"))
+    ends = spark.createDataFrame(
+        [("2024-01-03",), ("2024-01-02",), ("2024-01-05",)], "day string"
+    ).select(F.col("day").cast("date").alias("day"))
+    out = {str(r.day): r.n_open for r in interval_concurrency(starts, ends).collect()}
+    # Jan1: 1 open; Jan2: +2 = 3, one closes END of Jan2 -> still 3 on Jan2;
+    # Jan3: 2 (one closed); Jan4: 1 (Jan3-end close); Jan6: 0
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-02"] == 3
+    assert out["2024-01-03"] == 2
+    assert out["2024-01-04"] == 1
+    assert out["2024-01-06"] == 0
