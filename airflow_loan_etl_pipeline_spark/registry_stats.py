@@ -840,3 +840,69 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day")
     )
     return TS.interval_concurrency(starts, ends)
+
+
+_COS_LR2 = (
+    "list_dot_product({l}, {r}) / "
+    "sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r}))"
+)
+
+
+@query(
+    "embedding_cluster_purity",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    scored AS (
+        SELECT vec_id, label, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (SELECT b.vec_id, b.label, c.cid,
+                     {_COS_LR2.format(l='b.v', r='c.cv')} AS ccos
+              FROM base b, cents c)
+    ),
+    assigned AS (SELECT vec_id, label, cid FROM scored WHERE rn = 1),
+    cl AS (SELECT cid, label, count(*) AS n FROM assigned GROUP BY 1, 2),
+    best AS (
+        SELECT cid, label AS majority_label, n AS majority_n,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM cl
+    ),
+    tot AS (SELECT cid, sum(n) AS n_vectors FROM cl GROUP BY 1)
+    SELECT t.cid, t.n_vectors, b.majority_label,
+           floor(b.majority_n * 1e4 / t.n_vectors) / 1e4 AS purity
+    FROM tot t JOIN best b ON b.cid = t.cid AND b.rn = 1
+    """,
+)
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity: vectors map-side-assigned to their nearest
+    seed centroid (broadcast array_max argmax, zero corpus shuffles),
+    then per centroid the majority ground-truth label's share - the
+    standard clustering-quality diagnostic when labels exist. Counts
+    reduce to centroids x labels rows before any window."""
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.assign_centroids(emb)
+    cl = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = cl.groupBy("cid").agg(
+        F.sum("n").alias("n_vectors"),
+        F.max(
+            F.struct(F.col("n"), (-F.col("label")).alias("nl"), F.col("label"))
+        ).alias("_b"),
+    )
+    return per.select(
+        "cid",
+        "n_vectors",
+        F.col("_b.label").alias("majority_label"),
+        (F.floor(F.col("_b.n") * 1e4 / F.col("n_vectors")) / 1e4).alias(
+            "purity"
+        ),
+    )

@@ -236,6 +236,7 @@ def main() -> None:
         "docs_zipf_fit",
         "events_tier_temporal_join",
         "orders_open_backlog",
+        "embedding_cluster_purity",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
