@@ -479,3 +479,46 @@ def zipf_fit(
         F.round(F.expr("regr_slope(ln(c), ln(rk))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(c), ln(rk))"), 6).alias("r2"),
     )
+
+
+def mad_anomaly_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly detection via Median Absolute Deviation: an
+    observation is anomalous when its modified z-score
+    ``(x − median) / (1.4826 · MAD)`` exceeds the threshold. Unlike
+    mean/stddev z-scores, median/MAD don't move when the outliers
+    themselves are injected — the standard robust screen.
+
+    Exactness discipline: medians interpolate over integer CENTS and
+    deviations over DOUBLED cents (so the interpolated half-cent median
+    still yields an integer deviation) — every percentile input is an
+    integer, per the repo's cross-engine percentile rule. Two broadcast
+    threshold joins (keys-sized), counting scan-local.
+    """
+    c = events.select(
+        F.col(key_col),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+    )
+    med = c.groupBy(key_col).agg(F.expr("percentile(_c, 0.5)").alias("_m"))
+    dev = c.join(F.broadcast(med), key_col).withColumn(
+        "_d2",
+        F.abs(2 * F.col("_c") - (2 * F.col("_m")).cast("bigint")),
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(_d2, 0.5)").alias("_mad2")
+    )
+    z = (F.col("_c") - F.col("_m")) / (1.4826 * F.col("_mad2") / 2)
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.abs(z) > z_threshold).cast("int")).alias("n_anomalies"),
+            F.round(F.first("_m") / 100, 4).alias("median_value"),
+            F.round(F.first("_mad2") / 200, 4).alias("mad"),
+        )
+    )

@@ -906,3 +906,71 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+@query(
+    "docs_dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({{pairs_sql}})
+    SELECT da.source AS source_a, db.source AS source_b,
+           count(*) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """.format(pairs_sql=ORACLE["minhash_lsh_pairs"]),
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: MinHash-LSH near-dup pairs rolled
+    up to the (source_a, source_b) matrix. Off-diagonal mass means
+    cross-source mirroring (syndication, scraping overlap); diagonal
+    mass means within-source boilerplate. The doc->source map joins
+    pairs-sized rows, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+            ),
+            "doc_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+@query(
+    "events_mad_anomalies",
+    oracle="""
+    WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(c, 0.5) AS m FROM c GROUP BY 1),
+    dev AS (SELECT c.event_type, c.c, m,
+                   abs(2 * c.c - CAST(2 * m AS BIGINT)) AS d2
+            FROM c JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(d2, 0.5) AS mad2
+            FROM dev GROUP BY 1)
+    SELECT event_type, count(*) AS n_events,
+           sum(CASE WHEN abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
+                    THEN 1 ELSE 0 END) AS n_anomalies,
+           round(any_value(m) / 100, 4) AS median_value,
+           round(any_value(mad2) / 200, 4) AS mad
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z anomaly counts per event type - the robust
+    screen whose thresholds don't move when the outliers themselves are
+    injected. Integer-cents percentile discipline throughout (doubled
+    cents for deviations so the half-cent median still yields integer
+    percentile inputs)."""
+    return ST.mad_anomaly_counts(load_table(spark, sf_dir, "events"))

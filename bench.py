@@ -237,6 +237,8 @@ def main() -> None:
         "events_tier_temporal_join",
         "orders_open_backlog",
         "embedding_cluster_purity",
+        "docs_dup_rate_by_source",
+        "events_mad_anomalies",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

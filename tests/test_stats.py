@@ -289,3 +289,22 @@ def test_interval_concurrency_hand_computed(spark):
     assert out["2024-01-03"] == 2
     assert out["2024-01-04"] == 1
     assert out["2024-01-06"] == 0
+
+
+def test_mad_anomalies_robust_to_injected_outlier(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        mad_anomaly_counts,
+    )
+
+    # 20 values near 10.0 (tight), one wild 1000.0
+    rows = [(i, "2024-01-01", 7, "t", 10.0 + (i % 5) * 0.01, "") for i in range(20)]
+    rows.append((99, "2024-01-01", 7, "t", 1000.0, ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = mad_anomaly_counts(events).collect()[0]
+    assert out.n_events == 21
+    assert out.n_anomalies == 1  # exactly the injected outlier
+    assert out.median_value == 10.02  # median untouched by the outlier
