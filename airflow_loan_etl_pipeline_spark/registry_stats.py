@@ -974,3 +974,66 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents for deviations so the half-cent median still yields integer
     percentile inputs)."""
     return ST.mad_anomaly_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "docs_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({{pred_sql}})
+    SELECT d.lang, p.predicted_lang, count(*) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """.format(pred_sql=ORACLE["docs_lang_id"]),
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    ground-truth lang column - the classifier-evaluation query that
+    turns a quality heuristic into a measured component (per-class
+    precision/recall derive directly from these cells). Prediction is
+    scan-local; one count aggregate on the (truth, pred) pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "supplier_lead_times",
+    oracle="""
+    WITH lt AS (
+        SELECT l_suppkey,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey, count(*) AS n_shipments,
+           round(avg(days), 4) AS avg_days,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days
+    FROM lt GROUP BY 1
+    """,
+)
+def supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier (avg / p50 / p90 days) -
+    the fulfillment-SLA query. Lead times are exact integer DAYS, so
+    the interpolated percentiles hit the cross-engine parity rule for
+    free; one fact-fact join co-keyed on orderkey, one supplier-keyed
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lt.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.avg("days"), 4).alias("avg_days"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.9)").alias("p90_days"),
+    )

@@ -239,6 +239,8 @@ def main() -> None:
         "embedding_cluster_purity",
         "docs_dup_rate_by_source",
         "events_mad_anomalies",
+        "docs_lang_confusion",
+        "supplier_lead_times",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
