@@ -262,3 +262,61 @@ def interval_concurrency(
     return daily.select(
         "day", F.sum("dd").over(w).alias("n_open")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_s: int = 300,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    depth: int = 3,
+) -> DataFrame:
+    """Discover the common user journeys: sessionize by inactivity gap
+    (gaps-and-islands running sum — no stateful engine needed for the
+    batch view), take each session's first ``depth`` event types in
+    order, and count sessions per path string ("click>view>purchase").
+
+    The complement of :func:`transition_matrix`: transitions give the
+    one-step structure, paths give the actual head sequences product
+    analytics ranks. All three windows share ONE user-key shuffle
+    (Catalyst reuses the partitioning); the path aggregate is bounded
+    by |event types|^depth, not by sessions.
+    """
+    ts, eid = order_cols
+    w_user = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(eid).asc()
+    )
+    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(
+        w_user
+    )
+    new_sess = (gap.isNull() | (gap > gap_s)).cast("int")
+    sess = events.select(
+        F.col(key_col), F.col(state_col), F.col(ts), F.col(eid)
+    ).withColumn(
+        "_sid",
+        F.sum(new_sess).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy(key_col, "_sid").orderBy(
+        F.col(ts).asc(), F.col(eid).asc()
+    )
+    ranked = sess.withColumn("_rn", F.row_number().over(w_sess)).filter(
+        F.col("_rn") <= depth
+    )
+    slots = [
+        F.max(
+            F.when(F.col("_rn") == i + 1, F.col(state_col))
+        ).alias(f"_s{i}")
+        for i in range(depth)
+    ]
+    per_sess = ranked.groupBy(key_col, "_sid").agg(*slots)
+    # concat_ws skips NULLs on both engines, so short sessions keep
+    # their natural truncated path.
+    path = F.concat_ws(">", *[F.col(f"_s{i}") for i in range(depth)])
+    return (
+        per_sess.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

@@ -1037,3 +1037,46 @@ def supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(days, 0.5)").alias("p50_days"),
         F.expr("percentile(days, 0.9)").alias("p90_days"),
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 300
+                      OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    ),
+    r AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+    ),
+    p AS (
+        SELECT user_id, sid,
+               concat_ws('>',
+                   max(CASE WHEN rn = 1 THEN event_type END),
+                   max(CASE WHEN rn = 2 THEN event_type END),
+                   max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM r WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: inactivity-gap sessionization (gaps-and-
+    islands), each session's first three event types as a path string,
+    counted per path. All windows share one user-key shuffle; output
+    bounded by |types|^3."""
+    return TS.session_paths(load_table(spark, sf_dir, "events"))

@@ -241,6 +241,7 @@ def main() -> None:
         "events_mad_anomalies",
         "docs_lang_confusion",
         "supplier_lead_times",
+        "events_session_paths",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

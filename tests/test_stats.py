@@ -308,3 +308,28 @@ def test_mad_anomalies_robust_to_injected_outlier(spark):
     assert out.n_events == 21
     assert out.n_anomalies == 1  # exactly the injected outlier
     assert out.median_value == 10.02  # median untouched by the outlier
+
+
+def test_session_paths_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        session_paths,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # user 7, session 1: a, b, c, d (4th truncated from path)
+            (1, "2024-01-01 00:00:00", 7, "a", 0.0, ""),
+            (2, "2024-01-01 00:01:00", 7, "b", 0.0, ""),
+            (3, "2024-01-01 00:02:00", 7, "c", 0.0, ""),
+            (4, "2024-01-01 00:03:00", 7, "d", 0.0, ""),
+            # user 7, session 2 (gap > 5 min): a alone
+            (5, "2024-01-01 01:00:00", 7, "a", 0.0, ""),
+            # user 8: a, b
+            (6, "2024-01-01 00:00:00", 8, "a", 0.0, ""),
+            (7, "2024-01-01 00:04:00", 8, "b", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.path: r.n_sessions for r in session_paths(events).collect()}
+    assert out == {"a>b>c": 1, "a": 1, "a>b": 1}
