@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) for the engine's algebraic
+invariants — the claims that must hold for EVERY input, not just the
+fixtures: incremental-merge == from-scratch, distributed rank ==
+sorted order, transitive closure == reference union-find, interval
+concurrency == brute-force day counting.
+
+Examples are kept small (each drives real Spark jobs); the invariants,
+not the data volume, are what's under test here — the differential
+oracle covers fixture scale.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # key
+            st.integers(min_value=-1000, max_value=1000),  # measure
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=0, max_value=29),
+)
+def test_merge_aggregates_equals_full_for_any_split(spark, rows, split):
+    from airflow_loan_etl_pipeline_spark.operators.aggregates import (
+        merge_aggregates,
+    )
+
+    split = min(split, len(rows))
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    full = {r.k: (r.n, r.s, r.lo, r.hi) for r in agg(df).collect()}
+    old_rows, new_rows = rows[:split], rows[split:]
+    parts = []
+    for chunk in (old_rows, new_rows):
+        if chunk:
+            parts.append(agg(spark.createDataFrame(chunk, "k string, v long")))
+    if len(parts) == 1:
+        merged_df = parts[0]
+    else:
+        merged_df = merge_aggregates(
+            parts[0], parts[1], ["k"],
+            sum_cols=("n", "s"), min_cols=("lo",), max_cols=("hi",),
+        )
+    merged = {r.k: (r.n, r.s, r.lo, r.hi) for r in merged_df.collect()}
+    assert merged == full
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+def test_global_rank_matches_sorted_enumeration(spark, vals):
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    got = {
+        r.id: r.rank for r in global_rank(df, ["v", "id"]).collect()
+    }
+    expect = {
+        rid: i + 1
+        for i, (v, rid) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=12,
+    )
+)
+def test_dup_clusters_equals_union_find(spark, edges):
+    from airflow_loan_etl_pipeline_spark.operators.dedup import dup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(10))
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    if edges:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in nodes}
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # start day offset
+            st.integers(min_value=0, max_value=10),  # duration days
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_interval_concurrency_equals_brute_force(spark, iv):
+    import datetime
+
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    starts = [(base + datetime.timedelta(days=s),) for s, d in iv]
+    ends = [(base + datetime.timedelta(days=s + d),) for s, d in iv]
+    sdf = spark.createDataFrame(starts, "day date")
+    edf = spark.createDataFrame(ends, "day date")
+    got = {r.day: r.n_open for r in interval_concurrency(sdf, edf).collect()}
+    for day, n in got.items():
+        off = (day - base).days
+        expect = sum(1 for s, d in iv if s <= off <= s + d)
+        assert n == expect, (day, n, expect)
