@@ -155,3 +155,106 @@ def test_interval_concurrency_equals_brute_force(spark, iv):
         off = (day - base).days
         expect = sum(1 for s, d in iv if s <= off <= s + d)
         assert n == expect, (day, n, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_brute_force(spark, docs):
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+
+    def shingles(toks):
+        if len(toks) >= 2:
+            return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+        return {" ".join(toks)}  # matches the < n fallback: whole text
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            si, sj = shingles(docs[i]), shingles(docs[j])
+            inter = len(si & sj)
+            if inter:
+                expect[(i, j)] = round(inter / len(si | sj), 4)
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=180), min_size=1, max_size=20
+    )
+)
+def test_debounce_matches_sequential_scan(spark, gaps):
+    import datetime
+
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import debounce
+
+    base = datetime.datetime(2024, 1, 1)
+    ts, rows = base, []
+    times = []
+    for i, g in enumerate(gaps):
+        ts = ts + datetime.timedelta(seconds=g)
+        times.append(ts)
+        rows.append((i, ts, 7, "t", 1.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = debounce(df).collect()[0]
+    kept = sum(
+        1
+        for i, t in enumerate(times)
+        if i == 0 or (t - times[i - 1]).total_seconds() >= 60
+    )
+    assert out.n_kept == kept
+    assert out.n_dropped == len(times) - kept
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        max_size=8,
+    )
+)
+def test_leakage_safe_split_never_straddles_clusters(spark, edges):
+    from airflow_loan_etl_pipeline_spark.operators.dedup import dup_clusters
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        leakage_safe_split,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame([(n,) for n in range(8)], "doc_id long")
+    pairs = (
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+        if edges
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    clusters = dup_clusters(docs, pairs)
+    out = leakage_safe_split(docs, clusters).collect()
+    assert len(out) == 8
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # THE invariant: one split per cluster, for any pair graph
+    assert all(len(s) == 1 for s in by_cluster.values())
