@@ -258,3 +258,75 @@ def test_leakage_safe_split_never_straddles_clusters(spark, edges):
         by_cluster.setdefault(r.cluster_id, set()).add(r.split)
     # THE invariant: one split per cluster, for any pair graph
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+@settings(**SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=600),   # gap seconds
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_twap_matches_reference(spark, obs):
+    import datetime
+
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    t, rows, series = base, [], []
+    for i, (g, v) in enumerate(obs):
+        t = t + datetime.timedelta(seconds=g)
+        series.append((t, float(v)))
+        rows.append((i, t, 7, "t", float(v), ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = time_weighted_avg(df).collect()[0]
+    num = den = 0.0
+    for (t0, v0), (t1, _) in zip(series, series[1:]):
+        dt = (t1 - t0).total_seconds()
+        num += v0 * dt
+        den += dt
+    assert out.n_intervals == len(series) - 1
+    assert out.twap == round(num / den, 6)
+
+
+@settings(**SETTINGS)
+@given(
+    seq=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=2, max_size=20
+    )
+)
+def test_transition_matrix_matches_bigram_counts(spark, seq):
+    import datetime
+
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        transition_matrix,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 7, s, 0.0, "")
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.from_state, r.to_state): r.n_transitions
+        for r in transition_matrix(df).collect()
+    }
+    expect = {}
+    for a, b in zip(seq, seq[1:]):
+        expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
