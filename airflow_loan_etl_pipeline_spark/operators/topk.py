@@ -77,3 +77,42 @@ def global_rank(
         .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrk", "_off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``sum_col`` in ``order_cols``
+    order, distributed — the same two-pass recipe as
+    :func:`global_rank` (range partition → local running sum →
+    per-partition TOTALS broadcast back as offsets), so the corpus
+    never passes through a single-partition window. Powers cumulative-
+    share analytics (Pareto/ABC classes, Lorenz curves) at any scale.
+
+    ``order_cols`` must be a total order; ``sum_col`` should be an
+    integer/decimal type when cross-engine exactness matters (float
+    prefix sums are order-defined here, matching any sequential
+    oracle).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn("_ls", F.sum(sum_col).over(w_local))
+    totals = local.groupBy("_pid").agg(F.sum(sum_col).alias("_pt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_ls") + F.col("_off"))
+        .drop("_pid", "_ls", "_off")
+    )

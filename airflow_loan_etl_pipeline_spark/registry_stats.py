@@ -1080,3 +1080,65 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted per path. All windows share one user-key shuffle; output
     bounded by |types|^3."""
     return TS.session_paths(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_abc_classes",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(cents) AS t FROM per_key),
+    pre AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS ps
+        FROM per_key
+    ),
+    cls AS (
+        SELECT cents,
+               CASE WHEN ps * 1.0 / t <= 0.8 THEN 'A'
+                    WHEN ps * 1.0 / t <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM pre CROSS JOIN tot
+    )
+    SELECT abc, count(*) AS n_customers,
+           floor(sum(cents) * 1e4 / any_value(t)) / 1e4 AS revenue_share
+    FROM cls CROSS JOIN tot
+    GROUP BY abc
+    """,
+)
+def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of customers by cumulative revenue
+    share (A: first 80% of spend, B: next 15%, C: tail) - the
+    concentration diagnostic as actionable classes. Cumulative share
+    comes from topk.global_prefix_sum (range partition -> local running
+    sum -> broadcast total-offsets), so no single-partition window ever
+    sees the customer table; cents stay exact integers until the final
+    floored share."""
+    from airflow_loan_etl_pipeline_spark.operators.topk import (
+        global_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    ).withColumn("_negc", -F.col("cents"))
+    pre = global_prefix_sum(per_key, ["_negc", "o_custkey"], "cents", "ps")
+    tot = per_key.agg(F.sum("cents").alias("t"))
+    cls = pre.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.when(F.col("ps") * 1.0 / F.col("t") <= 0.8, "A")
+        .when(F.col("ps") * 1.0 / F.col("t") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.floor(F.sum("cents") * 1e4 / F.first("t")) / 1e4).alias(
+            "revenue_share"
+        ),
+    )

@@ -242,6 +242,7 @@ def main() -> None:
         "docs_lang_confusion",
         "supplier_lead_times",
         "events_session_paths",
+        "orders_abc_classes",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -330,3 +330,28 @@ def test_transition_matrix_matches_bigram_counts(spark, seq):
     for a, b in zip(seq, seq[1:]):
         expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=1, max_size=40
+    )
+)
+def test_global_prefix_sum_matches_accumulate(spark, vals):
+    import itertools
+
+    from airflow_loan_etl_pipeline_spark.operators.topk import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    got = {
+        r.id: r.prefix_sum
+        for r in global_prefix_sum(df, ["v", "id"], "v").collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    acc = itertools.accumulate(vals[i] for i in order)
+    expect = {i: s for i, s in zip(order, acc)}
+    assert got == expect
