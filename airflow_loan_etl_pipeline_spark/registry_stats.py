@@ -1142,3 +1142,103 @@ def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@query(
+    "docs_shingle_df_histogram",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(str_split(text, ' ')) - 2),
+                       i -> array_to_string((str_split(text, ' '))[i:i+2], ' ')))
+                   ELSE [text] END) AS s
+        FROM documents
+    ),
+    df AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+    b AS (SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS bucket, d FROM df)
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS df_at_least,
+           count(*) AS n_shingles,
+           sum(d * d) AS pair_fanout
+    FROM b GROUP BY bucket
+    """,
+)
+def docs_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of shingle document frequencies, with
+    each bucket's Sum(df^2) self-join fan-out - the diagnostic that
+    SIZES the dedup max_df caps: the top buckets hold the stop-shingles
+    whose quadratic pair expansion melts a 100 TB run, made visible
+    before the join ever executes. One shingle-key aggregate plus a
+    ~60-row bucket rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs)
+    df = sh.groupBy("s_str").agg(F.count(F.lit(1)).alias("d"))
+    b = df.select(
+        F.floor(F.log(F.col("d")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("bucket"),
+        "d",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("d") * F.col("d")).alias("pair_fanout"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket").cast("double"))
+            .cast("bigint")
+            .alias("df_at_least"),
+            "n_shingles",
+            "pair_fanout",
+        )
+    )
+
+
+@query(
+    "user_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           quantile_cont(gap, 0.5) / 1e6 AS p50_gap_s,
+           quantile_cont(gap, 0.9) / 1e6 AS p90_gap_s,
+           round(avg(gap) / 1e6, 4) AS mean_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event interarrival distribution (median / p90 / mean
+    gap seconds) - the activity-cadence feature behind churn scoring
+    and bot detection. Gaps are exact integer seconds, so interpolated
+    percentiles meet the cross-engine parity rule; one window pass plus
+    one aggregate on the same user key."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # Exact integer MICROSECONDS on both engines (a seconds-level long
+    # cast truncates where DuckDB's epoch() keeps the fraction —
+    # caught by the oracle); seconds only at the final division.
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    g = events.select(F.col("user_id"), gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.expr("percentile(gap, 0.5)") / 1e6).alias("p50_gap_s"),
+        (F.expr("percentile(gap, 0.9)") / 1e6).alias("p90_gap_s"),
+        F.round(F.avg("gap") / 1e6, 4).alias("mean_gap_s"),
+    )

@@ -243,6 +243,8 @@ def main() -> None:
         "supplier_lead_times",
         "events_session_paths",
         "orders_abc_classes",
+        "docs_shingle_df_histogram",
+        "user_interarrival_stats",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
