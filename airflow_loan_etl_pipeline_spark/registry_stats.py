@@ -1242,3 +1242,57 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(gap, 0.9)") / 1e6).alias("p90_gap_s"),
         F.round(F.avg("gap") / 1e6, 4).alias("mean_gap_s"),
     )
+
+
+MIX_WEIGHTS = (("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1))
+
+
+@query(
+    "corpus_token_budget_plan",
+    oracle=f"""
+    WITH w(source, wt) AS (VALUES {", ".join(f"('{s}', {w}::DOUBLE)" for s, w in MIX_WEIGHTS)}),
+    t AS (
+        SELECT source, sum(len(str_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    j AS (SELECT t.source, n_tokens, wt FROM t JOIN w USING (source)),
+    m AS (SELECT min(n_tokens / wt) AS scale FROM j)
+    SELECT source, n_tokens, wt,
+           CAST(floor(scale * wt) AS BIGINT) AS alloc_tokens,
+           floor(scale * wt * 1e4 / n_tokens) / 1e4 AS sample_rate
+    FROM j CROSS JOIN m
+    """,
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix-planning step BEFORE corpus_mix_sample: given target mix
+    weights per source, find the largest total budget at which every
+    source can meet its share without upsampling (the binding source
+    caps the scale at min(tokens/weight)), then each source's token
+    allocation and sampling rate. One per-source aggregate + a 1-row
+    broadcast min - the whole plan is keys-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.create_map(
+        *[F.lit(x) for pair in MIX_WEIGHTS for x in pair]
+    )
+    t = (
+        docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).alias("_n")
+        )
+        .groupBy("source")
+        .agg(F.sum("_n").alias("n_tokens"))
+        .withColumn("wt", w[F.col("source")])
+        .filter(F.col("wt").isNotNull())
+    )
+    m = t.agg(F.min(F.col("n_tokens") / F.col("wt")).alias("scale"))
+    return t.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_tokens",
+        "wt",
+        F.floor(F.col("scale") * F.col("wt")).cast("bigint").alias(
+            "alloc_tokens"
+        ),
+        (
+            F.floor(F.col("scale") * F.col("wt") * 1e4 / F.col("n_tokens"))
+            / 1e4
+        ).alias("sample_rate"),
+    )

@@ -245,6 +245,7 @@ def main() -> None:
         "orders_abc_classes",
         "docs_shingle_df_histogram",
         "user_interarrival_stats",
+        "corpus_token_budget_plan",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
