@@ -1296,3 +1296,121 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("sample_rate"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part.p_partkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation.n_nationkey',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region.r_regionkey',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n WHERE NOT EXISTS
+              (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every foreign-key edge of the star schema -
+    the referential data-quality query a warehouse runs before
+    publishing. Each edge is one left-anti probe; parents are dim-sized
+    and broadcast, so the fact tables are scanned once each and never
+    shuffled. Output is edges-sized."""
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey",
+         "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for fk, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        row = (
+            c.select(F.col(ck))
+            .join(p, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(c.agg(F.count(F.lit(1)).alias("n_child")))
+            )
+            .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+@query(
+    "orders_schema_profile",
+    oracle="""
+    {}
+    """.format(
+        "\n    UNION ALL\n    ".join(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"count({c}) AS n_non_null, "
+            f"count(DISTINCT {c}) AS n_distinct FROM orders"
+            for c in _PROFILE_COLS
+        )
+    ),
+)
+def orders_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null coverage + exact distinct cardinality per
+    column) - the Deequ/profiler query that sizes join keys, flags
+    degenerate columns, and picks partition/bucket candidates. ONE scan
+    computes every column's stats as sibling aggregate expressions
+    (count-distinct columns expand via Spark's Expand operator -
+    |columns| x rows intermediates, the documented trade; swap to
+    approx_count_distinct sketches at 100 TB), then a literal unpivot
+    to one row per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+        ]
+    row = orders.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    stack = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_non_null, n_distinct)",
+        "_n AS n_rows",
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct")

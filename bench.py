@@ -246,6 +246,8 @@ def main() -> None:
         "docs_shingle_df_histogram",
         "user_interarrival_stats",
         "corpus_token_budget_plan",
+        "referential_integrity_audit",
+        "orders_schema_profile",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
