@@ -355,3 +355,85 @@ def test_global_prefix_sum_matches_accumulate(spark, vals):
     acc = itertools.accumulate(vals[i] for i in order)
     expect = {i: s for i, s in zip(order, acc)}
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_winsorized_mean_is_bounded_and_tighter(spark, vals):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    rows = [(i, "2024-01-01", 7, "t", float(v), "") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = winsorized_stats(df).collect()[0]
+    lo, hi = min(vals), max(vals)
+    # clipped mean stays inside the raw data range (clipping can't
+    # escape it) with slack for the cents quantization of thresholds
+    assert lo - 0.01 <= out.mean_winsorized <= hi + 0.01
+    assert out.n_events == len(vals)
+
+
+@settings(**SETTINGS)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400),   # n orders scale
+            st.integers(min_value=1, max_value=10**6),  # cents per order
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_rfm_conserves_customers_and_bounds_scores(spark, custs):
+    from airflow_loan_etl_pipeline_spark.operators.stats import rfm_segments
+
+    rows = []
+    for cid, (nord, cents) in enumerate(custs):
+        n = 1 + nord % 4
+        for _ in range(n):
+            rows.append((cid, "1998-01-01", cents / 100.0))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = rfm_segments(orders).collect()
+    assert sum(r.n_customers for r in out) == len(custs)
+    for r in out:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+
+
+@settings(**SETTINGS)
+@given(
+    lens=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+    )
+)
+def test_length_rebalance_buckets_exactly_min(spark, lens):
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        length_rebalance,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_rebalance(df, bucket_tokens=8).collect()
+    sizes = {}
+    for n in lens:
+        sizes[n // 8] = sizes.get(n // 8, 0) + 1
+    target = min(sizes.values())
+    assert {r.bucket: r.n_docs for r in out} == sizes
+    assert all(r.n_kept == target for r in out)
