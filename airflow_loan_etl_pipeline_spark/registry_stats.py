@@ -1414,3 +1414,41 @@ def orders_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_non_null, n_distinct)",
         "_n AS n_rows",
     ).select("column_name", "n_rows", "n_non_null", "n_distinct")
+
+
+@query(
+    "events_active_users_7d",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           count(DISTINCT u.user_id) AS active_users_7d
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day >= d.day - 6
+    GROUP BY d.day
+    """,
+)
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day - the retention
+    dashboard headline. Rolling DISTINCT doesn't decompose like sums
+    (no delta trick), so the scale recipe is: collapse events to the
+    (day, user) fact first (the big map-side-combinable aggregate -
+    users x days rows, orders of magnitude under the event count),
+    then range-join that small fact against the distinct-day axis
+    (fan-out x7) and count distinct per day. The event table is
+    touched exactly once."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    j = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+    )
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_users_7d")
+    )

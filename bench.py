@@ -248,6 +248,7 @@ def main() -> None:
         "corpus_token_budget_plan",
         "referential_integrity_audit",
         "orders_schema_profile",
+        "events_active_users_7d",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
