@@ -275,3 +275,32 @@ def test_length_rebalance_window_is_per_bucket(spark, sf_dir):
         "partitionBy=[bucket", "partitionBy=[bucket"
     ) or "hashpartitioning(bucket" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row n_target
+
+
+def test_active_users_7d_broadcasts_day_axis(spark, sf_dir):
+    """The rolling-distinct recipe must range-join the (day,user) fact
+    against a BROADCAST day axis — never shuffle the fact for the
+    window fan-out."""
+    plan = _plan(registry.QUERIES["events_active_users_7d"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # range condition, tiny axis
+
+
+def test_referential_audit_probes_are_broadcast_anti_joins(spark, sf_dir):
+    """Every FK orphan probe must be a broadcast LeftAnti — facts
+    scanned once, never shuffled against their parents."""
+    plan = _plan(
+        registry.QUERIES["referential_integrity_audit"](spark, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin LeftAnti") >= 6
+
+
+def test_abc_classes_no_single_partition_over_customers(spark, sf_dir):
+    """The prefix-sum recipe: any SinglePartition exchange may only sit
+    over pre-aggregated partition totals, never a table scan."""
+    plan = _plan(registry.QUERIES["orders_abc_classes"](spark, sf_dir))
+    assert "Arguments: rangepartitioning" in plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Arguments: SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 6): i])
+            assert "Scan parquet" not in ctx
