@@ -618,3 +618,46 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def benchmark_contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The INVERSE of :func:`decontaminate`: per BENCHMARK document,
+    how much of it already appears in the training corpus. Training-
+    side decontamination tells you which training docs to drop;
+    this report tells you which eval items are compromised — the
+    number you need to discount or regenerate eval scores when a
+    benchmark leaked into the crawl.
+
+    Same scale shape as decontaminate, mirrored: the benchmark's
+    distinct shingle set is tiny and BROADCASTS into one scan of the
+    training shingles; the train side contributes only the distinct
+    set of benchmark shingles it matched (benchmark-sized), which then
+    joins back to per-eval-doc counts. The 100 TB training corpus is
+    never shuffled.
+    """
+    ev = shingle_rows(benchmark, id_col, text_col, n, repartition=False)
+    ev = ev.select(
+        id_col, "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
+    )
+    ev_sh = ev.select("s").distinct()
+    tr = shingle_rows(train, id_col, text_col, n).select(
+        F.expr(HASH60.format(x="s_str")).alias("s")
+    )
+    hit_sh = tr.join(F.broadcast(ev_sh), "s").select("s").distinct()
+    hits = ev.join(hit_sh, "s")
+    return (
+        hits.groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            id_col,
+            "n_sh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_sh"), 4).alias("hit_frac"),
+        )
+    )

@@ -1452,3 +1452,45 @@ def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("d").alias("day")).agg(
         F.countDistinct("user_id").alias("active_users_7d")
     )
+
+
+@query(
+    "benchmark_contamination_report",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    shing AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+                   ELSE [array_to_string(tk, ' ')] END AS sh
+        FROM toks
+    ),
+    ev AS (
+        SELECT doc_id, len(sh) AS n_sh,
+               unnest(list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+        FROM shing WHERE doc_id % 20 = 0
+    ),
+    tr AS (
+        SELECT DISTINCT unnest(list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+        FROM shing WHERE doc_id % 20 <> 0
+    )
+    SELECT ev.doc_id, ev.n_sh, count(*) AS n_hit,
+           round(count(*) * 1.0 / ev.n_sh, 4) AS hit_frac
+    FROM ev JOIN tr USING (s)
+    GROUP BY ev.doc_id, ev.n_sh
+    """,
+)
+def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of docs_decontaminate: per BENCHMARK document, how
+    much already appears in the training corpus - the eval-integrity
+    report that says which benchmark items to discount. Same scale
+    shape mirrored: the benchmark's distinct shingle set broadcasts
+    into one training scan; the training corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.benchmark_contamination_report(train, bench)

@@ -249,6 +249,7 @@ def main() -> None:
         "referential_integrity_audit",
         "orders_schema_profile",
         "events_active_users_7d",
+        "benchmark_contamination_report",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
