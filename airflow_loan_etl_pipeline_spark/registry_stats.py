@@ -1494,3 +1494,35 @@ def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFram
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return D.benchmark_contamination_report(train, bench)
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hr,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by ISO day-of-week x hour - the seasonality
+    dashboard grid (traffic shaping, batch-window placement). Calendar
+    parity note: Spark's dayofweek() is Sunday=1 while DuckDB's
+    isodow() is Monday=1 - both sides pin ISO numbering explicitly
+    (Spark: weekday()+1). Scan-local projection + one <=168-key
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            (F.weekday(F.col("ts")) + 1).alias("dow"),
+            F.hour(F.col("ts")).alias("hr"),
+            "value",
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

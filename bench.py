@@ -250,6 +250,7 @@ def main() -> None:
         "orders_schema_profile",
         "events_active_users_7d",
         "benchmark_contamination_report",
+        "events_dow_hour_heatmap",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
