@@ -522,3 +522,97 @@ def mad_anomaly_counts(
             F.round(F.first("_mad2") / 200, 4).alias("mad"),
         )
     )
+
+
+def ab_welch_test(
+    events: DataFrame,
+    key_col: str = "event_type",
+    unit_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Two-variant A/B experiment readout with Welch's t statistic,
+    computed per key in ONE conditional-aggregation scan.
+
+    Variant assignment is the deterministic hash bucket ``unit % 2``
+    (stand-in for the experiment-assignment column a real event log
+    carries). Both arms' count/mean/sample-variance come from FILTERed
+    aggregates over the same pass — no self-join, no second scan, one
+    |keys|-row shuffle of six doubles. t and the Welch-Satterthwaite
+    degrees of freedom are closed-form expressions over those six
+    numbers, evaluated post-aggregation (driver-free, still columnar).
+    Rounding: means 6dp, t 4dp, df 2dp — absorbs summation-order ulp
+    drift between engines (registry parity rules).
+    """
+    variant = (F.col(unit_col) % 2).alias("_v")
+    df = events.select(F.col(key_col), variant, F.col(val_col))
+    a = F.when(F.col("_v") == 0, F.col(val_col))
+    b = F.when(F.col("_v") == 1, F.col(val_col))
+    agg = df.groupBy(key_col).agg(
+        F.count(a).alias("n0"),
+        F.count(b).alias("n1"),
+        F.avg(a).alias("_m0"),
+        F.avg(b).alias("_m1"),
+        F.var_samp(a).alias("_v0"),
+        F.var_samp(b).alias("_v1"),
+    )
+    se0 = F.col("_v0") / F.col("n0")
+    se1 = F.col("_v1") / F.col("n1")
+    t = (F.col("_m0") - F.col("_m1")) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    )
+    return agg.select(
+        F.col(key_col),
+        "n0",
+        "n1",
+        F.round("_m0", 6).alias("mean0"),
+        F.round("_m1", 6).alias("mean1"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("welch_df"),
+    )
+
+
+def seasonal_anomaly_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly screen: each event is z-scored
+    against the mean/stddev of its own (key, ISO day-of-week, hour)
+    seasonal cell, so a weekend-quiet metric isn't flagged every Monday
+    morning the way a global z-score would.
+
+    Two passes over the facts: (1) build the seasonal grid — at most
+    |keys| x 7 x 24 rows, a map-side-partial hash aggregate; (2) join
+    the grid back BROADCAST (it is tiny by construction at any corpus
+    scale) and count threshold crossings per key. The facts are never
+    shuffled on a high-cardinality key and never sorted — the shape
+    survives 100 TB. Composes the heatmap grid (events_dow_hour_heatmap)
+    with the z-score screen (events_user_value_anomalies).
+    """
+    cell = [
+        F.col(key_col),
+        (F.weekday(F.col(ts_col)) + 1).alias("_dow"),
+        F.hour(F.col(ts_col)).alias("_hr"),
+    ]
+    facts = events.select(*cell, F.col(val_col))
+    grid = facts.groupBy(key_col, "_dow", "_hr").agg(
+        F.avg(val_col).alias("_mu"),
+        F.stddev_samp(val_col).alias("_sigma"),
+    )
+    z = (F.col(val_col) - F.col("_mu")) / F.col("_sigma")
+    scored = facts.join(
+        F.broadcast(grid), [key_col, "_dow", "_hr"], "inner"
+    ).select(
+        F.col(key_col),
+        F.when(F.col("_sigma") > 0, z).alias("_z"),
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.abs(F.col("_z")) > z_threshold, 1)).alias(
+            "n_anomalies"
+        ),
+        F.round(F.max(F.abs(F.col("_z"))), 4).alias("max_abs_z"),
+    )

@@ -320,3 +320,83 @@ def session_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_tiebreak: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC candle bars per (key, time bucket): open/high/low/close +
+    volume, the market-data rollup shape (also the generic
+    first/last-in-bucket gauge rollup for sensor streams).
+
+    Open/close are ``min_by``/``max_by`` over the composite event-time
+    order ``struct(ts, tiebreak)`` — plain decomposable aggregates with
+    map-side partials, so the whole operator is ONE hash aggregate on
+    (key, bucket) with no window function and no second shuffle. At
+    100 TB this matters: a row_number-based first/last would shuffle
+    every event into a per-bucket sort; min_by ships one candidate row
+    per partition per bucket. Extends the reference's count/sum
+    aggregate surface (/root/reference/airflow/include/
+    loan_spark_etl.py:110-129) with order-aware aggregates.
+    """
+    order = F.struct(F.col(ts_col), F.col(order_tiebreak))
+    return (
+        events.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bar_ts"),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(val_col),
+        )
+        .groupBy(key_col, "bar_ts")
+        .agg(
+            F.min_by(F.col(val_col), order).alias("open"),
+            F.max(F.col(val_col)).alias("high"),
+            F.min(F.col(val_col)).alias("low"),
+            F.max_by(F.col(val_col), order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(val_col)), 2).alias("volume"),
+        )
+    )
+
+
+def latest_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """CDC-style compaction: the latest event per key, as ONE
+    decomposable ``max_by`` aggregate (the materialized "current state"
+    table a changelog stream compacts into).
+
+    The classic row_number()-per-key formulation shuffles every event
+    into a per-key sort; ``max_by(struct(payload), struct(ts, id))``
+    keeps one candidate per key per map partition, so the shuffle
+    carries |keys| rows regardless of history depth — the right shape
+    for replaying a 100 TB changelog. Mirrors the reference's
+    ledger-merge semantics (newest record wins,
+    /root/reference/airflow/dags/drive_auto_compress_email.py:312)
+    lifted from per-file JSON to a keyed table.
+    """
+    order = F.struct(F.col(ts_col), F.col(order_tiebreak))
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = events.groupBy(key_col).agg(
+        F.max_by(payload, order).alias("_last"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        F.col(key_col),
+        F.col("_last._ts").alias("last_ts"),
+        *[F.col(f"_last.{c}").alias(f"last_{c}") for c in payload_cols],
+        "n_events",
+    )

@@ -1526,3 +1526,109 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events)
+    SELECT event_type, bar_ts,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM r GROUP BY event_type, bar_ts
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type via order-aware min_by/max_by
+    aggregates: ONE hash aggregate, no window, no per-bucket sort (the
+    oracle's row_number formulation is the shape we deliberately avoid
+    at scale — min_by ships one candidate per map partition)."""
+    return TS.ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_latest_state",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value, n_events
+    FROM r WHERE rn = 1
+    """,
+)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction to current state: latest event per user as one
+    decomposable max_by aggregate — |keys|-row shuffle regardless of
+    changelog depth (ref ledger newest-wins semantics,
+    /root/reference/airflow/dags/drive_auto_compress_email.py:312)."""
+    return TS.latest_state(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(value) FILTER (WHERE user_id % 2 = 0) AS n0,
+             count(value) FILTER (WHERE user_id % 2 = 1) AS n1,
+             avg(value)   FILTER (WHERE user_id % 2 = 0) AS m0,
+             avg(value)   FILTER (WHERE user_id % 2 = 1) AS m1,
+             var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v0,
+             var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v1
+      FROM events GROUP BY event_type)
+    SELECT event_type, n0, n1,
+           round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+           round((m0 - m1) / sqrt(v0/n0 + v1/n1), 4) AS t_stat,
+           round((v0/n0 + v1/n1) * (v0/n0 + v1/n1) /
+                 ((v0/n0) * (v0/n0) / (n0 - 1)
+                  + (v1/n1) * (v1/n1) / (n1 - 1)), 2) AS welch_df
+    FROM g
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric A/B readout (Welch's t + Satterthwaite df) from one
+    conditional-aggregation scan — both arms' moments in a single
+    |keys|-row shuffle, closed-form statistics post-agg."""
+    return ST.ab_welch_test(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH f AS (SELECT event_type, isodow(ts) AS dow, hour(ts) AS hr, value
+               FROM events),
+         g AS (SELECT event_type, dow, hr,
+                      avg(value) AS mu, stddev_samp(value) AS sigma
+               FROM f GROUP BY event_type, dow, hr)
+    SELECT f.event_type,
+           count(*) AS n_events,
+           count(CASE WHEN sigma > 0
+                       AND abs((value - mu) / sigma) > 3.0 THEN 1 END)
+             AS n_anomalies,
+           round(max(CASE WHEN sigma > 0
+                          THEN abs((value - mu) / sigma) END), 4)
+             AS max_abs_z
+    FROM f JOIN g USING (event_type, dow, hr)
+    GROUP BY f.event_type
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted z-score screen: events scored against their
+    own (type, ISO dow, hour) cell's mean/stddev — the seasonal grid is
+    bounded at |types|x168 rows and broadcast back, so facts are never
+    shuffled on a wide key."""
+    return ST.seasonal_anomaly_counts(load_table(spark, sf_dir, "events"))

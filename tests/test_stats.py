@@ -333,3 +333,111 @@ def test_session_paths_hand_computed(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r.path: r.n_sessions for r in session_paths(events).collect()}
     assert out == {"a>b>c": 1, "a": 1, "a>b": 1}
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import ohlc_bars
+
+    events = spark.createDataFrame(
+        [
+            # one hour bucket, out-of-order insertion: open/close are by
+            # event time, not input order
+            (3, "2024-01-01 10:30:00", 1, "m", 5.0, ""),
+            (1, "2024-01-01 10:00:00", 1, "m", 2.0, ""),
+            (2, "2024-01-01 10:59:59", 1, "m", 9.0, ""),
+            # same-ts tie broken by event_id: id=5 is the close
+            (4, "2024-01-01 11:00:00", 1, "m", 1.0, ""),
+            (5, "2024-01-01 11:00:00", 1, "m", 7.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.bar_ts.hour: r for r in ohlc_bars(events).collect()}
+    b10 = rows[10]
+    assert (b10.open, b10.high, b10.low, b10.close) == (2.0, 9.0, 2.0, 9.0)
+    assert b10.n_events == 3 and b10.volume == 16.0
+    b11 = rows[11]
+    assert (b11.open, b11.close) == (1.0, 7.0)
+
+
+def test_latest_state_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import (
+        latest_state,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "signup", 1.0, ""),
+            (2, "2024-01-02 00:00:00", 7, "purchase", 9.5, ""),
+            # same ts as id=2 but higher event_id wins the tiebreak
+            (3, "2024-01-02 00:00:00", 7, "refund", -9.5, ""),
+            (4, "2024-01-01 00:00:00", 8, "view", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in latest_state(events).collect()}
+    assert out[7].last_event_type == "refund"
+    assert out[7].last_value == -9.5
+    assert out[7].n_events == 3
+    assert out[8].last_event_type == "view" and out[8].n_events == 1
+
+
+def test_ab_welch_matches_scipy_formula(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import ab_welch_test
+
+    # arm 0: users 0,2 -> values [1, 2, 3, 4]; arm 1: users 1,3 ->
+    # values [10, 12, 14]
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, "m", 1.0, ""),
+        (2, "2024-01-01 00:00:00", 0, "m", 2.0, ""),
+        (3, "2024-01-01 00:00:00", 2, "m", 3.0, ""),
+        (4, "2024-01-01 00:00:00", 2, "m", 4.0, ""),
+        (5, "2024-01-01 00:00:00", 1, "m", 10.0, ""),
+        (6, "2024-01-01 00:00:00", 3, "m", 12.0, ""),
+        (7, "2024-01-01 00:00:00", 3, "m", 14.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ab_welch_test(events).collect()[0]
+    # hand Welch: m0=2.5 v0=5/3 n0=4; m1=12 v1=4 n1=3
+    import math
+
+    se = 5 / 3 / 4 + 4 / 3
+    t = (2.5 - 12) / math.sqrt(se)
+    dof = se * se / ((5 / 3 / 4) ** 2 / 3 + (4 / 3) ** 2 / 2)
+    assert out.n0 == 4 and out.n1 == 3
+    assert out.t_stat == round(t, 4)
+    assert out.welch_df == round(dof, 2)
+
+
+def test_seasonal_anomaly_flags_only_cell_outlier(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        seasonal_anomaly_counts,
+    )
+
+    rows = []
+    eid = 0
+    # Mondays 10:00 cell: tight values around 10 plus one huge outlier.
+    for day in ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]:
+        for m in range(5):
+            eid += 1
+            rows.append((eid, f"{day} 10:0{m}:00", 1, "m", 10.0 + 0.01 * m, ""))
+    eid += 1
+    rows.append((eid, "2024-01-29 10:00:00", 1, "m", 500.0, ""))
+    # Tuesday 10:00 cell: naturally large values — NOT anomalous within
+    # their own cell even though a global z-score would flag them.
+    for m in range(4):
+        eid += 1
+        rows.append((eid, f"2024-01-02 10:0{m}:00", 1, "m", 400.0 + m, ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_anomaly_counts(events).collect()[0]
+    assert out.n_events == 25
+    assert out.n_anomalies == 1
