@@ -661,3 +661,100 @@ def benchmark_contamination_report(
             F.round(F.col("n_hit") / F.col("n_sh"), 4).alias("hit_frac"),
         )
     )
+
+
+def positional_shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    repartition: bool = True,
+) -> DataFrame:
+    """Flat (id, n_pos, pos, shingle) rows for EVERY shingle position —
+    the positional counterpart of :func:`shingle_rows` (which emits
+    first-occurrence-distinct shingles for set-similarity).
+
+    Substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") needs *where* a duplicated span
+    sits inside the document, and counts repeats WITHIN a document too,
+    so no per-doc distinct is applied. Documents shorter than ``n``
+    tokens have no n-gram positions and are dropped (documented
+    contract; the set-based family keeps them as a whole-text shingle).
+    ``pos`` is 1-based; ``n_pos = len(tokens) - n + 1``.
+    """
+    if repartition:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
+
+    def op(batches):
+        for pdf in batches:
+            ids, nps, ps, shs = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t if isinstance(t, str) else ""
+                toks = t.split(" ")
+                n_pos = len(toks) - n + 1
+                if n_pos <= 0:
+                    continue
+                for j in range(n_pos):
+                    ids.append(i)
+                    nps.append(n_pos)
+                    ps.append(j + 1)
+                    shs.append(" ".join(toks[j : j + n]))
+            yield pd.DataFrame(
+                {id_col: ids, "n_pos": nps, "pos": ps, "s_str": shs}
+            )
+
+    schema = f"{id_col} long, n_pos long, pos long, s_str string"
+    return df.select(id_col, text_col).mapInPandas(op, schema)
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span profile: how much of each document
+    is made of n-grams that occur ≥ ``min_df`` times corpus-wide
+    (including repeats inside the same document) — the measurement pass
+    of substring-level dedup (Lee et al. 2022). A doc with
+    ``dup_share`` near 1.0 is boilerplate; contiguous [first_dup_pos,
+    last_dup_pos] ranges are the spans a substring-cut pass would
+    remove.
+
+    Shape at scale: text leaves the Python workers as (60-bit hash,
+    position) rows only; the global df count and the join back shuffle
+    8-byte keys twice on the SAME key (exchange reuse), never the
+    corpus text. Cap note: df is a count, not a pair expansion — no
+    quadratic blowup, so no bucket cap is needed here (contrast
+    minhash_lsh_pairs).
+    """
+    rows = positional_shingle_rows(docs, id_col, text_col, n)
+    hashed = rows.select(
+        id_col,
+        "n_pos",
+        "pos",
+        F.expr(HASH60.format(x="s_str")).alias("sh"),
+    )
+    dfreq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    is_dup = F.col("df") >= min_df
+    return (
+        hashed.join(dfreq, "sh")
+        .groupBy(id_col, "n_pos")
+        .agg(
+            F.count(F.when(is_dup, 1)).alias("n_dup_pos"),
+            F.min(F.when(is_dup, F.col("pos"))).alias("first_dup_pos"),
+            F.max(F.when(is_dup, F.col("pos"))).alias("last_dup_pos"),
+        )
+        .select(
+            id_col,
+            "n_pos",
+            "n_dup_pos",
+            "first_dup_pos",
+            "last_dup_pos",
+            (
+                F.floor(F.col("n_dup_pos") * 1e4 / F.col("n_pos")) / 1e4
+            ).alias("dup_share"),
+        )
+    )

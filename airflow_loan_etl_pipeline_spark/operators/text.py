@@ -827,3 +827,46 @@ def length_rebalance(
         .join(sizes, "bucket")
         .select("bucket", "n_docs", "n_kept")
     )
+
+
+def charset_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition per corpus slice: digit / uppercase /
+    whitespace / non-alphanumeric character counts and the digit share —
+    the encoding-health screen that catches OCR noise, base64 blobs,
+    table dumps, and mojibake sources before they enter a training mix.
+
+    All counts are exact integers computed scan-local as
+    ``length(x) - length(regexp_replace(x, class, ''))`` (native codegen,
+    zero UDFs, zero shuffles beyond the |sources|-row aggregate). The
+    share is floored at 4 decimals per the registry's float-parity rule.
+    Character classes are ASCII-explicit (``[0-9]``, ``[A-Z]``,
+    ``[^a-zA-Z0-9 ]``) so the Java-regex and RE2 oracles agree.
+    """
+    t = F.col(text_col)
+
+    def n_matching(pattern: str):
+        return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+    per_doc = docs.select(
+        F.col(group_col),
+        F.length(t).alias("_len"),
+        n_matching("[0-9]").alias("_digits"),
+        n_matching("[A-Z]").alias("_upper"),
+        n_matching(" ").alias("_spaces"),
+        n_matching("[^a-zA-Z0-9 ]").alias("_other"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_len").alias("n_chars"),
+        F.sum("_digits").alias("digit_chars"),
+        F.sum("_upper").alias("upper_chars"),
+        F.sum("_spaces").alias("space_chars"),
+        F.sum("_other").alias("other_chars"),
+        (
+            F.floor(F.sum("_digits") * 1e4 / F.sum("_len")) / 1e4
+        ).alias("digit_share"),
+    )

@@ -1343,3 +1343,68 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.shuffle_order(
         load_table(spark, sf_dir, "documents")
     ).select("doc_id", "shuffle_rank")
+
+
+@query(
+    "docs_dup_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+         pos AS (SELECT doc_id, len(tk) - 2 AS n_pos, tk,
+                        unnest(generate_series(1, len(tk) - 2)) AS p
+                 FROM tok WHERE len(tk) >= 3),
+         sh AS (SELECT doc_id, n_pos, p,
+                       ('0x' || substr(md5(array_to_string(tk[p:p+2], ' ')),
+                                       1, 15))::BIGINT AS h
+                FROM pos),
+         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id, s.n_pos,
+           count(CASE WHEN d.df >= 2 THEN 1 END) AS n_dup_pos,
+           min(CASE WHEN d.df >= 2 THEN s.p END) AS first_dup_pos,
+           max(CASE WHEN d.df >= 2 THEN s.p END) AS last_dup_pos,
+           floor(count(CASE WHEN d.df >= 2 THEN 1 END) * 1e4 / s.n_pos)
+             / 1e4 AS dup_share
+    FROM sh s JOIN dfreq d USING (h)
+    GROUP BY s.doc_id, s.n_pos
+    """,
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dup profile per document (Lee et al. 2022): the
+    share and [first, last] extent of trigram positions whose n-gram
+    occurs >= 2 times corpus-wide, counting within-document repeats.
+    Positional shingles (no per-doc distinct) — the measurement pass a
+    substring-cut dedup acts on; text never shuffles (60-bit hashes +
+    positions only)."""
+    return D.dup_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_charset_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source, length(text) AS len,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS digits,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS uppers,
+             length(text) - length(regexp_replace(text, ' ', '', 'g'))
+               AS spaces,
+             length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+               AS others
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           sum(len) AS n_chars,
+           sum(digits) AS digit_chars,
+           sum(uppers) AS upper_chars,
+           sum(spaces) AS space_chars,
+           sum(others) AS other_chars,
+           floor(sum(digits) * 1e4 / sum(len)) / 1e4 AS digit_share
+    FROM per GROUP BY source
+    """,
+)
+def docs_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (digit/upper/space/
+    non-alnum counts + digit share) — the encoding-health screen for
+    OCR noise and blob-like sources. Exact integer counts, scan-local
+    codegen, one |sources|-row aggregate."""
+    return X.charset_stats(load_table(spark, sf_dir, "documents"))

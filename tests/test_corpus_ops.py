@@ -327,3 +327,55 @@ def test_length_rebalance_downsamples_to_min_bucket(spark):
     out = {r.bucket: r for r in X.length_rebalance(docs, bucket_tokens=2).collect()}
     assert {b: r.n_docs for b, r in out.items()} == {0: 1, 1: 3, 2: 2}
     assert all(r.n_kept == 1 for r in out.values())  # min bucket size is 1
+
+
+def test_dup_span_stats_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 and 2 share the boilerplate tail "all rights reserved"
+            (1, "alpha beta gamma all rights reserved", "en", "a", 0),
+            (2, "delta epsilon zeta all rights reserved", "en", "a", 0),
+            # doc 3: internal repeat "x y z x y z" -> trigram "x y z"
+            # occurs twice WITHIN the doc (df=2 counts it)
+            (3, "x y z x y z", "en", "b", 0),
+            # doc 4: all-unique trigrams
+            (4, "one two three four", "en", "b", 0),
+            # doc 5: too short for a trigram -> excluded
+            (5, "hi there", "en", "b", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1/2: 6 tokens -> 4 positions; only "all rights reserved"
+    # (position 4) is shared
+    assert out[1].n_pos == 4 and out[1].n_dup_pos == 1
+    assert (out[1].first_dup_pos, out[1].last_dup_pos) == (4, 4)
+    assert out[1].dup_share == 0.25
+    # doc 3: 6 tokens -> 4 positions; "x y z" at pos 1 and 4 (df=2),
+    # "y z x" and "z x y" are unique
+    assert out[3].n_dup_pos == 2
+    assert (out[3].first_dup_pos, out[3].last_dup_pos) == (1, 4)
+    assert out[4].n_dup_pos == 0 and out[4].first_dup_pos is None
+
+
+def test_charset_stats_hand_counted(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import charset_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Ab1 c!", "en", "s1", 0),   # len 6: 1 digit, 1 upper, 1 space, 1 other
+            (2, "2024 OK", "en", "s1", 0),  # len 7: 4 digits, 2 upper, 1 space
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = charset_stats(docs).collect()[0]
+    assert r.n_docs == 2 and r.n_chars == 13
+    assert r.digit_chars == 5
+    assert r.upper_chars == 3
+    assert r.space_chars == 2
+    assert r.other_chars == 1
+    import math
+    assert r.digit_share == math.floor(5 * 1e4 / 13) / 1e4
