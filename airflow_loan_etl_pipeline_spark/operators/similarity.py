@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
@@ -368,4 +368,83 @@ def cosine_dup_pairs(
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.vec_a", "p.vec_b", "p.cosine")
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for a BATCH of query vectors at once — the
+    realistic retrieval shape (a request batch, an eval set) instead of
+    one query per job.
+
+    The Q query vectors are broadcast; scoring is map-side over one
+    corpus scan (Q x N skinny score rows, never materialized wide). The
+    per-query top-k runs in TWO window stages: stage 1 takes a local
+    top-k within each (query, input-partition) slice — after it at most
+    Q x P x k rows survive — and stage 2 reduces those to the global
+    per-query top-k. Selection under a total order (cosine desc, id
+    asc) commutes with this two-phase cut, so the result is exact while
+    the per-query partitions stage 2 sorts are k x P rows, not N: the
+    single-window formulation would funnel the whole corpus into Q
+    partitions (the classic top-k skew bottleneck at 100 TB).
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.filter(~F.col(id_col).isin(query_ids))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    local = (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dimension_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution stats over an embedding column
+    (count/mean/std/min/max) — the whitening / normalization / dead-unit
+    diagnostic pass run before indexing a corpus (a dimension with
+    near-zero variance is wasted index bits; a shifted mean breaks
+    inner-product shortcuts).
+
+    posexplode is map-side (rows x dims, never wider than the vector),
+    and the aggregate keys on the dimension index — cardinality = dim,
+    so partial aggregation collapses everything executor-side and the
+    shuffle carries |dims| rows of five doubles regardless of corpus
+    size.
+    """
+    exploded = df.select(
+        F.posexplode(F.expr(_as_double(vec_col))).alias("_pos", "val")
+    ).select((F.col("_pos") + 1).cast("long").alias("dim"), "val")
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.round(F.stddev_samp("val"), 6).alias("std_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
     )

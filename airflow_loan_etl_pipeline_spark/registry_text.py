@@ -1408,3 +1408,53 @@ def docs_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCR noise and blob-like sources. Exact integer counts, scan-local
     codegen, one |sources|-row aggregate."""
     return X.charset_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embeddings_batch_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM base
+               WHERE vec_id IN (0, 1, 2, 3)),
+         scored AS (SELECT q.query_id, base.vec_id,
+                           round({_COS_DUCK}, 6) AS cosine
+                    FROM base, q WHERE base.vec_id NOT IN (0, 1, 2, 3)),
+         ranked AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rank
+                    FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def embeddings_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: top-3 by cosine for four broadcast query
+    vectors over ONE corpus scan, per-query top-k cut in two window
+    stages (local per input partition, then global) so no single
+    per-query partition ever holds the whole corpus."""
+    return S.batch_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3]
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+               FROM embeddings),
+         x AS (SELECT dim, embedding[dim]::DOUBLE AS val FROM e)
+    SELECT dim, count(*) AS n,
+           round(avg(val), 6) AS mean_val,
+           round(stddev_samp(val), 6) AS std_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM x GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    whitening & dead-unit diagnostic. Map-side posexplode + a |dims|-key
+    aggregate with map-side partials; the shuffle carries |dims| rows
+    regardless of corpus size."""
+    return S.dimension_stats(load_table(spark, sf_dir, "embeddings"))

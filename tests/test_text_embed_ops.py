@@ -107,3 +107,50 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     merge_upsert(spark, target, updates, ["k"])  # same batch replayed
     twice = sorted((r.k, r.v) for r in spark.read.parquet(target).collect())
     assert once == twice == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+def test_batch_cosine_topk_exact_vs_naive(spark):
+    import math
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    # 2 query vectors + 6 corpus vectors in 2-D; cosines hand-checkable
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (10, [2.0, 0.0], 0),    # cos to q0 = 1.0
+        (11, [1.0, 1.0], 0),    # cos to both = 0.7071
+        (12, [0.0, 3.0], 0),    # cos to q1 = 1.0
+        (13, [-1.0, 0.0], 0),   # cos to q0 = -1.0
+        (14, [3.0, 4.0], 0),    # cos to q0 = 0.6
+        (15, [1.0, 0.0], 0),    # cos to q0 = 1.0, tie with 10 -> id asc
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = batch_cosine_topk(df, query_ids=[0, 1], k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    assert sorted(by_q[0]) == [(1, 10, 1.0), (2, 15, 1.0)]
+    q1 = sorted(by_q[1])
+    assert q1[0] == (1, 12, 1.0)
+    # runner-up for q1 is 14=[3,4]: cos = 4/5 = 0.8 (beats 11's 0.7071)
+    assert q1[1] == (2, 14, 0.8)
+    assert math.isfinite(q1[1][2])
+
+
+def test_dimension_stats_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        dimension_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0], 0), (2, [3.0, 10.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.dim: r for r in dimension_stats(df).collect()}
+    assert out[1].n == 2 and out[1].mean_val == 2.0
+    assert out[1].min_val == 1.0 and out[1].max_val == 3.0
+    assert out[2].std_val == 0.0  # dead dimension detected
