@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -756,5 +756,97 @@ def dup_span_stats(
             (
                 F.floor(F.col("n_dup_pos") * 1e4 / F.col("n_pos")) / 1e4
             ).alias("dup_share"),
+        )
+    )
+
+
+def kmv_source_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices, estimated
+    from bottom-k (KMV) sketches — the mergeable-sketch answer to "how
+    similar are these crawls?" when the slices are too big to intersect
+    exactly.
+
+    Each slice keeps only its k smallest distinct 60-bit token hashes
+    (a bottom-k / K-Minimum-Values sketch; Beyer et al. 2007). The
+    estimator for a pair is |bottom-L of the sketch union that belong
+    to both sketches| / L with L = min(k, |union|) — deterministic
+    given the hash, so the oracle replays it bit-for-bit in SQL.
+
+    Scale shape: the only corpus-sized work is one distinct on
+    (slice, hash); the bottom-k cut runs in two window stages (local
+    per input partition, then per slice over ≤ partitions x k
+    survivors) so no slice's whole vocabulary ever sits in one
+    partition. Everything after operates on |slices| x k rows.
+    Sketches are decomposable: unioning per-shard sketches and
+    re-cutting to k gives the same sketch — the property that lets an
+    incremental pipeline maintain them per ingest batch.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    hashed = toks.select(
+        "src", F.expr(HASH60.format(x="tok")).alias("h")
+    ).distinct()
+    w_local = Window.partitionBy("src", "_pid").orderBy(F.col("h").asc())
+    local = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w_src = Window.partitionBy("src").orderBy(F.col("h").asc())
+    sk = (
+        local.withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    srcs = sk.select("src").distinct()
+    pairs = (
+        srcs.select(F.col("src").alias("source_a"))
+        .crossJoin(srcs.select(F.col("src").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    joined = pairs.join(
+        sk,
+        (F.col("src") == F.col("source_a"))
+        | (F.col("src") == F.col("source_b")),
+    )
+    prows = joined.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("src") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("src") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy(
+        F.col("h").asc()
+    )
+    w_cnt = Window.partitionBy("source_a", "source_b")
+    ranked = prows.withColumn("_rn", F.row_number().over(w_pair)).withColumn(
+        "_L", F.least(F.lit(k), F.count(F.lit(1)).over(w_cnt))
+    )
+    return (
+        ranked.filter(F.col("_rn") <= F.col("_L"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("_L").alias("k_used"),
+            # count (BIGINT both engines) rather than sum(int): DuckDB
+            # widens integer SUM to HUGEINT, which would break the
+            # schema compare.
+            F.count(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+            ).alias("n_both"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            "n_both",
+            (
+                F.floor(F.col("n_both") * 1e4 / F.col("k_used")) / 1e4
+            ).alias("jaccard_est"),
         )
     )

@@ -116,3 +116,58 @@ def global_prefix_sum(
         .withColumn(out_col, F.col("_ls") + F.col("_off"))
         .drop("_pid", "_ls", "_off")
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """2-D skyline: rows not dominated by any other row (dominated =
+    another row is <= on ``min_col`` AND >= on ``max_col`` with at
+    least one strict) — "cheapest part for its size class" style
+    frontier queries.
+
+    The quadratic NOT-EXISTS formulation (the oracle) dies at scale;
+    the distributed shape here is O(n log n) total:
+
+    1. collapse to distinct ``min_col`` values keeping max(``max_col``)
+       — only those candidates can be on the frontier (same-price
+       smaller sizes are dominated by the same-price max, strictly);
+    2. prefix-max of ``max_col`` over strictly-lower ``min_col`` via
+       the same two-pass recipe as :func:`global_rank` (range
+       partition → local window → per-partition maxima broadcast as
+       offsets) — never a single-partition window;
+    3. a candidate survives iff its ``max_col`` strictly exceeds every
+       lower-price prefix max; join survivors back to recover all rows
+       carrying a frontier (min, max) pair (ties keep every copy:
+       equal pairs don't dominate each other).
+    """
+    cand = df.groupBy(min_col).agg(F.max(max_col).alias(max_col))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = cand.repartitionByRange(n, F.col(min_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(min_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_prev_local", F.max(max_col).over(w_local))
+    totals = local.groupBy("_pid").agg(F.max(max_col).alias("_pmax"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.max("_pmax").over(w_off).alias("_prev_pids")
+    )
+    frontier = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_prev", F.greatest(
+                F.coalesce(F.col("_prev_local"), F.lit(float("-inf"))),
+                F.coalesce(F.col("_prev_pids"), F.lit(float("-inf"))),
+            )
+        )
+        .filter(F.col(max_col) > F.col("_prev"))
+        .select(min_col, max_col)
+    )
+    return df.join(F.broadcast(frontier), [min_col, max_col])

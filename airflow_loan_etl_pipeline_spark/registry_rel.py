@@ -613,3 +613,31 @@ def documents_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_loan_etl_pipeline_spark.operators.validate import table_checksum
 
     return table_checksum(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "part_pareto_frontier",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over part (minimize retail price, maximize size):
+    parts no other part beats on both axes. The oracle's quadratic
+    NOT EXISTS is the semantics; the engine runs the O(n log n)
+    distributed shape (distinct-price collapse -> distributed prefix
+    max -> broadcast join back), never a self-join."""
+    from airflow_loan_etl_pipeline_spark.operators.topk import pareto_frontier
+
+    part = load_table(spark, sf_dir, "part")
+    return pareto_frontier(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        min_col="p_retailprice",
+        max_col="p_size",
+    )

@@ -1458,3 +1458,48 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side partials; the shuffle carries |dims| rows
     regardless of corpus size."""
     return S.dimension_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "source_kmv_similarity",
+    oracle="""
+    WITH toks AS (SELECT source AS src, unnest(str_split(text, ' ')) AS tok
+                  FROM documents),
+         hashed AS (SELECT DISTINCT src,
+                           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                    FROM toks),
+         sk AS (SELECT src, h FROM (
+                  SELECT src, h,
+                         row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+                  FROM hashed) t WHERE rn <= 64),
+         srcs AS (SELECT DISTINCT src FROM sk),
+         pairs AS (SELECT a.src AS source_a, b.src AS source_b
+                   FROM srcs a, srcs b WHERE a.src < b.src),
+         prows AS (SELECT p.source_a, p.source_b, s.h,
+                          max(CASE WHEN s.src = p.source_a THEN 1 ELSE 0 END)
+                            AS in_a,
+                          max(CASE WHEN s.src = p.source_b THEN 1 ELSE 0 END)
+                            AS in_b
+                   FROM pairs p
+                   JOIN sk s ON s.src IN (p.source_a, p.source_b)
+                   GROUP BY 1, 2, 3),
+         ranked AS (SELECT *,
+                           row_number() OVER (PARTITION BY source_a, source_b
+                                              ORDER BY h) AS rn,
+                           least(64, count(*) OVER (PARTITION BY source_a,
+                                                    source_b)) AS L
+                    FROM prows)
+    SELECT source_a, source_b, max(L) AS k_used,
+           count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) AS n_both,
+           floor(count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) * 1e4
+                 / max(L)) / 1e4 AS jaccard_est
+    FROM ranked WHERE rn <= L GROUP BY 1, 2
+    """,
+)
+def source_kmv_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-Jaccard matrix between sources from bottom-k
+    (KMV) sketches — mergeable sketches, two-stage bottom-k cut, only
+    |sources| x 64 rows after the one corpus-sized distinct. The
+    estimator is deterministic given the md5-based hash, so the oracle
+    replays it exactly."""
+    return D.kmv_source_similarity(load_table(spark, sf_dir, "documents"))

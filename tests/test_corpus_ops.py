@@ -379,3 +379,81 @@ def test_charset_stats_hand_counted(spark):
     assert r.other_chars == 1
     import math
     assert r.digit_share == math.floor(5 * 1e4 / 13) / 1e4
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from airflow_loan_etl_pipeline_spark.operators.topk import pareto_frontier
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randint(1, 12)), rng.randint(1, 9))
+        for i in range(60)
+    ]
+    # inject exact duplicates of one point: both copies must survive
+    rows.append((100, 1.0, 9))
+    rows.append((101, 1.0, 9))
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+
+    def dominated(p, q):
+        return (
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    expected = {
+        p[0]
+        for p in rows
+        if not any(dominated(p, q) for q in rows if q[0] != p[0])
+    }
+    got = {
+        r.id
+        for r in pareto_frontier(df, min_col="price", max_col="size").collect()
+    }
+    assert got == expected
+    assert {100, 101} <= got
+
+
+def test_kmv_similarity_extremes_and_mergeability(spark):
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        kmv_source_similarity,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [
+            # a and b: identical vocabulary (two docs each, shuffled)
+            (1, " ".join(words[:100]), "en", "a", 0),
+            (2, " ".join(words[50:100]), "en", "a", 0),
+            (3, " ".join(words[:50]), "en", "b", 0),
+            (4, " ".join(words[25:100]), "en", "b", 0),
+            # c: disjoint vocabulary
+            (5, " ".join(words[100:200]), "en", "c", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in kmv_source_similarity(docs, k=32).collect()
+    }
+    assert out[("a", "b")].jaccard_est == 1.0  # identical vocab
+    assert out[("a", "c")].jaccard_est == 0.0  # disjoint vocab
+    assert out[("a", "c")].k_used == 32
+
+    # mergeability (bottom-k of a union == bottom-k of the union of
+    # bottom-k's): sketch each doc alone with k=32, merge, re-cut, and
+    # compare against sketching the full slice directly.
+    import hashlib
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    full_vocab_a = set(words[:100])
+    direct = sorted(h60(t) for t in full_vocab_a)[:32]
+    sk_doc1 = sorted(h60(t) for t in set(words[:100]))[:32]
+    sk_doc2 = sorted(h60(t) for t in set(words[50:100]))[:32]
+    merged = sorted(set(sk_doc1) | set(sk_doc2))[:32]
+    assert merged == direct
