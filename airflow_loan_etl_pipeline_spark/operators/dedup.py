@@ -850,3 +850,80 @@ def kmv_source_similarity(
             ).alias("jaccard_est"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact threshold-Jaccard pairs via PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. 2007; Xiao et al. 2008) — the
+    LOSSLESS alternative to ``ngram_jaccard_pairs(max_df=...)``'s
+    stop-shingle capping.
+
+    Each doc's distinct shingles are ordered globally by (document
+    frequency asc, hash asc) — rarest first — and only the first
+    ``|d| - ceil(t*|d|) + 1`` participate in the candidate join: two
+    sets with Jaccard >= t MUST share a prefix element under any global
+    order (pigeonhole on the required overlap), so recall is exactly
+    100% by construction. The join fan-out drops from Σ df² over ALL
+    shingles to Σ df_prefix² — and because the ordering puts frequent
+    shingles LAST, hot shingles are exactly the ones prefixes exclude.
+
+    Verification is candidate-bounded, not join-bounded: each doc's
+    shingle-hash set is collected once (sorted bigint array), candidates
+    fetch the two arrays by id, and the intersection is a codegen'd
+    ``array_intersect`` — cost |candidates| x |doc|, never the inverted
+    -index blowup. This is the shape to prefer at 100 TB when exact
+    threshold semantics matter; df-capping remains for the "drop
+    boilerplate signal entirely" policy.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    ex = sh.select(
+        F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
+    )
+    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.col("_df").asc(), F.col("s").asc()
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    pre = (
+        ex.join(dfreq, "s")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .filter(F.col("_pos") <= prefix_len)
+    )
+    a = pre.select(
+        "s", F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    b = pre.select(
+        "s", F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    sets = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("s")).alias("_set")
+    )
+    joined = cand.join(
+        sets.select(F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa")),
+        "doc_a",
+    ).join(
+        sets.select(F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

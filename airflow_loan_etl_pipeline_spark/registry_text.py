@@ -1503,3 +1503,35 @@ def source_kmv_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator is deterministic given the md5-based hash, so the oracle
     replays it exactly."""
     return D.kmv_source_similarity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs_prefix",
+    # The oracle is the plain quadratic definition — prefix filtering is
+    # LOSSLESS for threshold Jaccard, so the engine's filtered plan must
+    # reproduce the brute-force result bit-for-bit.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
+    inter AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+        FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+    FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-Jaccard pairs via lossless PREFIX FILTERING (AllPairs/
+    PPJoin): candidates only from each doc's rarest |d|-ceil(t|d|)+1
+    shingles, verification candidate-bounded via array_intersect — the
+    exact-semantics scale path where df-capping would change results.
+    Oracle = the brute-force quadratic definition."""
+    return D.prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents")
+    )

@@ -142,3 +142,54 @@ def test_minhash_signatures_are_union_mergeable(spark):
     )
     sig_union = D.minhash_signatures(union_docs).collect()[0].sig
     assert sig_union == merged
+
+
+def test_prefix_filter_equals_bruteforce_and_beats_cap(spark):
+    """Prefix filtering is LOSSLESS: identical output to the plain
+    quadratic generator even when a stopword-like shingle is hot —
+    exactly the case where df-capping silently drops true pairs."""
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # Every doc shares the hot boilerplate header; docs 1/2 are
+    # near-identical beyond it (true pair), the rest are unrelated.
+    hot = "terms of service"
+    docs = [
+        (1, f"{hot} alpha beta gamma delta epsilon", "en", "a", 0),
+        (2, f"{hot} alpha beta gamma delta zeta", "en", "a", 0),
+    ] + [
+        (
+            i,
+            f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d",
+            "en",
+            "b",
+            0,
+        )
+        for i in range(3, 15)
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    assert pref == brute
+    assert (1, 2) in {(a, b) for a, b, _ in pref}
+    # df-capping at max_df=4 drops the hot header shingles: here the
+    # true pair still survives via its private shingles, but the capped
+    # intersection is smaller — the semantic difference prefix filtering
+    # avoids. (Capped keeps pair (1,2) only if private overlap clears
+    # the threshold.)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.4, max_df=4).collect()
+    }
+    assert capped <= {(a, b) for a, b, _ in brute}
