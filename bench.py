@@ -251,6 +251,17 @@ def main() -> None:
         "events_active_users_7d",
         "benchmark_contamination_report",
         "events_dow_hour_heatmap",
+        "events_ohlc_hourly",
+        "events_latest_state",
+        "events_ab_test",
+        "events_seasonal_anomalies",
+        "docs_dup_spans",
+        "docs_charset_stats",
+        "embeddings_batch_topk",
+        "embedding_dim_stats",
+        "part_pareto_frontier",
+        "source_kmv_similarity",
+        "ngram_jaccard_pairs_prefix",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -304,3 +304,70 @@ def test_abc_classes_no_single_partition_over_customers(spark, sf_dir):
         if "Arguments: SinglePartition" in l:
             ctx = "\n".join(lines[max(0, i - 6): i])
             assert "Scan parquet" not in ctx
+
+
+def test_ohlc_and_latest_state_have_no_window(spark, sf_dir):
+    """Order-aware first/last must plan as min_by/max_by hash
+    aggregates (map-side partials), never a per-key window sort."""
+    for name in ("events_ohlc_hourly", "events_latest_state"):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, name
+        # struct-ordered min_by/max_by buffers aren't hash-aggregable,
+        # so Spark plans SortAggregate — still partial (map-side) +
+        # final, which is the property that matters: one shuffle of
+        # per-partition candidates, never a per-key window sort.
+        assert "partial_m" in plan, name  # partial_min_by / partial_max_by
+        assert "Aggregate" in plan, name
+
+
+def test_seasonal_anomalies_broadcasts_grid(spark, sf_dir):
+    """The (type, dow, hour) seasonal grid is bounded at |types|x168
+    rows and must come back as a broadcast join — the facts are never
+    shuffled on the cell key for scoring."""
+    plan = _plan(registry.QUERIES["events_seasonal_anomalies"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_batch_topk_per_query_window_is_two_stage(spark, sf_dir):
+    """Exact batched retrieval: the first row_number cut must partition
+    by (query, input partition) so the corpus never funnels into
+    |queries| partitions; scoring joins the query batch broadcast."""
+    plan = _plan(registry.QUERIES["embeddings_batch_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
+    assert plan.count("windowspecdefinition") == 2
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    # Spark additionally pushes the rank cut below each window's sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_dimension_stats_is_partial_final_agg(spark, sf_dir):
+    """posexplode then a |dims|-key aggregate: partial aggregation must
+    collapse map-side (two HashAggregates around one |dims|-key
+    exchange), no window, no sort."""
+    plan = _plan(registry.QUERIES["embedding_dim_stats"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_pareto_frontier_never_self_joins(spark, sf_dir):
+    """The skyline must run the distributed prefix-max recipe: no
+    NestedLoop/cartesian self-join, and any SinglePartition exchange
+    sits over the per-partition maxima (parallelism-sized), never the
+    table."""
+    plan = _plan(registry.QUERIES["part_pareto_frontier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+    # frontier pairs come back broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_verification_not_inverted_index(spark, sf_dir):
+    """PPJoin shape: the exact-verify stage must fetch per-doc shingle
+    arrays (array_intersect on collected sets), not re-expand the full
+    inverted index a second time."""
+    plan = _plan(
+        registry.QUERIES["ngram_jaccard_pairs_prefix"](spark, sf_dir)
+    )
+    assert "array_intersect" in plan
+    assert "collect_list" in plan
