@@ -616,3 +616,79 @@ def seasonal_anomaly_counts(
         ),
         F.round(F.max(F.abs(F.col("_z"))), 4).alias("max_abs_z"),
     )
+
+
+PSI_FLOOR = 1e-4
+
+
+def psi_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the time range, per key — the standard model-monitoring drift
+    gauge (PSI > 0.2 ≈ "retrain"): decile the REFERENCE period, measure
+    how the CURRENT period redistributes across those bins,
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with zero-share flooring.
+
+    Scale shape: the split boundary is one global min/max aggregate
+    broadcast back; reference deciles interpolate over integer CENTS
+    (the repo's percentile-parity discipline) into a |keys|×9 threshold
+    table, broadcast for map-side bucket assignment (a 9-element
+    higher-order filter, no join fan-out). Facts shuffle once on
+    (key, bucket) — 10·|keys| output rows; everything after is
+    bounded-size. Complements docs_source_divergence (JS between
+    slices) with the across-TIME drift axis.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    b = (
+        events.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+        .select(
+            F.floor((F.col("_lo") + F.col("_hi")) / 2)
+            .cast("long")
+            .alias("_mid")
+        )
+    )
+    ev = events.crossJoin(F.broadcast(b)).select(
+        F.col(key_col),
+        F.when(us < F.col("_mid"), F.lit(0)).otherwise(F.lit(1)).alias("_per"),
+        F.round(F.col(val_col) * 100).alias("_vc"),
+    )
+    deciles = ", ".join(f"0.{i}D" for i in range(1, 10))
+    thr = (
+        ev.filter(F.col("_per") == 0)
+        .groupBy(key_col)
+        .agg(F.expr(f"percentile(_vc, array({deciles}))").alias("_thr"))
+    )
+    scored = ev.join(F.broadcast(thr), key_col).withColumn(
+        "_b", F.expr("size(filter(_thr, t -> _vc > t))")
+    )
+    counts = scored.groupBy(key_col, "_b").agg(
+        F.count(F.when(F.col("_per") == 0, 1)).alias("nr"),
+        F.count(F.when(F.col("_per") == 1, 1)).alias("nc"),
+    )
+    grid = thr.select(
+        F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_b")
+    )
+    full = (
+        grid.join(counts, [key_col, "_b"], "left")
+        .fillna(0, ["nr", "nc"])
+    )
+    tot = full.groupBy(key_col).agg(
+        F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
+    )
+    j = full.join(F.broadcast(tot), key_col)
+    p_ref = F.greatest(F.col("nr") / F.col("n_ref"), F.lit(floor))
+    p_cur = F.greatest(F.col("nc") / F.col("n_cur"), F.lit(floor))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.groupBy(key_col)
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+    )

@@ -1632,3 +1632,52 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at |types|x168 rows and broadcast back, so facts are never
     shuffled on a wide key."""
     return ST.seasonal_anomaly_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_psi_drift",
+    oracle="""
+    WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+               FROM events),
+         ev AS (SELECT event_type,
+                       CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                            THEN 0 ELSE 1 END AS per,
+                       round(value * 100) AS vc
+                FROM events),
+         thr AS (SELECT event_type,
+                        quantile_cont(vc, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS t
+                 FROM ev WHERE per = 0 GROUP BY event_type),
+         scored AS (SELECT ev.event_type, per,
+                           len(list_filter(t.t, x -> vc > x)) AS bkt
+                    FROM ev JOIN thr t USING (event_type)),
+         counts AS (SELECT event_type, bkt,
+                           count(CASE WHEN per = 0 THEN 1 END) AS nr,
+                           count(CASE WHEN per = 1 THEN 1 END) AS nc
+                    FROM scored GROUP BY 1, 2),
+         grid AS (SELECT event_type, unnest(generate_series(0, 9)) AS bkt
+                  FROM thr),
+         fl AS (SELECT g.event_type, g.bkt,
+                       coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+                FROM grid g LEFT JOIN counts c
+                  ON g.event_type = c.event_type AND g.bkt = c.bkt),
+         tot AS (SELECT event_type,
+                        CAST(sum(nr) AS BIGINT) AS n_ref,
+                        CAST(sum(nc) AS BIGINT) AS n_cur
+                 FROM fl GROUP BY 1)
+    SELECT f.event_type,
+           max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+           round(sum((greatest(nc / n_cur, 1e-4) - greatest(nr / n_ref, 1e-4))
+                     * ln(greatest(nc / n_cur, 1e-4)
+                          / greatest(nr / n_ref, 1e-4))), 4) AS psi
+    FROM fl f JOIN tot USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric between the first and
+    second half of the time range — reference-period deciles
+    (integer-cents interpolation), broadcast thresholds for map-side
+    bucketing, zero-share flooring at 1e-4. The model-monitoring drift
+    gauge alongside the JS-divergence source comparison."""
+    return ST.psi_drift(load_table(spark, sf_dir, "events"))

@@ -441,3 +441,37 @@ def test_seasonal_anomaly_flags_only_cell_outlier(spark):
     out = seasonal_anomaly_counts(events).collect()[0]
     assert out.n_events == 25
     assert out.n_anomalies == 1
+
+
+def test_psi_drift_detects_shifted_distribution(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import psi_drift
+
+    rows = []
+    eid = 0
+    # metric "stable": identical uniform-ish values in both halves.
+    # metric "shifted": values 1..100 in the first half, 201..300 after.
+    for day, lo in [("2024-01-01", 0), ("2024-02-01", 0)]:
+        for i in range(100):
+            eid += 1
+            rows.append(
+                (eid, f"{day} 00:{i // 60:02d}:{i % 60:02d}", 1, "stable",
+                 float(i % 10), "")
+            )
+    for day, lo in [("2024-01-01", 1), ("2024-02-01", 201)]:
+        for i in range(100):
+            eid += 1
+            rows.append(
+                (eid, f"{day} 01:{i // 60:02d}:{i % 60:02d}", 1, "shifted",
+                 float(lo + i), "")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in psi_drift(events).collect()}
+    assert out["stable"].n_ref == 100 and out["stable"].n_cur == 100
+    assert out["stable"].psi < 0.01
+    # total shift: every current value above every reference decile ->
+    # p_cur mass concentrated in the top bucket; PSI explodes
+    assert out["shifted"].psi > 1.0
