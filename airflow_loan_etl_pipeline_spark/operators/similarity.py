@@ -448,3 +448,68 @@ def dimension_stats(
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each vector,
+    the most cosine-similar vector carrying a DIFFERENT label, searched
+    within its hyperplane-LSH bucket (the same index the ANN queries
+    use) — near-misses make the strongest negatives, and the bucket
+    restriction is exactly the "near" filter.
+
+    The per-anchor argmax is ``max_by(struct(neighbor), struct(cosine,
+    -id))`` — a decomposable aggregate with map-side partials (one
+    candidate per anchor per partition crosses the shuffle), not a
+    per-anchor window sort. Pair fan-out is Σ bucket², the same bound
+    as the ANN path; at skewed-bucket scale apply the LSH bucket caps
+    (dedup.LSH_MAX_BUCKET discipline) upstream. Anchors whose bucket
+    holds no other-label vector are absent (documented contract).
+    """
+    base = df.select(
+        F.col(id_col), F.col(label_col), F.expr(_as_double(vec_col)).alias("v")
+    ).withColumn("bucket", F.expr(bucket_expr("v")))
+    a = base.select(
+        "bucket",
+        F.col(id_col).alias("_aid"),
+        F.col(label_col).alias("_albl"),
+        F.col("v").alias("_av"),
+    )
+    b = base.select(
+        "bucket",
+        F.col(id_col).alias("_bid"),
+        F.col(label_col).alias("_blbl"),
+        F.col("v").alias("_bv"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("_albl") != F.col("_blbl"))
+        .select(
+            "_aid",
+            "_albl",
+            "_bid",
+            "_blbl",
+            F.round(F.expr(cosine_expr("_av", "_bv")), 6).alias("_cos"),
+        )
+    )
+    best = scored.groupBy("_aid", "_albl").agg(
+        F.max_by(
+            F.struct(
+                F.col("_bid").alias("nid"),
+                F.col("_blbl").alias("nlbl"),
+                F.col("_cos").alias("ncos"),
+            ),
+            F.struct(F.col("_cos"), -F.col("_bid")),
+        ).alias("_best")
+    )
+    return best.select(
+        F.col("_aid").alias(id_col),
+        F.col("_albl").alias(label_col),
+        F.col("_best.nid").alias("hard_neg_id"),
+        F.col("_best.nlbl").alias("hard_neg_label"),
+        F.col("_best.ncos").alias("cosine"),
+    )

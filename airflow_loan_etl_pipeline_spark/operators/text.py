@@ -10,7 +10,7 @@ the JVM↔Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny English function-word lexicon for the n-gram/stopword heuristic.
@@ -869,4 +869,74 @@ def charset_stats(
         (
             F.floor(F.sum("_digits") * 1e4 / F.sum("_len")) / 1e4
         ).alias("digit_share"),
+    )
+
+
+VOCAB_CHECKPOINTS = (4, 8, 16, 24, 1024, 65536)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    checkpoints: tuple[int, ...] = VOCAB_CHECKPOINTS,
+) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    the top-k most frequent types cover, at the given k checkpoints —
+    the tokenizer-sizing curve ("how big a vocab covers 95% of the
+    corpus") and the Zipf-health companion to docs_zipf_fit.
+
+    One vocabulary-sized shuffle builds type frequencies; the
+    rank-and-running-sum over (freq desc, token asc) then uses the
+    distributed two-pass recipe (range partition -> ONE local window
+    computing both row_number and running sum -> per-partition
+    (count, sum) totals broadcast back as offsets), so the vocabulary
+    never funnels through a single-partition window. Output is
+    |checkpoints| rows.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        freq.withColumn("_negc", -F.col("c"))
+        .repartitionByRange(n, F.col("_negc"), F.col("tok"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("_negc").asc(), F.col("tok").asc()
+    )
+    local = ranged.withColumn(
+        "_lrk", F.row_number().over(w_local)
+    ).withColumn(
+        "_ls",
+        F.sum("c").over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    totals = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("c").alias("_s")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_offs"),
+    )
+    tot = freq.agg(F.sum("c").alias("_total"))
+    ks = list(checkpoints)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_lrk") + F.col("_offn")).alias("vocab_size"),
+            (F.col("_ls") + F.col("_offs")).alias("tokens_covered"),
+        )
+        .filter(F.col("vocab_size").isin(ks))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "tokens_covered",
+            (
+                F.floor(F.col("tokens_covered") * 1e4 / F.col("_total"))
+                / 1e4
+            ).alias("coverage"),
+        )
     )

@@ -1535,3 +1535,65 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH f AS (SELECT tok, count(*) AS c
+               FROM (SELECT unnest(str_split(text, ' ')) AS tok
+                     FROM documents) t
+               GROUP BY 1),
+         r AS (SELECT c,
+                      row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk,
+                      sum(c) OVER (ORDER BY c DESC, tok ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM f),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f)
+    SELECT rnk AS vocab_size,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           floor(cum * 1e4 / total) / 1e4 AS coverage
+    FROM r, t WHERE rnk IN (4, 8, 16, 24, 1024, 65536)
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: corpus share covered by the top-k types
+    at the configured k checkpoints (fixture-scaled 4..24 plus the real-corpus 1024/65536 rungs). Rank + running sum over (freq desc, token asc) run
+    in ONE distributed two-pass window (range partition, local window
+    for both row_number and running sum, broadcast offsets) — the
+    vocabulary never passes through a single-partition sort."""
+    return X.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+         bk AS (SELECT vec_id, label, v,
+                       {_planes_duck().format(v='v')} AS bucket
+                FROM base),
+         p AS (SELECT a.vec_id, a.label,
+                      b.vec_id AS nid, b.label AS nlbl,
+                      round(list_dot_product(a.v, b.v)
+                            / sqrt(list_dot_product(a.v, a.v)
+                                   * list_dot_product(b.v, b.v)), 6)
+                        AS cosine
+               FROM bk a JOIN bk b
+                 ON a.bucket = b.bucket AND a.label != b.label),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cosine DESC, nid ASC) AS rn
+               FROM p)
+    SELECT vec_id, label, nid AS hard_neg_id, nlbl AS hard_neg_label,
+           cosine
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per vector, the most similar
+    OTHER-label vector inside its LSH bucket. The per-anchor argmax is
+    a decomposable max_by aggregate (map-side partials), not a window
+    sort; fan-out is the ANN path's Σ bucket²."""
+    return S.hard_negatives(load_table(spark, sf_dir, "embeddings"))

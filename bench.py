@@ -262,6 +262,9 @@ def main() -> None:
         "part_pareto_frontier",
         "source_kmv_similarity",
         "ngram_jaccard_pairs_prefix",
+        "events_psi_drift",
+        "vocab_coverage_curve",
+        "embedding_hard_negatives",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -154,3 +154,44 @@ def test_dimension_stats_hand_computed(spark):
     assert out[1].n == 2 and out[1].mean_val == 2.0
     assert out[1].min_val == 1.0 and out[1].max_val == 3.0
     assert out[2].std_val == 0.0  # dead dimension detected
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import vocab_coverage
+
+    # freqs: a=4, b=2, c=1, d=1 (ties broken token-asc)
+    docs = spark.createDataFrame(
+        [(1, "a a b c", "en", "s", 0), (2, "a a b d", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.vocab_size: r
+        for r in vocab_coverage(docs, checkpoints=(1, 2, 3, 4)).collect()
+    }
+    assert out[1].tokens_covered == 4
+    assert out[2].tokens_covered == 6
+    assert out[3].tokens_covered == 7  # c before d at equal freq
+    assert out[4].tokens_covered == 8 and out[4].coverage == 1.0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # all in one bucket direction-wise: positive-orthant vectors
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1] + [0.0] * 62, 0),
+            (2, [1.0, 0.2] + [0.0] * 62, 0),   # same label as 1
+            (3, [0.9, 0.3] + [0.0] * 62, 1),   # closest other-label to 1
+            (4, [0.1, 1.0] + [0.0] * 62, 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in hard_negatives(df).collect()}
+    # anchor 1's hard negative must be label-1 (never vec 2)
+    assert out[1].hard_neg_label == 1
+    assert out[1].hard_neg_id == 3
+    # anchors of label 1 point back into label 0
+    assert out[3].hard_neg_label == 0
