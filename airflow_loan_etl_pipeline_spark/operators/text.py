@@ -940,3 +940,44 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) over any number of
+    ranked lists: fused = Σ 1/(k + rank_i), the standard way to blend
+    heterogeneous retrieval signals (BM25 relevance x quality score x
+    embedding similarity) without score calibration.
+
+    Each list is ranked by (score desc, id asc) — a total order — with
+    the DISTRIBUTED global-rank recipe, so a corpus-sized candidate list
+    never single-partitions. Lists are then full-outer joined on id
+    (an id missing from a list contributes 0, the union-RRF convention)
+    and the final top-``top`` is a TakeOrdered, not a full sort.
+    """
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
+    fused = None
+    for i, (df, score_col) in enumerate(ranked):
+        r = global_rank(
+            df.select(F.col(id_col), (-F.col(score_col)).alias("_neg")),
+            ["_neg", id_col],
+            rank_col=f"_r{i}",
+        ).select(id_col, f"_r{i}")
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    contrib = [
+        F.coalesce(1.0 / (F.lit(k) + F.col(f"_r{i}")), F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return (
+        fused.select(F.col(id_col), F.round(total, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

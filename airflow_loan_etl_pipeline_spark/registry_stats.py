@@ -1681,3 +1681,47 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, zero-share flooring at 1e-4. The model-monitoring drift
     gauge alongside the JS-divergence source comparison."""
     return ST.psi_drift(load_table(spark, sf_dir, "events"))
+
+
+from airflow_loan_etl_pipeline_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "docs_rrf_fusion",
+    oracle=f"""
+    WITH b AS ({{b}}),
+         q AS ({{q}}),
+         rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC,
+                                                  doc_id ASC) AS r
+                FROM b),
+         rq AS (SELECT doc_id, row_number() OVER (ORDER BY quality_score
+                                                  DESC, doc_id ASC) AS r
+                FROM q),
+         f AS (SELECT coalesce(rb.doc_id, rq.doc_id) AS doc_id,
+                      round(coalesce(1.0 / (60 + rb.r), 0)
+                            + coalesce(1.0 / (60 + rq.r), 0), 6) AS rrf_score
+               FROM rb FULL JOIN rq ON rb.doc_id = rq.doc_id)
+    SELECT doc_id, rrf_score FROM f
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of the BM25 probe-term ranking with the
+    heuristic quality ranking — calibration-free signal blending for
+    corpus curation. Ranks come from the distributed global-rank
+    recipe; missing-list ids contribute 0 (union RRF); final top-20 is
+    a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.rrf_fuse(
+        [
+            (X.bm25_scores(docs, BM25_TERMS), "bm25"),
+            (X.quality_score(docs), "quality_score"),
+        ]
+    )
+
+
+# Splice the registered oracles in as CTE bodies (same no-drift
+# discipline as lsh_candidate_recall).
+_ORACLE["docs_rrf_fusion"] = _ORACLE["docs_rrf_fusion"].format(
+    b=_ORACLE["docs_bm25_scores"], q=_ORACLE["docs_quality"]
+)

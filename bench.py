@@ -265,6 +265,7 @@ def main() -> None:
         "events_psi_drift",
         "vocab_coverage_curve",
         "embedding_hard_negatives",
+        "docs_rrf_fusion",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -437,3 +437,129 @@ def test_length_rebalance_buckets_exactly_min(spark, lens):
     target = min(sizes.values())
     assert {r.bucket: r.n_docs for r in out} == sizes
     assert all(r.n_kept == target for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w0", "w1", "w2", "w3", "w4", "w5"]),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.2, 0.4, 0.6]),
+)
+def test_prefix_filter_jaccard_equals_bruteforce(spark, docs, threshold):
+    """Prefix filtering is LOSSLESS for any corpus and any threshold:
+    identical pair set + scores to the plain quadratic generator."""
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        (i, " ".join(toks), "en", "s", 0) for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold=threshold
+        ).collect()
+    }
+    assert pref == brute
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # price
+            st.integers(min_value=0, max_value=8),   # size
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_equals_bruteforce(spark, pts):
+    from airflow_loan_etl_pipeline_spark.operators.topk import pareto_frontier
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+
+    def dominated(p, q):
+        return (
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    expected = {
+        p[0] for p in rows if not any(dominated(p, q) for q in rows)
+    }
+    got = {
+        r.id
+        for r in pareto_frontier(df, min_col="price", max_col="size").collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_batch_topk_equals_naive_single_window(spark, vecs, k):
+    """The two-stage per-query cut must equal the naive global sort for
+    any corpus and k (selection commutes with the local pre-cut)."""
+    import math
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qids = [0]
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in batch_cosine_topk(df, query_ids=qids, k=k).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / math.sqrt(
+                sum(x * x for x in a) * sum(y * y for y in b)
+            ),
+            6,
+        )
+
+    q = rows[0][1]
+    scored = sorted(
+        ((cos(v, q), i) for i, v, _ in rows[1:]),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expected = {
+        (0, r + 1): i for r, (_, i) in enumerate(scored[:k])
+    }
+    assert got == expected

@@ -195,3 +195,20 @@ def test_hard_negatives_excludes_same_label(spark):
     assert out[1].hard_neg_id == 3
     # anchors of label 1 point back into label 0
     assert out[3].hard_neg_label == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s1 double"
+    )
+    # doc 4 only appears in list b; doc 3 only in list a
+    b = spark.createDataFrame(
+        [(2, 9.0), (1, 5.0), (4, 1.0)], "doc_id long, s2 double"
+    )
+    out = {r.doc_id: r.rrf_score for r in rrf_fuse([(a, "s1"), (b, "s2")], k=60).collect()}
+    assert out[1] == round(1 / 61 + 1 / 62, 6)
+    assert out[2] == round(1 / 62 + 1 / 61, 6)
+    assert out[3] == round(1 / 63, 6)  # missing list contributes 0
+    assert out[4] == round(1 / 63, 6)
