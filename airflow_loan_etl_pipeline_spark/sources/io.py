@@ -374,3 +374,53 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_json_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON under ``path`` (glob union) with the
+    same defensive-ingest contract as :func:`read_csv_dir`: PERMISSIVE
+    mode nulls cells that fail the schema instead of killing the job,
+    and ``keep_corrupt=True`` lands each bad line's raw text in
+    ``_corrupt_record`` for a quarantine sink. With ``schema=None``
+    falls back to inference (one extra pass — avoid on large inputs).
+    Extends the reference's CSV-only source surface
+    (/root/reference/airflow/include/loan_spark_etl.py:152-155) to the
+    other row format ingest pipelines actually land.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        if keep_corrupt:
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Newline-delimited JSON sink (overwrite), optional codec —
+    the interchange format for downstream non-Spark consumers."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (overwrite) — the second columnar format; same
+    predicate-pushdown/column-pruning behavior as parquet under
+    Catalyst, so layout choices (partitioning) carry over unchanged."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

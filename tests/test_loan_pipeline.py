@@ -222,3 +222,56 @@ def test_send_html_report_over_loopback_smtp():
         assert "loan_a.csv" in body
     finally:
         srv.close()
+
+
+def test_json_roundtrip_with_quarantine(spark, tmp_path):
+    import json as _json
+
+    from airflow_loan_etl_pipeline_spark.sources import io as io_mod
+    from pyspark.sql import types as T
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "good.json").write_text(
+        "\n".join(
+            _json.dumps({"k": i, "v": f"r{i}"}) for i in range(5)
+        )
+    )
+    (p / "bad.json").write_text('{"k": "notanint", "v": "x"}\n{broken\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = io_mod.read_json_dir(
+        spark, str(p), schema=schema, keep_corrupt=True
+    )
+    rows = df.collect()
+    assert len(rows) == 7
+    good = [r for r in rows if r.k is not None]
+    assert len(good) == 5
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 2  # type-mismatch row + unparseable row
+
+    out = tmp_path / "out_json"
+    io_mod.write_json(df.drop("_corrupt_record"), str(out), compression="gzip")
+    back = io_mod.read_json_dir(spark, str(out), schema=schema)
+    assert back.count() == 7
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from airflow_loan_etl_pipeline_spark.sources import io as io_mod
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "k long, v string, part string",
+    )
+    out = str(tmp_path / "orc")
+    io_mod.write_orc(df, out, partition_by=["part"])
+    back = io_mod.read_orc(spark, out)
+    assert sorted((r.k, r.v, r.part) for r in back.collect()) == [
+        (1, "a", "x"),
+        (2, "b", "y"),
+        (3, "c", "x"),
+    ]
+    import os
+
+    assert os.path.isdir(os.path.join(out, "part=x"))
