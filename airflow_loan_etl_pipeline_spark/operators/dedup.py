@@ -760,6 +760,59 @@ def dup_span_stats(
     )
 
 
+def kmv_sketch(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per slice: the k smallest distinct 60-bit
+    token hashes, as (src, h) rows. Cut in two window stages (local per
+    input partition, then per slice over ≤ partitions x k survivors) so
+    a slice's whole vocabulary never sits in one partition.
+
+    MERGEABLE: ``kmv_merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` —
+    bottom-k of a union is the bottom-k of the union of bottom-k's —
+    so incremental pipelines maintain the sketch per ingest batch
+    (see kmv_merge and the streaming maintenance test).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    hashed = toks.select(
+        "src", F.expr(HASH60.format(x="tok")).alias("h")
+    ).distinct()
+    w_local = Window.partitionBy("src", "_pid").orderBy(F.col("h").asc())
+    local = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w_src = Window.partitionBy("src").orderBy(F.col("h").asc())
+    return (
+        local.withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge (src, h) sketch rows from any number of batches back into
+    a valid bottom-k sketch: distinct-union then re-cut to the k
+    smallest per slice. Idempotent and associative — the foreachBatch
+    state-update step of incremental sketch maintenance.
+    """
+    w_src = Window.partitionBy("src").orderBy(F.col("h").asc())
+    return (
+        sketches.distinct()
+        .withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_source_similarity(
     docs: DataFrame,
     group_col: str = "source",
@@ -786,26 +839,7 @@ def kmv_source_similarity(
     re-cutting to k gives the same sketch — the property that lets an
     incremental pipeline maintain them per ingest batch.
     """
-    toks = docs.select(
-        F.col(group_col).alias("src"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
-    hashed = toks.select(
-        "src", F.expr(HASH60.format(x="tok")).alias("h")
-    ).distinct()
-    w_local = Window.partitionBy("src", "_pid").orderBy(F.col("h").asc())
-    local = (
-        hashed.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_rn", F.row_number().over(w_local))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn", "_pid")
-    )
-    w_src = Window.partitionBy("src").orderBy(F.col("h").asc())
-    sk = (
-        local.withColumn("_rn", F.row_number().over(w_src))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    sk = kmv_sketch(docs, group_col, text_col, k)
     srcs = sk.select("src").distinct()
     pairs = (
         srcs.select(F.col("src").alias("source_a"))

@@ -287,3 +287,79 @@ def test_observed_metrics_ride_the_action(spark, sf_dir):
     assert got["n_rows"] == n
     assert got["n_nulls"] == 0
     assert abs(got["value_sum"]) > 0
+
+
+def test_streaming_kmv_sketch_maintenance(spark, tmp_path):
+    """Incremental KMV sketch maintenance: land documents in two
+    micro-batches, merge each batch's sketch into persistent state via
+    foreachBatch (kmv_merge), and the final state must equal the
+    sketch computed over the whole corpus in one batch — the
+    mergeability contract that makes bottom-k sketches streamable."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    land = tmp_path / "land"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    land.mkdir()
+
+    words = [f"w{i}" for i in range(120)]
+    batch1 = [(1, " ".join(words[:60]), "a"), (2, " ".join(words[30:90]), "b")]
+    batch2 = [(3, " ".join(words[60:120]), "a"), (4, " ".join(words[:30]), "b")]
+    all_rows = batch1 + batch2
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("append").option("header", True).csv(
+            str(land)
+        )
+
+    def merge_into_state(batch_df, epoch_id):
+        sk = kmv_sketch(batch_df, k=16)
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prev = spark.read.parquet(state)
+            merged = kmv_merge(prev.unionByName(sk), k=16)
+        else:
+            merged = sk
+        # overwrite-into-temp then swap is merge_upsert's job; for the
+        # test a plain overwrite of the tiny state table is enough
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("header", True)
+            .csv(str(land))
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_into_state)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_batch(batch1, "b1")
+    run_stream()
+    write_batch(batch2, "b2")
+    run_stream()
+
+    got = {
+        (r.src, r.h) for r in spark.read.parquet(state).collect()
+    }
+    expected_df = kmv_sketch(
+        spark.createDataFrame(
+            all_rows, "doc_id long, text string, source string"
+        ),
+        k=16,
+    )
+    expected = {(r.src, r.h) for r in expected_df.collect()}
+    assert got == expected
