@@ -513,3 +513,42 @@ def hard_negatives(
         F.col("_best.nlbl").alias("hard_neg_label"),
         F.col("_best.ncos").alias("cosine"),
     )
+
+
+def dimension_correlations(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_dims: int = 8,
+) -> DataFrame:
+    """Pairwise Pearson correlation between the first ``n_dims``
+    embedding dimensions — the redundancy screen that motivates
+    whitening or PCA before indexing (highly correlated dimensions
+    waste index capacity; post-whitening this matrix should be ~0).
+
+    All C(n,2) correlations come from ONE aggregation pass (corr is a
+    co-moment aggregate with map-side partials — the corpus is scanned
+    once and the shuffle carries a single combined moment row), then the
+    wide row unpivots to (dim_a, dim_b, corr) via a map-side stack.
+    Full-matrix note: for all-dims-at-once use a Pandas-UDF Gram matrix
+    instead; the per-pair aggregate form is for the targeted screen.
+    """
+    e = F.expr(_as_double(vec_col))
+    base = df.select(
+        *[F.element_at(e, i).alias(f"_d{i}") for i in range(1, n_dims + 1)]
+    )
+    pairs = [
+        (i, j)
+        for i in range(1, n_dims + 1)
+        for j in range(i + 1, n_dims + 1)
+    ]
+    agg = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.round(F.corr(f"_d{i}", f"_d{j}"), 6).alias(f"_c_{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+    stack = ", ".join(f"{i}, {j}, _c_{i}_{j}" for i, j in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (dim_a, dim_b, corr)", "_n AS n"
+    )

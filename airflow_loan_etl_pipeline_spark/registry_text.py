@@ -1597,3 +1597,26 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decomposable max_by aggregate (map-side partials), not a window
     sort; fan-out is the ANN path's Σ bucket²."""
     return S.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
+_DIM_PAIRS = [(i, j) for i in range(1, 9) for j in range(i + 1, 9)]
+_CORR_ARMS = "\n    UNION ALL\n    ".join(
+    f"SELECT {i} AS dim_a, {j} AS dim_b,"
+    f" round(corr(e[{i}], e[{j}]), 6) AS corr, count(*) AS n FROM x"
+    for i, j in _DIM_PAIRS
+)
+
+
+@query(
+    "embedding_dim_correlations",
+    oracle=f"""
+    WITH x AS (SELECT list_transform(embedding, v -> v::DOUBLE) AS e
+               FROM embeddings)
+    {_CORR_ARMS}
+    """,
+)
+def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation of the first 8 embedding dimensions — the
+    pre-indexing redundancy screen. One co-moment aggregation pass
+    (28 corr aggregates, map-side partials), unpivoted map-side."""
+    return S.dimension_correlations(load_table(spark, sf_dir, "embeddings"))

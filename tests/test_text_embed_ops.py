@@ -212,3 +212,28 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[2] == round(1 / 62 + 1 / 61, 6)
     assert out[3] == round(1 / 63, 6)  # missing list contributes 0
     assert out[4] == round(1 / 63, 6)
+
+
+def test_dimension_correlations_detects_copy(spark):
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        dimension_correlations,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(50):
+        a = rng.uniform(-1, 1)
+        b = rng.uniform(-1, 1)
+        # dim2 == dim1 (perfect correlation); dim3 independent
+        rows.append((i, [a, a, b], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.dim_a, r.dim_b): r.corr
+        for r in dimension_correlations(df, n_dims=3).collect()
+    }
+    assert out[(1, 2)] == 1.0       # duplicated dimension flagged
+    assert abs(out[(1, 3)]) < 0.5   # independent dims stay low
