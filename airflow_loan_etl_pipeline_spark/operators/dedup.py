@@ -961,3 +961,74 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_estimate_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Estimator-quality gauge for the MinHash pipeline: over the LSH
+    candidate pairs, compare the signature-agreement Jaccard estimate
+    (matching positions / 16) against the exact shingle-set Jaccard —
+    mean/max absolute error and their correlation. The companion dial
+    to lsh_candidate_recall: that one measures what banding FINDS, this
+    one measures what the signatures CLAIM about it (how trustworthy
+    est_jaccard is as a dedup-threshold proxy at 100 TB, where exact
+    verification is rationed).
+
+    Work is candidate-bounded: signatures and per-doc 32-bit shingle
+    hash arrays are joined to the (small) candidate set by id; the
+    agreement count and exact intersection are array expressions —
+    no inverted-index re-expansion.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    hashed = sh.select(
+        F.col(id_col), F.expr(HASH32.format(x="s_str")).alias("h")
+    )
+    hsets = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh"))
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    cand = minhash_lsh_pairs(df, id_col, text_col, n)
+    j = (
+        cand.join(
+            sigs.select(
+                F.col(id_col).alias("doc_a"), F.col("sig").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("doc_b"), F.col("sig").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .join(
+            hsets.select(
+                F.col(id_col).alias("doc_a"), F.col("hh").alias("_ha")
+            ),
+            "doc_a",
+        )
+        .join(
+            hsets.select(
+                F.col(id_col).alias("doc_b"), F.col("hh").alias("_hb")
+            ),
+            "doc_b",
+        )
+    )
+    est = F.expr(
+        "size(filter(sequence(1, 16),"
+        " i -> element_at(_sa, i) = element_at(_sb, i))) / 16.0"
+    )
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    true_j = inter / (F.size("_ha") + F.size("_hb") - inter)
+    scored = j.select(
+        est.alias("_est"), true_j.alias("_true")
+    )
+    err = F.abs(F.col("_est") - F.col("_true"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(err), 4).alias("mean_abs_err"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+        F.round(F.corr("_est", "_true"), 4).alias("est_corr"),
+    )

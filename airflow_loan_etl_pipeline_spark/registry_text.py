@@ -1620,3 +1620,38 @@ def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-indexing redundancy screen. One co-moment aggregation pass
     (28 corr aggregates, map-side partials), unpivoted map-side."""
     return S.dimension_correlations(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "minhash_estimate_quality",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    bands AS ({_BANDS_DUCK}),
+    cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+             FROM bands l JOIN bands r
+               ON l.band_id = r.band_id AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    scored AS (
+      SELECT len(list_filter(generate_series(1, 16),
+                             i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est,
+             len(list_intersect(ha.hh, hb.hh)) * 1.0
+               / (len(ha.hh) + len(hb.hh)
+                  - len(list_intersect(ha.hh, hb.hh))) AS true_j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b)
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(est - true_j)), 4) AS mean_abs_err,
+           round(max(abs(est - true_j)), 4) AS max_abs_err,
+           round(corr(est, true_j), 4) AS est_corr
+    FROM scored
+    """,
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate vs exact Jaccard over the
+    LSH candidate pairs — mean/max abs error + correlation. The
+    trustworthiness dial for using est_jaccard as the dedup threshold
+    at scales where exact verification is rationed."""
+    return D.minhash_estimate_quality(load_table(spark, sf_dir, "documents"))

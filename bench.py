@@ -266,6 +266,8 @@ def main() -> None:
         "vocab_coverage_curve",
         "embedding_hard_negatives",
         "docs_rrf_fusion",
+        "embedding_dim_correlations",
+        "minhash_estimate_quality",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
