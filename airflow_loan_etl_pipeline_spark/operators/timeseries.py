@@ -75,10 +75,19 @@ def funnel(
     key: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: per user, the earliest time each step
     completes GIVEN the previous step already had (strictly later
     timestamp), reduced to per-step user counts + conversion rates.
+
+    ``max_gap_s`` adds a CONVERSION WINDOW: step k must land within
+    that many seconds of step k-1's completion — the "purchased within
+    an hour of clicking" attribution shape. Semantics stay greedy
+    (each stage anchors on the EARLIEST previous completion, the
+    standard funnel-tool convention), so a user who would only convert
+    from a later anchor does not count — documented, and mirrored by
+    the oracle.
 
     Implemented as one conditional aggregation per step: stage k's
     candidate events filter on ``ts > stage_{k-1}_ts``, so each stage is
@@ -98,10 +107,16 @@ def funnel(
     reached = [stage]
     for i, step in enumerate(steps[1:], start=1):
         prev = reached[-1]
+        cond = F.col(ts_col) > F.col(f"t{i-1}")
+        if max_gap_s is not None:
+            cond = cond & (
+                F.unix_micros(F.col(ts_col))
+                <= F.unix_micros(F.col(f"t{i-1}")) + max_gap_s * 1_000_000
+            )
         nxt = (
             ev.filter(F.col(type_col) == step)
             .join(prev, key)
-            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .filter(cond)
             .groupBy(key)
             .agg(F.min(ts_col).alias(f"t{i}"))
         )

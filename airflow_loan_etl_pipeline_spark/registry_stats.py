@@ -1725,3 +1725,35 @@ def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE["docs_rrf_fusion"] = _ORACLE["docs_rrf_fusion"].format(
     b=_ORACLE["docs_bm25_scores"], q=_ORACLE["docs_quality"]
 )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t0
+            AND epoch_us(e.ts) <= epoch_us(v.t0) + 3600000000::BIGINT
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1
+            AND epoch_us(e.ts) <= epoch_us(c.t1) + 3600000000::BIGINT
+          GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS users_view,
+           (SELECT count(*) FROM c) AS users_click,
+           (SELECT count(*) FROM p) AS users_purchase,
+           round((SELECT count(*) FROM c) / (SELECT count(*) FROM v), 4)
+               AS rate_click,
+           round((SELECT count(*) FROM p) / (SELECT count(*) FROM c), 4)
+               AS rate_purchase
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with a 1-hour conversion window
+    per step ("clicked within an hour of viewing") — greedy
+    earliest-anchor semantics, each stage one key-partitioned min
+    aggregate; the window is a pure predicate, no extra shuffle."""
+    return TS.funnel(load_table(spark, sf_dir, "events"), max_gap_s=3600)

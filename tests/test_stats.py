@@ -475,3 +475,32 @@ def test_psi_drift_detects_shifted_distribution(spark):
     # total shift: every current value above every reference decile ->
     # p_cur mass concentrated in the top bucket; PSI explodes
     assert out["shifted"].psi > 1.0
+
+
+def test_funnel_window_excludes_late_conversions(spark):
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
+
+    rows = [
+        # user 1: click 30 min after view -> converts in a 1h window
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, ""),
+        (2, "2024-01-01 00:30:00", 1, "click", 0.0, ""),
+        # user 2: click 2 h after view -> excluded by the window,
+        # included without it
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0, ""),
+        (4, "2024-01-01 02:00:00", 2, "click", 0.0, ""),
+        # user 3: greedy anchor — views at 00:00 and 01:30; click at
+        # 02:00 is within 1h of the SECOND view but the anchor is the
+        # earliest view, so the windowed funnel excludes it.
+        (5, "2024-01-01 00:00:00", 3, "view", 0.0, ""),
+        (6, "2024-01-01 01:30:00", 3, "view", 0.0, ""),
+        (7, "2024-01-01 02:00:00", 3, "click", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plain = funnel(events, steps=("view", "click")).collect()[0]
+    assert (plain.users_view, plain.users_click) == (3, 3)
+    windowed = funnel(events, steps=("view", "click"), max_gap_s=3600).collect()[0]
+    assert (windowed.users_view, windowed.users_click) == (3, 1)
