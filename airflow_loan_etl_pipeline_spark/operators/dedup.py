@@ -921,14 +921,34 @@ def prefix_filter_jaccard_pairs(
     )
     ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.col("_df").asc(), F.col("s").asc()
-    )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    pre = (
+    # ONE doc-keyed aggregate builds both artifacts: the (df, hash)-
+    # sorted array gives the prefix by slice, and its hash projection is
+    # the verification set — replacing the earlier window + separate
+    # collect_list formulation (two doc shuffles + a per-doc sort each;
+    # measured 6.1 s -> this shape at sf0.1). Per-doc arrays are
+    # doc-sized, the same bound shingle_rows already implies.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    bydoc = (
         ex.join(dfreq, "s")
-        .withColumn("_pos", F.row_number().over(w_doc))
-        .filter(F.col("_pos") <= prefix_len)
+        .groupBy(id_col, "n_sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("s")))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.expr("transform(_ord, x -> x.s)").alias("_set"),
+            F.slice(
+                F.expr("transform(_ord, x -> x.s)"), F.lit(1), prefix_len
+            ).alias("_prefix"),
+        )
+    )
+    pre = bydoc.select(
+        F.col(id_col), "n_sh", F.explode("_prefix").alias("s")
     )
     a = pre.select(
         "s", F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")
@@ -942,9 +962,7 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    sets = ex.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("s")).alias("_set")
-    )
+    sets = bydoc.select(id_col, "_set")
     joined = cand.join(
         sets.select(F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa")),
         "doc_a",

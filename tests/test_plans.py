@@ -371,3 +371,6 @@ def test_prefix_filter_verification_not_inverted_index(spark, sf_dir):
     )
     assert "array_intersect" in plan
     assert "collect_list" in plan
+    # prefix + verification set come from ONE doc-keyed aggregate —
+    # no per-doc window sort anywhere in the plan
+    assert "Window" not in plan
