@@ -692,3 +692,77 @@ def psi_drift(
             F.round(F.sum(term), 4).alias("psi"),
         )
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per key (binary-
+    segmentation step 1): the split k maximizing the centered CUSUM
+    statistic |S_k − (k/n)·S_n|, where S_k is the running value sum in
+    time order — "when did this metric's level change?".
+
+    One pass: running sum + row index from a single per-key window
+    (time-ordered, event-id tiebreak), totals joined back from the
+    bounded per-key aggregate, then a decomposable ``max_by`` argmax —
+    no second sort. Per-key contract matches the repo's other ordered
+    scans (autocorr_lag1, collapse_state_runs): one key's history is
+    window-sorted within its partition; for monster keys range-split by
+    time first. CUSUM values use integer cents so both engines carry
+    exact sums; the statistic is scaled back at the end.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    base = events.select(
+        F.col(key_col), F.col(ts_col), F.col("event_id"), cents.alias("_vc")
+    )
+    run = base.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.row_number().over(w).alias("_k"),
+        F.sum("_vc").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "_sk"
+        ),
+    )
+    # totals from a plain aggregate, NOT max of the running sum — with
+    # negative values S_n is not the maximum prefix.
+    tot = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_vc").alias("_sn")
+    )
+    # |S_k - (k/n) S_n| in exact integer arithmetic: |n*S_k - k*S_n|
+    # (scaled by n) — avoids per-row float division entirely.
+    scored = run.join(F.broadcast(tot), key_col).select(
+        F.col(key_col),
+        F.col(ts_col),
+        "_k",
+        "_n",
+        F.abs(
+            F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
+        ).alias("_stat"),
+    )
+    best = scored.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(
+                F.col(ts_col).alias("cp_ts"), F.col("_k").alias("k")
+            ),
+            # deterministic argmax: max stat, earliest k on ties
+            F.struct(F.col("_stat"), -F.col("_k")),
+        ).alias("_best"),
+        F.max("_n").alias("n_events"),
+        # scale back: stat/(n*100) = |S_k - (k/n)S_n| in value units
+        F.round(F.max("_stat") / (F.max("_n") * 100.0), 4).alias(
+            "cusum_stat"
+        ),
+    )
+    return best.select(
+        F.col(key_col),
+        F.col("_best.cp_ts").alias("changepoint_ts"),
+        F.col("_best.k").cast("long").alias("k"),
+        "n_events",
+        "cusum_stat",
+    )

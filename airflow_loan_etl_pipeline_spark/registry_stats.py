@@ -1757,3 +1757,39 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest-anchor semantics, each stage one key-partitioned min
     aggregate; the window is a pure predicate, no extra shuffle."""
     return TS.funnel(load_table(spark, sf_dir, "events"), max_gap_s=3600)
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH r AS (SELECT event_type, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+         run AS (SELECT event_type, ts,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS k,
+                        sum(vc) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sk
+                 FROM r),
+         tot AS (SELECT event_type, count(*) AS n,
+                        CAST(sum(vc) AS BIGINT) AS sn
+                 FROM r GROUP BY 1),
+         scored AS (SELECT run.event_type, ts, k, n,
+                           abs(n * sk - k * sn) AS stat
+                    FROM run JOIN tot USING (event_type)),
+         best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY stat DESC, k ASC)
+                             AS rn
+                  FROM scored)
+    SELECT event_type, ts AS changepoint_ts, CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n_events,
+           round(stat / (n * 100.0), 4) AS cusum_stat
+    FROM best WHERE rn = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely mean-shift changepoint per metric (centered CUSUM
+    argmax over exact integer cents — |n·S_k − k·S_n|, no per-row float
+    division). One window pass + a decomposable max_by argmax."""
+    return ST.cusum_changepoint(load_table(spark, sf_dir, "events"))

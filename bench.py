@@ -268,6 +268,8 @@ def main() -> None:
         "docs_rrf_fusion",
         "embedding_dim_correlations",
         "minhash_estimate_quality",
+        "events_funnel_windowed",
+        "events_changepoint",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

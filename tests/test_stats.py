@@ -504,3 +504,29 @@ def test_funnel_window_excludes_late_conversions(spark):
     assert (plain.users_view, plain.users_click) == (3, 3)
     windowed = funnel(events, steps=("view", "click"), max_gap_s=3600).collect()[0]
     assert (windowed.users_view, windowed.users_click) == (3, 1)
+
+
+def test_cusum_changepoint_finds_injected_shift(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    # 40 events at level 10, then 40 at level 50: the changepoint is at
+    # the boundary (k = 40, the last pre-shift index maximizes CUSUM).
+    for i in range(80):
+        level = 10.0 if i < 40 else 50.0
+        rows.append(
+            (i + 1, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", 1, "m",
+             level, "")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cusum_changepoint(events).collect()[0]
+    assert out.k == 40
+    assert out.n_events == 80
+    # |S_40 - (40/80) S_80| = |400 - 0.5*2400| = 800
+    assert out.cusum_stat == 800.0
