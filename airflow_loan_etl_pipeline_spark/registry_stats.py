@@ -1793,3 +1793,124 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax over exact integer cents — |n·S_k − k·S_n|, no per-row float
     division). One window pass + a decomposable max_by argmax."""
     return ST.cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_value_bands_daily",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           quantile_cont(round(value * 100), 0.1) / 100.0 AS p10,
+           quantile_cont(round(value * 100), 0.5) / 100.0 AS p50,
+           quantile_cont(round(value * 100), 0.9) / 100.0 AS p90
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_value_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 value bands per metric — the operational
+    dashboard band chart. Exact interpolated percentiles over integer
+    cents (the repo's parity discipline); one (type, day)-keyed
+    aggregate, map-side partials."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_type",
+        F.to_date(F.col("ts")).alias("day"),
+        "value",
+    ).groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(round(value * 100), 0.1D) / 100.0").alias("p10"),
+        F.expr("percentile(round(value * 100), 0.5D) / 100.0").alias("p50"),
+        F.expr("percentile(round(value * 100), 0.9D) / 100.0").alias("p90"),
+    )
+
+
+@query(
+    "docs_source_entropy",
+    oracle="""
+    WITH f AS (SELECT source, tok, count(*) AS c
+               FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
+                     FROM documents) t
+               GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                 FROM f GROUP BY 1)
+    SELECT f.source,
+           max(n) AS n_tokens,
+           count(*) AS n_types,
+           round(-sum((c / n) * ln(c / n)), 4) AS entropy_nats
+    FROM f JOIN tot USING (source)
+    GROUP BY 1
+    """,
+)
+def docs_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per source (nats) — the lexical-diversity /
+    boilerplate gauge (template-heavy sources have low entropy for
+    their size). One vocabulary-keyed aggregate + a |sources|-row
+    totals broadcast; entropy terms are map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = f.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        f.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )
+
+
+@query(
+    "events_crosscorr_lags",
+    oracle="""
+    WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                      round(sum(value), 2) AS v
+               FROM events WHERE event_type IN ('click', 'purchase')
+               GROUP BY 1, 2),
+         c AS (SELECT hr, v FROM h WHERE event_type = 'click'),
+         p AS (SELECT hr, v FROM h WHERE event_type = 'purchase'),
+         lags AS (SELECT unnest(generate_series(0, 3)) AS lag)
+    SELECT lag, count(*) AS n_hours,
+           round(corr(c.v, p.v), 4) AS crosscorr
+    FROM lags, c JOIN p ON p.hr = c.hr + lags.lag
+    GROUP BY lag
+    """,
+)
+def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and purchase
+    value series at lags 0-3h — "does click volume predict purchases
+    h hours later?". The hourly rollup is aggregation-bounded (one row
+    per (type, hour)); the lagged self-alignment is integer hour-index
+    arithmetic on those bounded frames, and corr is one co-moment
+    aggregate per lag."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).alias("hr"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    c = h.filter(F.col("event_type") == "click").select(
+        F.col("hr").alias("_ch"), F.col("v").alias("_cv")
+    )
+    p = h.filter(F.col("event_type") == "purchase").select(
+        F.col("hr").alias("_ph"), F.col("v").alias("_pv")
+    )
+    lags = spark.range(0, 4).select(F.col("id").alias("lag"))
+    j = lags.crossJoin(c).join(
+        p, F.col("_ph") == F.col("_ch") + F.col("lag")
+    )
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr("_cv", "_pv"), 4).alias("crosscorr"),
+    )

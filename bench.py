@@ -270,6 +270,9 @@ def main() -> None:
         "minhash_estimate_quality",
         "events_funnel_windowed",
         "events_changepoint",
+        "events_value_bands_daily",
+        "docs_source_entropy",
+        "events_crosscorr_lags",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

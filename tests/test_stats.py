@@ -530,3 +530,68 @@ def test_cusum_changepoint_finds_injected_shift(spark):
     assert out.n_events == 80
     # |S_40 - (40/80) S_80| = |400 - 0.5*2400| = 800
     assert out.cusum_stat == 800.0
+
+
+def test_crosscorr_detects_lag_relationship(spark):
+    from airflow_loan_etl_pipeline_spark.registry_stats import (
+        events_crosscorr_lags,
+    )
+
+    # purchases at hour h+1 are exactly 2x clicks at hour h -> lag-1
+    # crosscorr == 1.0; contemporaneous values are engineered unrelated.
+    rows = []
+    eid = 0
+    click = [10.0, 50.0, 20.0, 80.0, 30.0, 60.0, 40.0, 70.0]
+    noise = [33.0, 1.0, 47.0, 2.0, 44.0, 3.0, 41.0, 4.0]
+    for hft, v in enumerate(click):
+        eid += 1
+        rows.append((eid, f"2024-01-01 {hft:02d}:00:00", 1, "click", v, ""))
+    for hft, v in enumerate(click[:-1]):
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-01 {hft + 1:02d}:30:00", 1, "purchase", 2 * v, "")
+        )
+    eid += 1
+    rows.append((eid, "2024-01-01 00:30:00", 1, "purchase", noise[0], ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import airflow_loan_etl_pipeline_spark.registry_stats as RS
+
+    orig_rs = RS.load_table
+    try:
+        RS.load_table = lambda sp, sf, name: events
+        out = {r.lag: r for r in events_crosscorr_lags(spark, "unused").collect()}
+    finally:
+        RS.load_table = orig_rs
+    assert out[1].crosscorr == 1.0
+    assert out[1].n_hours == 7
+
+
+def test_source_entropy_orders_diversity(spark):
+    from airflow_loan_etl_pipeline_spark.registry_stats import (
+        docs_source_entropy,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "diverse", 0),
+            (2, "x x x x", "en", "template", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import airflow_loan_etl_pipeline_spark.registry_stats as RS
+
+    orig = RS.load_table
+    try:
+        RS.load_table = lambda sp, sf, name: docs
+        out = {r.source: r for r in docs_source_entropy(spark, "x").collect()}
+    finally:
+        RS.load_table = orig
+    assert out["diverse"].entropy_nats == round(math.log(4), 4)
+    assert out["template"].entropy_nats == 0.0
+    assert out["diverse"].n_types == 4
