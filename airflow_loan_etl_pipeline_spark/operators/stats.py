@@ -766,3 +766,74 @@ def cusum_changepoint(
         "n_events",
         "cusum_stat",
     )
+
+
+POISSON1_CDF = (
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238462),
+    (4, 0.9963401531726563),
+)
+BOOTSTRAP_B = 32
+TWO_POW_60 = float(1 << 60)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    n_replicas: int = BOOTSTRAP_B,
+) -> DataFrame:
+    """Poisson bootstrap for the mean — THE bootstrap that works on
+    distributed data: instead of resampling n rows with replacement
+    (which needs global coordination), each row independently enters
+    replica b with Poisson(1)-distributed multiplicity. Replica
+    membership is CONTENT-ADDRESSED (md5 of ``key:b`` → uniform →
+    inverse Poisson CDF), so the same row draws the same weights on any
+    engine/partitioning/rerun — deterministic, oracle-replayable
+    "randomness", same discipline as corpus_mix_sample.
+
+    One map-side ×B fan-out (B=32 small constant), one B-row aggregate;
+    the interval is rank-based (2nd and 31st order statistics of the
+    replica means ≈ a 94% CI) rather than interpolated — order
+    statistics of identical doubles are bit-identical across engines
+    where quantile-interpolation formulas may not be.
+    """
+    from airflow_loan_etl_pipeline_spark.operators.dedup import HASH60
+
+    ex = df.select(
+        F.col(key_col).cast("string").alias("_k"), F.col(val_col).alias("_v")
+    ).select(
+        "_k",
+        "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("b"),
+    )
+    u = (
+        F.expr(HASH60.format(x="concat(_k, ':', b)")) / F.lit(TWO_POW_60)
+    ).alias("_u")
+    ex = ex.select("b", "_v", u)
+    w = F.lit(5)
+    for mult, cum in reversed(POISSON1_CDF):
+        w = F.when(F.col("_u") < cum, F.lit(mult)).otherwise(w)
+    per_b = (
+        ex.select("b", "_v", w.alias("_w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("_mean_b")
+        )
+    )
+    means = per_b.agg(
+        F.sort_array(F.collect_list("_mean_b")).alias("_ms")
+    )
+    grand = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(val_col), 4).alias("mean_val"),
+    )
+    return grand.crossJoin(F.broadcast(means)).select(
+        "n_rows",
+        "mean_val",
+        F.round(F.element_at("_ms", 2), 4).alias("boot_lo"),
+        F.round(F.element_at("_ms", n_replicas - 1), 4).alias("boot_hi"),
+        F.lit(n_replicas).alias("n_replicas"),
+    )

@@ -1914,3 +1914,44 @@ def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hours"),
         F.round(F.corr("_cv", "_pv"), 4).alias("crosscorr"),
     )
+
+
+@query(
+    "orders_bootstrap_ci",
+    oracle="""
+    WITH ex AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, o_totalprice AS v,
+                       unnest(generate_series(1, 32)) AS b
+                FROM orders),
+         uw AS (SELECT b, v,
+                       ('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)),
+                                       1, 15))::BIGINT
+                         / 1152921504606846976.0 AS u
+                FROM ex),
+         w AS (SELECT b, v,
+                      CASE WHEN u < 0.36787944117144233 THEN 0
+                           WHEN u < 0.7357588823428847 THEN 1
+                           WHEN u < 0.9196986029286058 THEN 2
+                           WHEN u < 0.9810118431238462 THEN 3
+                           WHEN u < 0.9963401531726563 THEN 4
+                           ELSE 5 END AS wt
+               FROM uw),
+         pb AS (SELECT b, sum(wt * v) / sum(wt) AS mean_b FROM w GROUP BY b),
+         ms AS (SELECT list_sort(list(mean_b)) AS l FROM pb),
+         g AS (SELECT count(*) AS n_rows,
+                      round(avg(o_totalprice), 4) AS mean_val
+               FROM orders)
+    SELECT n_rows, mean_val,
+           round(l[2], 4) AS boot_lo, round(l[31], 4) AS boot_hi,
+           32 AS n_replicas
+    FROM g, ms
+    """,
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ~94% CI for mean order value: each row enters
+    each of 32 replicas with content-addressed Poisson(1) multiplicity
+    (md5 -> uniform -> inverse CDF) — the distributed bootstrap, no
+    global resampling coordination, deterministic on any engine. The
+    interval is rank-based order statistics of the replica means."""
+    return ST.poisson_bootstrap_ci(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
+    )

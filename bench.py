@@ -273,6 +273,7 @@ def main() -> None:
         "events_value_bands_daily",
         "docs_source_entropy",
         "events_crosscorr_lags",
+        "orders_bootstrap_ci",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -595,3 +595,21 @@ def test_source_entropy_orders_diversity(spark):
     assert out["diverse"].entropy_nats == round(math.log(4), 4)
     assert out["template"].entropy_nats == 0.0
     assert out["diverse"].n_types == 4
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(300)], "k long, v double"
+    )
+    out1 = poisson_bootstrap_ci(df, "k", "v").collect()[0]
+    # repartitioning must not change the draw (content-addressed)
+    out2 = poisson_bootstrap_ci(df.repartition(13), "k", "v").collect()[0]
+    assert out1 == out2
+    assert out1.n_rows == 300
+    assert out1.boot_lo <= out1.mean_val <= out1.boot_hi
+    # tight population (spread 6 around ~103): the CI must be narrow
+    assert out1.boot_hi - out1.boot_lo < 2.0
