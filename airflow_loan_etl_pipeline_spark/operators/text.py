@@ -981,3 +981,88 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def rank_rbo(
+    a: DataFrame,
+    b: DataFrame,
+    score_a: str,
+    score_b: str,
+    id_col: str = "doc_id",
+    p: float = 0.9,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between two rankings,
+    truncated at depth ``k`` — the standard top-weighted "how similar
+    are these two retrieval systems" metric (unlike Kendall/Spearman it
+    handles non-conjoint lists and weights early ranks geometrically).
+
+    RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d. A shared doc with
+    ranks (ra, rb) belongs to every prefix intersection from depth
+    max(ra, rb) on, so its total contribution is the tail sum
+    Σ_{d≥max} p^{d−1}/d — precomputed as a k-row broadcast lookup. The
+    whole metric is then: rank both lists (distributed global-rank),
+    inner-join on id, join the tail-sum lookup, one SUM. No per-depth
+    iteration, no quadratic prefix scan.
+    """
+    from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+
+    ra = global_rank(
+        a.select(F.col(id_col), (-F.col(score_a)).alias("_neg")),
+        ["_neg", id_col],
+        rank_col="_ra",
+    ).filter(F.col("_ra") <= k).select(id_col, "_ra")
+    rb = global_rank(
+        b.select(F.col(id_col), (-F.col(score_b)).alias("_neg")),
+        ["_neg", id_col],
+        rank_col="_rb",
+    ).filter(F.col("_rb") <= k).select(id_col, "_rb")
+    # tail[d] = sum_{j=d..k} p^(j-1)/j, exact same floats both engines
+    tails = []
+    acc = 0.0
+    for d in range(k, 0, -1):
+        acc += p ** (d - 1) / d
+        tails.append((d, acc))
+    spark = a.sparkSession
+    lut = spark.createDataFrame(tails, "d int, tail double")
+    shared = ra.join(rb, id_col).select(
+        F.greatest(F.col("_ra"), F.col("_rb")).cast("int").alias("d")
+    )
+    return (
+        shared.join(F.broadcast(lut), "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round((1 - p) * F.sum("tail"), 6).alias("rbo"),
+        )
+    )
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Canonical text normalization for dedup keys: casefold, strip
+    non-alphanumerics, collapse whitespace runs, trim. ASCII-explicit
+    classes so Java-regex and RE2 oracles agree."""
+    t = F.lower(F.col(col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def normalized_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text: catches duplicates that differ
+    only in case, punctuation, or whitespace — the cheap pre-pass every
+    production dedup runs before the shingle-based family (a large
+    share of web near-dups are byte-level trivial). Same scale shape as
+    exact_dedup: the shuffle carries the 16-byte md5 of the normalized
+    form, never the text."""
+    return (
+        df.select(
+            F.md5(normalized_text(text_col)).alias("nfp"), F.col(id_col)
+        )
+        .groupBy("nfp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

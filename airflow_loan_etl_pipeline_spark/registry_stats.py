@@ -1955,3 +1955,58 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.poisson_bootstrap_ci(
         load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
     )
+
+
+def _rbo_tail_values(p: float = 0.9, k: int = 20) -> list[tuple[int, float]]:
+    tails, acc = [], 0.0
+    for d in range(k, 0, -1):
+        acc += p ** (d - 1) / d
+        tails.append((d, acc))
+    return tails
+
+
+_RBO_LUT = ", ".join(
+    f"({d}, {t!r})" for d, t in _rbo_tail_values()
+)
+
+
+@query(
+    "docs_rank_rbo",
+    oracle=f"""
+    WITH b AS ({{b}}),
+         q AS ({{q}}),
+         ra AS (SELECT doc_id, rnk FROM (
+                  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC,
+                                                    doc_id ASC) AS rnk
+                  FROM b) t WHERE rnk <= 20),
+         rb AS (SELECT doc_id, rnk FROM (
+                  SELECT doc_id, row_number() OVER (ORDER BY quality_score
+                                                    DESC, doc_id ASC) AS rnk
+                  FROM q) t WHERE rnk <= 20),
+         lut(d, tail) AS (VALUES {_RBO_LUT}),
+         shared AS (SELECT CAST(greatest(ra.rnk, rb.rnk) AS INT) AS d
+                    FROM ra JOIN rb USING (doc_id))
+    SELECT count(*) AS n_shared,
+           round(0.09999999999999998 * sum(tail), 6) AS rbo
+    FROM shared JOIN lut USING (d)
+    """,
+)
+def docs_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap @20 between the BM25 relevance ranking and
+    the quality ranking — the top-weighted ranking-agreement metric.
+    Each shared doc contributes a precomputed geometric tail sum keyed
+    on max(rank_a, rank_b): a 20-row broadcast lookup + one SUM, no
+    per-depth iteration. Tail constants are generated once in Python
+    and embedded in BOTH engines' plans (no accumulation-order drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.rank_rbo(
+        X.bm25_scores(docs, BM25_TERMS),
+        X.quality_score(docs),
+        score_a="bm25",
+        score_b="quality_score",
+    )
+
+
+_ORACLE["docs_rank_rbo"] = _ORACLE["docs_rank_rbo"].format(
+    b=_ORACLE["docs_bm25_scores"], q=_ORACLE["docs_quality"]
+)

@@ -1655,3 +1655,21 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     trustworthiness dial for using est_jaccard as the dedup threshold
     at scales where exact verification is rationed."""
     return D.minhash_estimate_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS nfp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on casefolded/punct-stripped/whitespace-collapsed
+    text — the byte-trivial near-dup pre-pass before the shingle
+    family; shuffle keys are the 16-byte md5 of the normalized form."""
+    return X.normalized_exact_dedup(load_table(spark, sf_dir, "documents"))

@@ -274,6 +274,8 @@ def main() -> None:
         "docs_source_entropy",
         "events_crosscorr_lags",
         "orders_bootstrap_ci",
+        "docs_rank_rbo",
+        "dedup_exact_normalized",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

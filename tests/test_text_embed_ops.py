@@ -237,3 +237,40 @@ def test_dimension_correlations_detects_copy(spark):
     }
     assert out[(1, 2)] == 1.0       # duplicated dimension flagged
     assert abs(out[(1, 3)]) < 0.5   # independent dims stay low
+
+
+def test_rank_rbo_extremes(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import rank_rbo
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, s double"
+    )
+    # identical ranking -> RBO@k == (1-p) * sum_{d<=k} p^(d-1) (d/d=1)
+    out = rank_rbo(a, a, "s", "s", k=10).collect()[0]
+    expected = 0.09999999999999998 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert out.rbo == round(expected, 6)
+    assert out.n_shared == 10
+    # disjoint rankings -> no shared docs -> empty-sum RBO
+    b = spark.createDataFrame(
+        [(i + 100, float(100 - i)) for i in range(10)], "doc_id long, s double"
+    )
+    out2 = rank_rbo(a, b, "s", "s", k=10).collect()[0]
+    assert out2.n_shared == 0
+
+
+def test_normalized_dedup_catches_case_punct_variants(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        normalized_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "en", "s", 0),
+            (2, "hello world", "en", "s", 0),
+            (3, "HELLO   WORLD.", "en", "s", 0),
+            (4, "different text", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.keep_id: r.n_copies for r in normalized_exact_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}
