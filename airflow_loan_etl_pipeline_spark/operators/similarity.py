@@ -552,3 +552,48 @@ def dimension_correlations(
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (dim_a, dim_b, corr)", "_n AS n"
     )
+
+
+def standardized_norms(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Whitening APPLY step: standardize each dimension by the corpus
+    mean/std (z = (x−μ_d)/σ_d, dead dimensions → 0) and report each
+    vector's standardized L2 norm and max |z| — the outlier-vector
+    screen (a corrupt or out-of-distribution embedding shows up as an
+    extreme standardized norm even when its raw norm looks normal).
+
+    The per-dimension stats come from :func:`dimension_stats` (its
+    ROUNDED outputs are the contract — already proven bit-identical
+    across engines), collapsed into two broadcast arrays; the apply is
+    a map-side indexed ``transform`` over each vector. One stats
+    aggregate + one scan — no shuffle of vectors.
+    """
+    stats = dimension_stats(df, id_col=id_col, vec_col=vec_col)
+    arrs = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean_val", "std_val"))
+        ).alias("_a")
+    ).select(
+        F.expr("transform(_a, x -> x.mean_val)").alias("_mu"),
+        F.expr("transform(_a, x -> x.std_val)").alias("_sd"),
+    )
+    z = (
+        "transform({v}, (x, i) -> CASE WHEN element_at(_sd, i + 1) > 0 "
+        "THEN (x - element_at(_mu, i + 1)) / element_at(_sd, i + 1) "
+        "ELSE cast(0.0 AS double) END)"
+    ).format(v=_as_double(vec_col))
+    zn = DOT.format(a="_z", b="_z")
+    return (
+        df.crossJoin(F.broadcast(arrs))
+        .withColumn("_z", F.expr(z))
+        .select(
+            F.col(id_col),
+            F.round(F.sqrt(F.expr(zn)), 4).alias("z_norm"),
+            F.round(
+                F.expr("array_max(transform(_z, x -> abs(x)))"), 4
+            ).alias("max_abs_z"),
+        )
+    )

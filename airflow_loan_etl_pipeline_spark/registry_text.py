@@ -1673,3 +1673,37 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — the byte-trivial near-dup pre-pass before the shingle
     family; shuffle keys are the 16-byte md5 of the normalized form."""
     return X.normalized_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embeddings_standardized_norms",
+    oracle="""
+    WITH e AS (SELECT embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+               FROM embeddings),
+         x AS (SELECT dim, embedding[dim]::DOUBLE AS val FROM e),
+         stats AS (SELECT dim,
+                          round(avg(val), 6) AS mean_val,
+                          round(stddev_samp(val), 6) AS std_val
+                   FROM x GROUP BY dim),
+         ev AS (SELECT vec_id, embedding,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings),
+         z AS (SELECT vec_id, dim,
+                      CASE WHEN s.std_val > 0
+                           THEN (ev.embedding[dim]::DOUBLE - s.mean_val)
+                                / s.std_val
+                           ELSE 0.0 END AS zv
+               FROM ev JOIN stats s USING (dim))
+    SELECT vec_id,
+           round(sqrt(sum(zv * zv)), 4) AS z_norm,
+           round(max(abs(zv)), 4) AS max_abs_z
+    FROM z GROUP BY vec_id
+    """,
+)
+def embeddings_standardized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening apply + outlier screen: per-vector standardized L2
+    norm and max |z| against broadcast per-dimension stats (the rounded
+    dimension_stats outputs are the cross-engine contract); map-side
+    indexed transform, vectors never shuffle."""
+    return S.standardized_norms(load_table(spark, sf_dir, "embeddings"))

@@ -276,6 +276,7 @@ def main() -> None:
         "orders_bootstrap_ci",
         "docs_rank_rbo",
         "dedup_exact_normalized",
+        "embeddings_standardized_norms",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

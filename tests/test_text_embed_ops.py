@@ -274,3 +274,28 @@ def test_normalized_dedup_catches_case_punct_variants(spark):
     )
     out = {r.keep_id: r.n_copies for r in normalized_exact_dedup(docs).collect()}
     assert out == {1: 3, 4: 1}
+
+
+def test_standardized_norms_flags_outlier_vector(spark):
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        standardized_norms,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(5.0, 1.0), rng.gauss(-2.0, 0.5), 7.0], 0)
+        for i in range(60)
+    ]
+    # outlier: extreme in dims 1-2; dim 3 is DEAD (constant) everywhere
+    rows.append((999, [50.0, 30.0, 7.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in standardized_norms(df).collect()}
+    normal_max = max(r.z_norm for i, r in out.items() if i != 999)
+    assert out[999].z_norm > 3 * normal_max
+    # dead dimension contributes exactly 0, never NaN
+    import math
+    assert all(math.isfinite(r.z_norm) for r in out.values())
