@@ -2010,3 +2010,90 @@ def docs_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE["docs_rank_rbo"] = _ORACLE["docs_rank_rbo"].format(
     b=_ORACLE["docs_bm25_scores"], q=_ORACLE["docs_quality"]
 )
+
+
+@query(
+    "discount_elasticity_by_type",
+    oracle="""
+    SELECT p.p_type,
+           count(*) AS n_lines,
+           round(regr_slope(l.l_quantity, l.l_discount), 4)
+             AS qty_per_discount,
+           round(corr(l.l_quantity, l.l_discount), 4) AS qty_discount_corr
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def discount_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per part type: OLS slope of quantity on
+    discount (native regr_slope co-moment aggregates, map-side
+    partials) over the broadcast part dim — "does discounting move
+    volume, and where?"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope("l_quantity", "l_discount"), 4).alias(
+                "qty_per_discount"
+            ),
+            F.round(F.corr("l_quantity", "l_discount"), 4).alias(
+                "qty_discount_corr"
+            ),
+        )
+    )
+
+
+@query(
+    "users_d7_retention",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         first AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY 1),
+         ret AS (SELECT f.user_id, f.d0,
+                        max(CASE WHEN a.d > f.d0
+                                  AND a.d <= f.d0 + 7 THEN 1 ELSE 0 END)
+                          AS returned
+                 FROM first f JOIN act a USING (user_id)
+                 GROUP BY 1, 2)
+    SELECT d0 AS cohort_day,
+           count(*) AS n_users,
+           CAST(sum(returned) AS BIGINT) AS n_returned_7d,
+           floor(sum(returned) * 1e4 / count(*)) / 1e4 AS d7_retention
+    FROM ret GROUP BY 1
+    """,
+)
+def users_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 retention per first-activity cohort day: the share of each
+    day's new users active again within the next 7 days. Works on the
+    deduplicated (user, day) activity fact — events touched once — and
+    two user-keyed aggregates that share the same hash partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    ret = (
+        first.join(act, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("d") > F.col("d0"))
+                    & (F.col("d") <= F.date_add(F.col("d0"), 7)),
+                    1,
+                ).otherwise(0)
+            ).alias("returned")
+        )
+    )
+    return ret.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("returned").alias("n_returned_7d"),
+        (
+            F.floor(F.sum("returned") * 1e4 / F.count(F.lit(1))) / 1e4
+        ).alias("d7_retention"),
+    )

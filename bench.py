@@ -277,6 +277,8 @@ def main() -> None:
         "docs_rank_rbo",
         "dedup_exact_normalized",
         "embeddings_standardized_norms",
+        "discount_elasticity_by_type",
+        "users_d7_retention",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
