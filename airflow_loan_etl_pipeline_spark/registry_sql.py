@@ -846,3 +846,39 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     two IN subqueries."""
     register_views(spark, sf_dir)
     return spark.sql(_Q20)
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> JOIN part ON l_partkey = p_partkey
+|> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+|> AGGREGATE count(*) AS n_lines,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+   GROUP BY p_brand
+|> WHERE n_lines >= 10
+|> ORDER BY revenue DESC, p_brand ASC
+|> LIMIT 5
+"""
+
+
+@query(
+    "brand_revenue_pipe_syntax",
+    oracle="""
+    SELECT p_brand, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY p_brand
+    HAVING count(*) >= 10
+    ORDER BY revenue DESC, p_brand ASC
+    LIMIT 5
+    """,
+)
+def brand_revenue_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|> operators) end-to-end: scan → join →
+    filter → aggregate → having → order/limit expressed as a pipeline,
+    planned by Catalyst identically to the classic formulation (the
+    DuckDB oracle is the classic SQL). Pins the engine's support for
+    the new composable-SQL surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)

@@ -279,6 +279,7 @@ def main() -> None:
         "embeddings_standardized_norms",
         "discount_elasticity_by_type",
         "users_d7_retention",
+        "brand_revenue_pipe_syntax",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
