@@ -363,3 +363,69 @@ def test_streaming_kmv_sketch_maintenance(spark, tmp_path):
     )
     expected = {(r.src, r.h) for r in expected_df.collect()}
     assert got == expected
+
+
+def test_telemetry_pipeline_incremental_equals_oneshot(spark, tmp_path):
+    """The composed landing→stream→merge pipeline must produce
+    bit-identical bars to a one-shot ohlc_bars over all events, even
+    when the batch boundary slices through an hour bucket (the
+    decomposability contract of ohlc_partial/merge_ohlc)."""
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import ohlc_bars
+    from airflow_loan_etl_pipeline_spark.plans.telemetry_pipeline import (
+        read_bars,
+        run_telemetry_pipeline,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    eid = 0
+    for h in range(3):
+        for m in range(0, 60, 7):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-01 {h:02d}:{m:02d}:00", 1, "m",
+                 float((eid * 37) % 100), "")
+            )
+    schema = (
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def land_batch(batch_rows):
+        df = (
+            spark.createDataFrame(batch_rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .drop("props")
+        )
+        df.coalesce(1).write.mode("append").option("header", True).csv(
+            str(land)
+        )
+
+    # split MID-hour: first 10 events, then the rest
+    land_batch(rows[:10])
+    run_telemetry_pipeline(spark, str(land), state, ckpt)
+    land_batch(rows[10:])
+    run_telemetry_pipeline(spark, str(land), state, ckpt)
+
+    all_df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    expected = {
+        (r.event_type, r.bar_ts): (
+            r.open, r.high, r.low, r.close, r.n_events, r.volume
+        )
+        for r in ohlc_bars(all_df).collect()
+    }
+    got = {
+        (r.event_type, r.bar_ts): (
+            r.open, r.high, r.low, r.close, r.n_events, r.volume
+        )
+        for r in read_bars(spark, state).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # three hour buckets
