@@ -1066,3 +1066,59 @@ def normalized_exact_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def feature_matrix(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality-classifier feature export: every scalar
+    text feature (length, token counts, lexical diversity, mean token
+    length, stopword ratio, blended quality, language score/verdict) in
+    ONE scan-local projection — the wide table a fastText-style quality
+    model trains on.
+
+    Fused on purpose: joining the individual operators would shuffle
+    narrow feature rows by doc three times; computing the same
+    expressions in one projection is shuffle-free. Consistency with the
+    canonical operators is pinned by the ORACLE, which is literally the
+    JOIN of token_stats x quality_score x lang_id oracles — if this
+    fused projection ever drifts from the per-operator definitions, the
+    gate breaks.
+    """
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    t = f"split({text_col}, ' ')"
+    n_tok = f"size({t})"
+    raw = df.selectExpr(
+        id_col,
+        f"length({text_col}) AS n_chars_m",
+        f"{n_tok} AS n_tokens",
+        f"size(array_distinct({t})) AS n_unique_tokens",
+        f"aggregate(transform({t}, x -> length(x)), 0, (acc, x) -> acc + x)"
+        f" / {n_tok} AS _mtl",
+        f"size(filter({t}, x -> x IN ({sw}))) / {n_tok} AS _swr",
+        f"size(array_distinct({t})) / {n_tok} AS _dr",
+    )
+    return raw.select(
+        id_col,
+        "n_chars_m",
+        "n_tokens",
+        "n_unique_tokens",
+        F.round("_dr", 4).alias("distinct_ratio"),
+        F.round("_mtl", 4).alias("mean_token_len"),
+        F.round("_swr", 4).alias("stopword_ratio"),
+        (
+            F.floor(
+                (
+                    0.4 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+                    + 0.3 * F.col("_dr")
+                    + 0.3 * F.least(F.col("_swr") * 5.0, F.lit(1.0))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("quality_score"),
+        F.round("_swr", 4).alias("en_score"),
+        F.when(F.round("_swr", 4) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+    )

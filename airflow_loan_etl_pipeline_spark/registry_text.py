@@ -1707,3 +1707,27 @@ def embeddings_standardized_norms(spark: SparkSession, sf_dir: str) -> DataFrame
     dimension_stats outputs are the cross-engine contract); map-side
     indexed transform, vectors never shuffle."""
     return S.standardized_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+from airflow_loan_etl_pipeline_spark.registry import ORACLE as _ORA  # noqa: E402
+
+
+@query("docs_feature_matrix")
+def docs_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier feature export: all per-doc scalar text
+    features in ONE scan-local projection (zero shuffles); the oracle
+    is the JOIN of the canonical token_stats/quality/lang_id oracles,
+    so the fused expressions cannot drift from the per-operator
+    definitions."""
+    return X.feature_matrix(load_table(spark, sf_dir, "documents"))
+
+
+_ORA["docs_feature_matrix"] = f"""
+    WITH t AS ({_ORA['docs_token_stats']}),
+         q AS ({_ORA['docs_quality']}),
+         l AS ({_ORA['docs_lang_id']})
+    SELECT t.doc_id, t.n_chars_m, t.n_tokens, t.n_unique_tokens,
+           t.distinct_ratio, q.mean_token_len, q.stopword_ratio,
+           q.quality_score, l.en_score, l.predicted_lang
+    FROM t JOIN q ON t.doc_id = q.doc_id JOIN l ON t.doc_id = l.doc_id
+"""

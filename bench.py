@@ -280,6 +280,7 @@ def main() -> None:
         "discount_elasticity_by_type",
         "users_d7_retention",
         "brand_revenue_pipe_syntax",
+        "docs_feature_matrix",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -374,3 +374,13 @@ def test_prefix_filter_verification_not_inverted_index(spark, sf_dir):
     # prefix + verification set come from ONE doc-keyed aggregate —
     # no per-doc window sort anywhere in the plan
     assert "Window" not in plan
+
+
+def test_feature_matrix_is_single_scan_no_shuffle(spark, sf_dir):
+    """The fused feature export must stay one scan-local projection —
+    no exchange, no join (the join lives only in the oracle)."""
+    plan = _plan(registry.QUERIES["docs_feature_matrix"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # formatted explain prints the single scan node twice (tree + detail)
+    assert plan.count("Scan parquet") <= 2
