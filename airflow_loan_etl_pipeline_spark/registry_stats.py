@@ -2097,3 +2097,78 @@ def users_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("returned") * 1e4 / F.count(F.lit(1))) / 1e4
         ).alias("d7_retention"),
     )
+
+
+@query(
+    "events_ab_conversion",
+    oracle="""
+    WITH u AS (SELECT user_id % 2 AS variant, user_id,
+                      max(CASE WHEN event_type = 'purchase'
+                                AND value > 150 THEN 1 ELSE 0 END)
+                        AS converted
+               FROM events GROUP BY 1, 2),
+         g AS (SELECT variant, count(*) AS n_users,
+                      CAST(sum(converted) AS BIGINT) AS n_converted
+               FROM u GROUP BY 1),
+         w AS (SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                      max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                      max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                      max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+               FROM g)
+    SELECT n0, c0, n1, c1,
+           round(c0 * 1.0 / n0, 6) AS rate0,
+           round(c1 * 1.0 / n1, 6) AS rate1,
+           round(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                 (c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) END, 4) AS z_stat
+    FROM w
+    """,
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test per experiment arm (pooled
+    variance): did variant 0's users purchase more often? Per-user
+    conversion flags from one conditional aggregate, the z statistic in
+    closed form over four numbers."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "user_id"
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    # cast through double FIRST: long/long is integer division in Spark
+    p0 = F.col("c0") * F.lit(1.0) / F.col("n0")
+    p1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * F.lit(1.0) / (F.col("n0") + F.col("n1"))
+    # try_divide: a degenerate experiment (all or none converted) gets a
+    # NULL z instead of an ANSI divide-by-zero, matching the oracle CASE.
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(
+            pp
+            * (1 - pp)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 4).alias("z_stat"),
+    )

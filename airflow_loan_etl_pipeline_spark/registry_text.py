@@ -1731,3 +1731,44 @@ _ORA["docs_feature_matrix"] = f"""
            q.quality_score, l.en_score, l.predicted_lang
     FROM t JOIN q ON t.doc_id = q.doc_id JOIN l ON t.doc_id = l.doc_id
 """
+
+
+@query("lsh_candidate_precision", oracle=None)  # assembled below
+def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion dial to lsh_candidate_recall: of the pairs LSH
+    banding surfaces, how many are truly similar (exact Jaccard ≥ 0.5)?
+    Low precision means the exact-verify stage burns compute on false
+    candidates — band/row parameters trade this against recall. Same
+    reused-oracle discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_lsh_pairs(docs)
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_true_hits")))
+        .select(
+            "n_candidates",
+            "n_true_hits",
+            F.round(
+                F.col("n_true_hits") / F.col("n_candidates"), 4
+            ).alias("precision"),
+        )
+    )
+
+
+_OR["lsh_candidate_precision"] = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+    ),
+    cand AS ({_OR["minhash_lsh_pairs"]}),
+    hit AS (SELECT c.doc_a FROM cand c
+            WHERE EXISTS (SELECT 1 FROM truth t
+                          WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+    SELECT (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_true_hits,
+           round((SELECT count(*) FROM hit) * 1.0 /
+                 (SELECT count(*) FROM cand), 4) AS precision
+"""

@@ -281,6 +281,8 @@ def main() -> None:
         "users_d7_retention",
         "brand_revenue_pipe_syntax",
         "docs_feature_matrix",
+        "lsh_candidate_precision",
+        "events_ab_conversion",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -613,3 +613,37 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert out1.boot_lo <= out1.mean_val <= out1.boot_hi
     # tight population (spread 6 around ~103): the CI must be narrow
     assert out1.boot_hi - out1.boot_lo < 2.0
+
+
+def test_ab_conversion_z_hand_computed(spark):
+    import math
+
+    from airflow_loan_etl_pipeline_spark.registry_stats import (
+        events_ab_conversion,
+    )
+
+    rows = []
+    eid = 0
+    # arm 0 (even users 0..9): 8 of 10 convert; arm 1 (odd 1..19): 2 of 10
+    for u in range(20):
+        eid += 1
+        conv = (u % 2 == 0 and u < 16) or (u % 2 == 1 and u < 4)
+        val = 200.0 if conv else 10.0
+        rows.append((eid, "2024-01-01 00:00:00", u, "purchase", val, ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import airflow_loan_etl_pipeline_spark.registry_stats as RS
+
+    orig = RS.load_table
+    try:
+        RS.load_table = lambda sp, sf, name: events
+        out = events_ab_conversion(spark, "x").collect()[0]
+    finally:
+        RS.load_table = orig
+    assert (out.n0, out.c0, out.n1, out.c1) == (10, 8, 10, 2)
+    pp = 10 / 20
+    z = (0.8 - 0.2) / math.sqrt(pp * (1 - pp) * (1 / 10 + 1 / 10))
+    assert out.z_stat == round(z, 4)
