@@ -17,6 +17,7 @@ corpus-sized work is each batch's own partial aggregation.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,10 +33,63 @@ EVENT_SCHEMA = (
 )
 
 
+def _rmtree(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _has_state(state_dir: str) -> bool:
     return os.path.isdir(state_dir) and any(
         f.endswith(".parquet") for f in os.listdir(state_dir)
     )
+
+
+def _applied_epoch(state_dir: str) -> int:
+    marker = os.path.join(state_dir, "_epoch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def fold_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+) -> bool:
+    """Fold one micro-batch into the persistent OHLC state. Returns
+    False (no-op) when the epoch was already applied.
+
+    EXACTLY-ONCE under replay: foreachBatch is at-least-once — a crash
+    between the state write and the checkpoint commit replays the same
+    epoch, and re-merging a batch into state that already contains it
+    double-counts. The fold therefore stamps the applied epoch into the
+    state directory itself (``_epoch`` marker written into the staging
+    dir BEFORE the atomic aside-rename swap): state + marker move as
+    one unit, so a replayed epoch is detected and skipped no matter
+    where the previous attempt died. Same aside-swap crash contract as
+    sources/io.py merge_upsert. (Spark ignores underscore-prefixed
+    files in a parquet directory, so the marker rides inside the
+    table.)
+    """
+    if _has_state(state_dir) and epoch_id <= _applied_epoch(state_dir):
+        return False  # replayed epoch: already folded into state
+    part = ohlc_partial(batch_df)
+    if _has_state(state_dir):
+        merged = merge_ohlc(spark.read.parquet(state_dir), part)
+    else:
+        merged = part
+    staging = state_dir.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    old = state_dir.rstrip("/") + ".__old__"
+    _rmtree(old)
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(staging, state_dir)
+    _rmtree(old)
+    return True
 
 
 def run_telemetry_pipeline(
@@ -48,19 +102,11 @@ def run_telemetry_pipeline(
     """Drain all landed CSV event files (AvailableNow) into the OHLC
     state table. Safe to re-run as new files land: the checkpoint
     skips already-ingested files; the merge is associative, so any
-    batch slicing is equivalent to one big batch."""
+    batch slicing is equivalent to one big batch; :func:`fold_batch`
+    makes each epoch idempotent under foreachBatch replay."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        part = ohlc_partial(batch_df)
-        if _has_state(state_dir):
-            merged = merge_ohlc(spark.read.parquet(state_dir), part)
-        else:
-            merged = part
-        # materialize BEFORE the overwrite so the plan never reads the
-        # directory it is replacing mid-write
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(state_dir)
-        merged.unpersist()
+        fold_batch(spark, batch_df, epoch_id, state_dir)
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)

@@ -429,3 +429,36 @@ def test_telemetry_pipeline_incremental_equals_oneshot(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 3  # three hour buckets
+
+
+def test_telemetry_fold_is_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME epoch must be
+    a no-op (epoch marker travels atomically with the state swap), and
+    a later epoch must still apply."""
+    from airflow_loan_etl_pipeline_spark.plans.telemetry_pipeline import (
+        fold_batch,
+        read_bars,
+    )
+
+    state = str(tmp_path / "state")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, t0, 1, "m", 5.0), (2, t0, 1, "m", 7.0)], schema
+    )
+    assert fold_batch(spark, b1, 0, state) is True
+    first = sorted(read_bars(spark, state).collect())
+    # replay of epoch 0 (same or stale data) must change nothing
+    assert fold_batch(spark, b1, 0, state) is False
+    assert sorted(read_bars(spark, state).collect()) == first
+    assert read_bars(spark, state).collect()[0].n_events == 2
+    # a NEW epoch still applies
+    b2 = spark.createDataFrame([(3, t0, 1, "m", 100.0)], schema)
+    assert fold_batch(spark, b2, 1, state) is True
+    row = read_bars(spark, state).collect()[0]
+    assert row.n_events == 3 and row.high == 100.0
