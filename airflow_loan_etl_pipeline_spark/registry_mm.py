@@ -463,3 +463,22 @@ def asset_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("asset_b"),
         "hamming",
     )
+
+
+@query("lineitem_percentiles_approx")  # rows-only: t-digest != DuckDB's
+def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path the exact variant's docstring points
+    at: percentile_approx (t-digest-style mergeable sketch — map-side
+    partial sketches merge associatively, so the shuffle carries one
+    sketch per group per partition instead of sorting values). No SQL
+    oracle by design (sketch internals differ across engines); the
+    driver records the weaker rows-only check, and the accuracy bound
+    vs the exact interpolated percentiles is pinned by a unit test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(
+            "transform(approx_percentile(l_extendedprice,"
+            " array(0.25D, 0.5D, 0.75D), 1000), x -> round(x, 2))"
+        ).alias("price_quartiles_approx"),
+    )

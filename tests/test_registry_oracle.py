@@ -65,3 +65,27 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 @pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLE)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     assert registry.QUERIES[name](spark, sf_dir).count() >= 0
+
+
+def test_approx_percentiles_within_bound_of_exact(spark, sf_dir):
+    """The mergeable-sketch quantiles must land within 1% (relative) of
+    the exact interpolated percentiles at accuracy=1000 — the bound
+    that justifies swapping them in at 100 TB."""
+    from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
+
+    exact = {
+        r.l_returnflag: r.price_quartiles
+        for r in registry.QUERIES["lineitem_percentiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    approx = {
+        r.l_returnflag: r.price_quartiles_approx
+        for r in registry.QUERIES["lineitem_percentiles_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(e - a) <= 0.01 * abs(e) + 1e-9, (k, e, a)

@@ -462,3 +462,35 @@ def test_telemetry_fold_is_idempotent_under_replay(spark, tmp_path):
     assert fold_batch(spark, b2, 1, state) is True
     row = read_bars(spark, state).collect()[0]
     assert row.n_events == 3 and row.high == 100.0
+
+
+def test_available_now_respects_max_files_per_trigger(spark, tmp_path):
+    """Backpressure knob: maxFilesPerTrigger bounds each micro-batch to
+    one landed file, so AvailableNow drains the backlog as several
+    bounded batches instead of one unbounded gulp — the ingestion-
+    control analogue of the reference's one-file-at-a-time loop
+    (/root/reference/airflow/dags/drive_auto_compress_email.py:265)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(4):
+        (land / f"f{i}.csv").write_text("user_id,value\n" + f"{i},1.0\n")
+
+    seen = []
+
+    def count_batch(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    q = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(land))
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(seen) == 4          # one batch per file
+    assert sum(n for _, n in seen) == 4
+    assert all(n == 1 for _, n in seen)
