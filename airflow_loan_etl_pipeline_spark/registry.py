@@ -658,3 +658,105 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "loan_payment_schedule",
+    oracle="""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             o_totalprice AS principal,
+             (0.03 + (o_orderkey % 10) * 0.005) / 12.0 AS r,
+             12 + CAST(o_orderkey % 4 AS INT) * 12 AS n_months
+      FROM orders WHERE o_orderkey < 100),
+    pay AS (
+      SELECT *, principal * r / (1 - power(1 + r, -n_months)) AS pmt
+      FROM loans),
+    sched AS (
+      SELECT loan_id, n_months, pmt, principal, r,
+             unnest(generate_series(1, n_months)) AS month
+      FROM pay)
+    SELECT loan_id, CAST(month AS INT) AS month,
+           round(pmt, 2) AS payment,
+           round(principal * power(1 + r, month)
+                 - pmt * (power(1 + r, month) - 1) / r, 2) + 0.0 AS balance
+    FROM sched
+    """,
+)
+def loan_payment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortization schedule generator — the reference's actual banking
+    domain (loan_spark_etl.py processes loan books) taken to its
+    natural batch workload: annuity payment + CLOSED-FORM remaining
+    balance per month (balance_m = P(1+r)^m − pmt((1+r)^m − 1)/r — no
+    recursion, so the whole schedule is one map-side explode, tenure
+    rows per loan, zero shuffles). Deterministic loan terms derived
+    from the order key; restricted to a 100-loan book at fixture scale."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    loans = orders.select(
+        F.col("o_orderkey").alias("loan_id"),
+        F.col("o_totalprice").alias("principal"),
+        ((F.lit(0.03) + (F.col("o_orderkey") % 10) * 0.005) / 12.0).alias(
+            "r"
+        ),
+        (12 + (F.col("o_orderkey") % 4).cast("int") * 12).alias("n_months"),
+    )
+    pmt = F.col("principal") * F.col("r") / (
+        1 - F.pow(1 + F.col("r"), -F.col("n_months"))
+    )
+    sched = loans.withColumn("pmt", pmt).select(
+        "loan_id",
+        "pmt",
+        "principal",
+        "r",
+        F.explode(F.sequence(F.lit(1), F.col("n_months"))).alias("month"),
+    )
+    growth = F.pow(1 + F.col("r"), F.col("month"))
+    return sched.select(
+        "loan_id",
+        F.col("month").cast("int").alias("month"),
+        F.round(F.col("pmt"), 2).alias("payment"),
+        # + 0.0 folds IEEE negative zero (the fully-amortized final
+        # month rounds to -0.0 on one engine and 0.0 on the other)
+        (
+            F.round(
+                F.col("principal") * growth
+                - F.col("pmt") * (growth - 1) / F.col("r"),
+                2,
+            )
+            + 0.0
+        ).alias("balance"),
+    )
+
+
+@query(
+    "loan_vintage_status",
+    oracle="""
+    WITH v AS (SELECT date_trunc('month', o_orderdate)::DATE AS vintage,
+                      o_orderstatus AS status, count(*) AS n_loans
+               FROM orders GROUP BY 1, 2),
+         t AS (SELECT vintage, CAST(sum(n_loans) AS BIGINT) AS vintage_total
+               FROM v GROUP BY 1)
+    SELECT v.vintage, v.status, v.n_loans, t.vintage_total,
+           floor(v.n_loans * 1e4 / t.vintage_total) / 1e4 AS status_share
+    FROM v JOIN t USING (vintage)
+    """,
+)
+def loan_vintage_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage analysis — status mix per origination month, the credit-
+    risk curve view ("are newer vintages going bad faster?"). One
+    (month, status) aggregate + a broadcast month-total join."""
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("vintage"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n_loans"))
+    t = v.groupBy("vintage").agg(F.sum("n_loans").alias("vintage_total"))
+    return v.join(F.broadcast(t), "vintage").select(
+        "vintage",
+        "status",
+        "n_loans",
+        "vintage_total",
+        (
+            F.floor(F.col("n_loans") * 1e4 / F.col("vintage_total")) / 1e4
+        ).alias("status_share"),
+    )

@@ -283,6 +283,9 @@ def main() -> None:
         "docs_feature_matrix",
         "lsh_candidate_precision",
         "events_ab_conversion",
+        "loan_payment_schedule",
+        "loan_vintage_status",
+        "lineitem_percentiles_approx",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -275,3 +275,36 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(out, "part=x"))
+
+
+def test_payment_schedule_amortizes_to_zero(spark):
+    """Closed-form balance must equal the recursive amortization: the
+    final month's balance is 0.00 and each month's balance equals
+    prev*(1+r) - payment (checked sequentially for one loan)."""
+    from airflow_loan_etl_pipeline_spark.registry import (
+        loan_payment_schedule,
+    )
+
+    rows = loan_payment_schedule(spark, "/root/testdata/sf0.001").collect()
+    by_loan = {}
+    for r in rows:
+        by_loan.setdefault(r.loan_id, {})[r.month] = r
+    # pick any loan; verify the recursion against the closed form
+    loan_id, months = next(iter(by_loan.items()))
+    n = max(months)
+    assert months[n].balance == 0.0
+    # recompute recursively from the fixture-derived terms
+    import math
+
+    principal = None
+    r_m = (0.03 + (loan_id % 10) * 0.005) / 12.0
+    pay = months[1].payment
+    # back out the principal from month 1: b1 = P(1+r) - pay
+    principal = (months[1].balance + pay) / (1 + r_m)
+    bal = principal
+    for m in range(1, n + 1):
+        bal = bal * (1 + r_m) - pay
+        # `pay` is the ROUNDED payment (±0.005); recursing with it
+        # compounds that rounding: |drift| <= 0.005 * ((1+r)^m - 1)/r.
+        bound = 0.005 * ((1 + r_m) ** m - 1) / r_m + 0.03
+        assert math.isclose(months[m].balance, bal, abs_tol=bound), (m, bal)
