@@ -760,3 +760,24 @@ def loan_vintage_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_loans") * 1e4 / F.col("vintage_total")) / 1e4
         ).alias("status_share"),
     )
+
+
+@query("loan_portfolio_runoff", oracle=None)  # assembled below
+def loan_portfolio_runoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio runoff curve: total outstanding balance and active
+    loan count per month ahead, summed over the amortizing book — the
+    treasury view of the schedule. A |months|-key aggregate over the
+    map-side-generated schedule."""
+    sched = loan_payment_schedule(spark, sf_dir)
+    return sched.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_active_loans"),
+        F.round(F.sum("balance"), 2).alias("total_outstanding"),
+    )
+
+
+ORACLE["loan_portfolio_runoff"] = f"""
+    WITH sched AS ({ORACLE['loan_payment_schedule']})
+    SELECT month, count(*) AS n_active_loans,
+           round(sum(balance), 2) AS total_outstanding
+    FROM sched GROUP BY month
+"""
