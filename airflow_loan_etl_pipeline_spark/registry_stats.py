@@ -2172,3 +2172,57 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate1"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+@query(
+    "events_seasonality_r2",
+    oracle="""
+    WITH f AS (SELECT event_type, isodow(ts) AS dow, hour(ts) AS hr,
+                      round(value * 100) AS vc
+               FROM events),
+         g AS (SELECT event_type, dow, hr,
+                      avg(vc) AS mu_cell, count(*) AS n_cell
+               FROM f GROUP BY 1, 2, 3),
+         tot AS (SELECT event_type, avg(vc) AS mu_all FROM f GROUP BY 1)
+    SELECT f.event_type,
+           count(*) AS n_events,
+           round(1 - sum((vc - mu_cell) * (vc - mu_cell))
+                     / sum((vc - mu_all) * (vc - mu_all)), 6)
+             AS seasonal_r2
+    FROM f
+    JOIN g USING (event_type, dow, hr)
+    JOIN tot USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_seasonality_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How seasonal is each metric? Share of value variance explained
+    by the (ISO dow, hour) cell means — the ANOVA R² that says whether
+    the dow-hour heatmap is signal or noise, and whether the seasonal
+    anomaly screen has a meaningful baseline. Variance terms run over
+    integer cents against broadcast cell/global means; facts shuffle
+    only for the final |types|-row aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    f = events.select(
+        "event_type",
+        (F.weekday(F.col("ts")) + 1).alias("_dow"),
+        F.hour(F.col("ts")).alias("_hr"),
+        F.round(F.col("value") * 100).alias("_vc"),
+    )
+    g = f.groupBy("event_type", "_dow", "_hr").agg(
+        F.avg("_vc").alias("_mu_cell")
+    )
+    tot = f.groupBy("event_type").agg(F.avg("_vc").alias("_mu_all"))
+    j = f.join(F.broadcast(g), ["event_type", "_dow", "_hr"]).join(
+        F.broadcast(tot), "event_type"
+    )
+    ss_res = F.sum(
+        (F.col("_vc") - F.col("_mu_cell")) * (F.col("_vc") - F.col("_mu_cell"))
+    )
+    ss_tot = F.sum(
+        (F.col("_vc") - F.col("_mu_all")) * (F.col("_vc") - F.col("_mu_all"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(1 - ss_res / ss_tot, 6).alias("seasonal_r2"),
+    )

@@ -286,6 +286,8 @@ def main() -> None:
         "loan_payment_schedule",
         "loan_vintage_status",
         "lineitem_percentiles_approx",
+        "loan_portfolio_runoff",
+        "events_seasonality_r2",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -647,3 +647,42 @@ def test_ab_conversion_z_hand_computed(spark):
     pp = 10 / 20
     z = (0.8 - 0.2) / math.sqrt(pp * (1 - pp) * (1 / 10 + 1 / 10))
     assert out.z_stat == round(z, 4)
+
+
+def test_seasonality_r2_extremes(spark):
+    from airflow_loan_etl_pipeline_spark.registry_stats import (
+        events_seasonality_r2,
+    )
+
+    rows = []
+    eid = 0
+    # "clock": value is a pure function of hour -> R2 == 1
+    # "noise": value alternates within each hour cell -> R2 ~= 0
+    for day in ("2024-01-01", "2024-01-08"):  # same weekday
+        for h in range(4):
+            for i in range(4):
+                eid += 1
+                rows.append(
+                    (eid, f"{day} {h:02d}:{i * 10:02d}:00", 1, "clock",
+                     float(h * 10), "")
+                )
+                eid += 1
+                rows.append(
+                    (eid, f"{day} {h:02d}:{i * 10 + 5:02d}:00", 1, "noise",
+                     float(i % 2), "")
+                )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import airflow_loan_etl_pipeline_spark.registry_stats as RS
+
+    orig = RS.load_table
+    try:
+        RS.load_table = lambda sp, sf, name: events
+        out = {r.event_type: r for r in events_seasonality_r2(spark, "x").collect()}
+    finally:
+        RS.load_table = orig
+    assert out["clock"].seasonal_r2 == 1.0
+    assert out["noise"].seasonal_r2 == 0.0
