@@ -1122,3 +1122,46 @@ def feature_matrix(
         .otherwise(F.lit("und"))
         .alias("predicted_lang"),
     )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    feature for quality filtering (very low scores flag legalese /
+    machine-generated runs; implausibly high ones flag word salad).
+
+    Syllables are approximated by VOWEL RUNS counted exactly in
+    codegen: replacing each ``[aeiouy]+`` run with one marker and with
+    nothing makes ``len(one) − len(none)`` the run count — integer
+    arithmetic, no UDF, dialect-safe ASCII classes. Sentences split on
+    ``[.!?]+`` with a non-empty-trim filter (fixture text without
+    punctuation degrades to one sentence per doc, still well-defined).
+    Scan-local; joins nothing.
+    """
+    t = F.lower(F.col(text_col))
+    one = F.length(F.regexp_replace(t, "[aeiouy]+", "V"))
+    none = F.length(F.regexp_replace(t, "[aeiouy]+", ""))
+    syllables = one - none
+    words = F.size(F.split(F.col(text_col), " "))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    score = (
+        206.835
+        - 1.015 * (words / sentences)
+        - 84.6 * (syllables / words)
+    )
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch_score"),
+    )

@@ -1772,3 +1772,35 @@ _OR["lsh_candidate_precision"] = f"""
            round((SELECT count(*) FROM hit) * 1.0 /
                  (SELECT count(*) FROM cand), 4) AS precision
 """
+
+
+@query(
+    "docs_readability",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_words,
+           greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> length(trim(s)) > 0)), 1)
+             AS n_sentences,
+           length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+             - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+             AS n_syllables,
+           round(206.835
+                 - 1.015 * (len(str_split(text, ' '))
+                            / greatest(len(list_filter(
+                                regexp_split_to_array(text, '[.!?]+'),
+                                s -> length(trim(s)) > 0)), 1))
+                 - 84.6 * ((length(regexp_replace(lower(text),
+                                                  '[aeiouy]+', 'V', 'g'))
+                            - length(regexp_replace(lower(text),
+                                                    '[aeiouy]+', '', 'g')))
+                           / len(str_split(text, ' '))), 4)
+             AS flesch_score
+    FROM documents
+    """,
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc — syllables via the exact vowel-run
+    count trick (two regexp_replace lengths), sentences via punctuation
+    split; all scan-local codegen, no UDFs."""
+    return X.readability(load_table(spark, sf_dir, "documents"))

@@ -288,6 +288,7 @@ def main() -> None:
         "lineitem_percentiles_approx",
         "loan_portfolio_runoff",
         "events_seasonality_r2",
+        "docs_readability",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -299,3 +299,22 @@ def test_standardized_norms_flags_outlier_vector(spark):
     # dead dimension contributes exactly 0, never NaN
     import math
     assert all(math.isfinite(r.z_norm) for r in out.values())
+
+
+def test_readability_hand_computed(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            # "the cat sat. it ran!" -> 5 words, 2 sentences,
+            # syllables: the(1) cat(1) sat(1) it(1) ran(1) = 5 runs
+            (1, "the cat sat. it ran!", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = readability(docs).collect()[0]
+    assert r.n_words == 5
+    assert r.n_sentences == 2
+    assert r.n_syllables == 5
+    expected = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert r.flesch_score == round(expected, 4)
