@@ -2226,3 +2226,87 @@ def events_seasonality_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(1 - ss_res / ss_tot, 6).alias("seasonal_r2"),
     )
+
+
+@query(
+    "users_stickiness_monthly",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                        date_trunc('month', ts)::DATE AS m
+                 FROM events),
+         dau AS (SELECT m, d, count(*) AS n_dau FROM act GROUP BY 1, 2),
+         mau AS (SELECT m, count(DISTINCT user_id) AS n_mau
+                 FROM act GROUP BY 1)
+    SELECT m AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(n_dau), 2) AS avg_dau,
+           max(n_mau) AS mau,
+           round(avg(n_dau) / max(n_mau), 4) AS stickiness
+    FROM dau JOIN mau USING (m)
+    GROUP BY m
+    """,
+)
+def users_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the product-engagement ratio.
+    Built from the deduplicated (user, day) fact: one distinct pass
+    over events, then day- and month-keyed aggregates that are both
+    bounded by the calendar."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.to_date(F.date_trunc("month", "ts")).alias("m"),
+    ).distinct()
+    dau = act.groupBy("m", "d").agg(F.count(F.lit(1)).alias("n_dau"))
+    mau = act.groupBy("m").agg(
+        F.countDistinct("user_id").alias("n_mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "m")
+        .groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("n_dau"), 2).alias("avg_dau"),
+            F.max("n_mau").alias("mau"),
+            F.round(F.avg("n_dau") / F.max("n_mau"), 4).alias("stickiness"),
+        )
+    )
+
+
+@query("dup_degree_histogram", oracle=None)  # assembled below
+def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup candidate graph (log2
+    buckets): the sizing diagnostic for everything downstream of pair
+    generation — a heavy tail here predicts mega-components in
+    dup_clusters and fan-out in triangles/pagerank. Edge list reused
+    from the registered LSH pair oracle; degrees via one explode +
+    count, bucketed map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = F.floor(F.log2("degree")).cast("int")
+    return (
+        deg.groupBy(bucket.alias("log2_degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
+_ORACLE["dup_degree_histogram"] = f"""
+    WITH pairs AS ({_ORACLE["minhash_lsh_pairs"]}),
+         deg AS (SELECT doc_id, count(*) AS degree FROM (
+                   SELECT doc_a AS doc_id FROM pairs
+                   UNION ALL
+                   SELECT doc_b AS doc_id FROM pairs) t
+                 GROUP BY 1)
+    SELECT CAST(floor(log2(degree)) AS INT) AS log2_degree,
+           count(*) AS n_docs,
+           max(degree) AS max_degree
+    FROM deg GROUP BY 1
+"""

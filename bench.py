@@ -289,6 +289,8 @@ def main() -> None:
         "loan_portfolio_runoff",
         "events_seasonality_r2",
         "docs_readability",
+        "users_stickiness_monthly",
+        "dup_degree_histogram",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
