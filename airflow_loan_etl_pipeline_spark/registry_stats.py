@@ -11,7 +11,7 @@ IEEE double, and irrational-valued scores round at 4-6 decimals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table
@@ -2310,3 +2310,99 @@ _ORACLE["dup_degree_histogram"] = f"""
            max(degree) AS max_degree
     FROM deg GROUP BY 1
 """
+
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+         pairs AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                          count(*) AS n_both
+                   FROM a x JOIN a y ON x.user_id = y.user_id
+                                    AND x.event_type < y.event_type
+                   GROUP BY 1, 2),
+         sizes AS (SELECT event_type, count(*) AS n_users FROM a GROUP BY 1)
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           floor(p.n_both * 1e4 / (sa.n_users + sb.n_users - p.n_both))
+             / 1e4 AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type segments: users doing BOTH,
+    segment sizes, and Jaccard — the campaign-targeting matrix. One
+    distinct (type, user) pass; the self-join keys on user_id with
+    |types|-bounded fan-out per user; segment sizes broadcast back."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select("event_type", "user_id").distinct()
+    x = a.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    y = a.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    pairs = (
+        x.join(y, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                  F.col("n_users").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                  F.col("n_users").alias("n_b")))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                F.floor(
+                    F.col("n_both")
+                    * 1e4
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                )
+                / 1e4
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                      count(*) AS n_orders,
+                      round(sum(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, n_orders, revenue,
+           round(revenue / lag(revenue) OVER (ORDER BY month) - 1, 4)
+             AS revenue_mom
+    FROM m
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the monthly rollup is a
+    calendar-bounded aggregate; the growth window runs over |months|
+    rows (the single-partition window sits over the BOUNDED month
+    series, never the facts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4).alias(
+            "revenue_mom"
+        ),
+    )

@@ -291,6 +291,8 @@ def main() -> None:
         "docs_readability",
         "users_stickiness_monthly",
         "dup_degree_histogram",
+        "audience_overlap_matrix",
+        "orders_mom_growth",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
