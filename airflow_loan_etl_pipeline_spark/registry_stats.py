@@ -2406,3 +2406,104 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_mom"
         ),
     )
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH h AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hr,
+                      round(sum(value), 2) AS v
+               FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type, a.v AS actual, f.v AS forecast
+               FROM h a JOIN h f ON f.event_type = a.event_type
+                                AND f.hr = a.hr - 168)
+    SELECT event_type,
+           count(*) AS n_hours,
+           round(avg(abs(actual - forecast)), 2) AS mae,
+           round(avg(abs(actual)), 2) AS mean_abs_actual
+    FROM j GROUP BY 1
+    """,
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: the seasonal-naive predictor (this
+    hour = same hour last week) scored by MAE per metric — the floor
+    any real forecasting model must beat, and the capacity-planning
+    sanity number. Hourly totals are calendar-bounded; the lag join is
+    integer hour-index arithmetic on that bounded series."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).alias("hr"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a = h.select("event_type", "hr", F.col("v").alias("actual"))
+    f = h.select(
+        "event_type", (F.col("hr") + 168).alias("hr"), F.col("v").alias("forecast")
+    )
+    return (
+        a.join(f, ["event_type", "hr"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.avg(F.abs(F.col("actual") - F.col("forecast"))), 2).alias(
+                "mae"
+            ),
+            F.round(F.avg(F.abs(F.col("actual"))), 2).alias(
+                "mean_abs_actual"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_revenue_hhi",
+    oracle="""
+    WITH sr AS (SELECT s.s_nationkey, l.l_suppkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS rev_c
+                FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2),
+         nt AS (SELECT s_nationkey, CAST(sum(rev_c) AS BIGINT) AS tot_c,
+                       count(*) AS n_suppliers
+                FROM sr GROUP BY 1)
+    SELECT sr.s_nationkey AS nationkey,
+           max(n_suppliers) AS n_suppliers,
+           round(sum((rev_c * 1.0 / tot_c) * (rev_c * 1.0 / tot_c)), 6)
+             AS hhi
+    FROM sr JOIN nt USING (s_nationkey)
+    GROUP BY 1
+    """,
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration Herfindahl index per nation: Σ share² of
+    supplier revenue (1/n = perfectly spread, 1 = single supplier) —
+    the supply-chain-risk screen. Revenue accumulates in exact integer
+    cents; shares and HHI are computed from the bounded per-(nation,
+    supplier) aggregate with nation totals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev_c = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+    ).alias("rev_c")
+    sr = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(rev_c)
+    )
+    nt = sr.groupBy("s_nationkey").agg(
+        F.sum("rev_c").alias("tot_c"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rev_c") * F.lit(1.0) / F.col("tot_c")
+    return (
+        sr.join(F.broadcast(nt), "s_nationkey")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )

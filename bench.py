@@ -293,6 +293,8 @@ def main() -> None:
         "dup_degree_histogram",
         "audience_overlap_matrix",
         "orders_mom_growth",
+        "events_seasonal_naive_backtest",
+        "supplier_revenue_hhi",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
