@@ -1804,3 +1804,11 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     count trick (two regexp_replace lengths), sentences via punctuation
     split; all scan-local codegen, no UDFs."""
     return X.readability(load_table(spark, sf_dir, "documents"))
+
+
+@query("docs_compressibility")  # rows-only: no DEFLATE in ANSI SQL
+def docs_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip compressibility per doc (entropy-proxy quality signal) —
+    Arrow-batched zlib in mapInPandas, one of the few justified Python
+    operators; rows-only by design, semantics unit-pinned."""
+    return X.compressibility(load_table(spark, sf_dir, "documents"))

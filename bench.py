@@ -295,6 +295,7 @@ def main() -> None:
         "orders_mom_growth",
         "events_seasonal_naive_backtest",
         "supplier_revenue_hhi",
+        "docs_compressibility",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -318,3 +318,28 @@ def test_readability_hand_computed(spark):
     assert r.n_syllables == 5
     expected = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
     assert r.flesch_score == round(expected, 4)
+
+
+def test_compressibility_separates_boilerplate_from_noise(spark):
+    import random
+    import string
+
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        compressibility,
+    )
+
+    rng = random.Random(5)
+    noise = "".join(rng.choice(string.ascii_lowercase) for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400, "en", "s", 0),        # highly repetitive
+            (2, noise, "en", "s", 0),                # incompressible-ish
+            (3, "", "en", "s", 0),                   # empty: no crash
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in compressibility(docs).collect()}
+    assert out[1].compress_ratio < 0.1       # boilerplate crushes
+    assert out[2].compress_ratio > 0.5       # random text doesn't
+    assert out[3].n_bytes == 0               # empty doc handled
+    assert out[1].n_bytes == 2000
