@@ -681,8 +681,15 @@ def psi_drift(
         F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
     )
     j = full.join(F.broadcast(tot), key_col)
-    p_ref = F.greatest(F.col("nr") / F.col("n_ref"), F.lit(floor))
-    p_cur = F.greatest(F.col("nc") / F.col("n_cur"), F.lit(floor))
+    # try_divide: a key whose events fall entirely in one period has a
+    # zero-count other period — the share degrades to the floor (via
+    # greatest ignoring the NULL) instead of an ANSI divide-by-zero.
+    p_ref = F.greatest(
+        F.try_divide(F.col("nr"), F.col("n_ref")), F.lit(floor)
+    )
+    p_cur = F.greatest(
+        F.try_divide(F.col("nc"), F.col("n_cur")), F.lit(floor)
+    )
     term = (p_cur - p_ref) * F.log(p_cur / p_ref)
     return (
         j.groupBy(key_col)

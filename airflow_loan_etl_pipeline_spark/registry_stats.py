@@ -1667,9 +1667,15 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM fl GROUP BY 1)
     SELECT f.event_type,
            max(n_ref) AS n_ref, max(n_cur) AS n_cur,
-           round(sum((greatest(nc / n_cur, 1e-4) - greatest(nr / n_ref, 1e-4))
-                     * ln(greatest(nc / n_cur, 1e-4)
-                          / greatest(nr / n_ref, 1e-4))), 4) AS psi
+           round(sum((greatest(coalesce(CASE WHEN n_cur > 0
+                                        THEN nc * 1.0 / n_cur END, 1e-4), 1e-4)
+                      - greatest(coalesce(CASE WHEN n_ref > 0
+                                          THEN nr * 1.0 / n_ref END, 1e-4), 1e-4))
+                     * ln(greatest(coalesce(CASE WHEN n_cur > 0
+                                            THEN nc * 1.0 / n_cur END, 1e-4), 1e-4)
+                          / greatest(coalesce(CASE WHEN n_ref > 0
+                                              THEN nr * 1.0 / n_ref END, 1e-4), 1e-4))), 4)
+             AS psi
     FROM fl f JOIN tot USING (event_type)
     GROUP BY 1
     """,

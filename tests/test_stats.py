@@ -686,3 +686,35 @@ def test_seasonality_r2_extremes(spark):
         RS.load_table = orig
     assert out["clock"].seasonal_r2 == 1.0
     assert out["noise"].seasonal_r2 == 0.0
+
+
+def test_psi_drift_survives_single_period_metric(spark):
+    """A metric whose events all fall in ONE period must not raise an
+    ANSI divide-by-zero: the missing period's shares degrade to the
+    floor, producing a large finite PSI."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import psi_drift
+
+    rows = []
+    eid = 0
+    # "both": spans both halves. "early": entirely in the first half
+    # (the global midpoint is set by "both"'s range).
+    for day in ("2024-01-01", "2024-03-01"):
+        for i in range(20):
+            eid += 1
+            rows.append((eid, f"{day} 00:{i:02d}:00", 1, "both",
+                         float(i), ""))
+    for i in range(20):
+        eid += 1
+        rows.append((eid, f"2024-01-02 00:{i:02d}:00", 1, "early",
+                     float(i), ""))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in psi_drift(events).collect()}
+    assert out["early"].n_cur == 0
+    import math
+
+    assert math.isfinite(out["early"].psi)
+    assert out["early"].psi > 1.0  # total disappearance = massive drift
