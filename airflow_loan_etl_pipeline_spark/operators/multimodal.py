@@ -253,3 +253,65 @@ def block_hash(
         df.withColumn("_blk", F.expr(blk))
         .select(id_col, F.expr(terms).alias("phash"))
     )
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    window_samples: int = 1024,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """REAL audio DSP over opaque payloads: interpret each asset's
+    bytes as mono PCM16-LE and compute per-window RMS energy + peak —
+    the silence-trim / loudness-normalize / voice-activity pre-pass of
+    an audio training pipeline. Unlike the image leg (Pillow-optional),
+    this needs only numpy (``frombuffer`` + vectorized reductions), so
+    the decode is never stubbed.
+
+    Scale shape: Arrow-batched ``mapInPandas``; each asset expands to
+    ``n_samples / window_samples`` skinny rows (id, window, rms, peak)
+    — payload bytes never leave the executor, and the output is
+    metadata-sized. Odd trailing bytes / short tails are dropped
+    (contract: only full windows are scored).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            ids, wins, rmss, peaks, starts = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                usable = len(b) - (len(b) % 2)
+                if usable <= 0:
+                    continue
+                x = np.frombuffer(b[:usable], dtype="<i2").astype(np.float64)
+                x /= 32768.0
+                n_win = len(x) // window_samples
+                if n_win == 0:
+                    continue
+                w = x[: n_win * window_samples].reshape(n_win, window_samples)
+                rms = np.sqrt((w * w).mean(axis=1))
+                pk = np.abs(w).max(axis=1)
+                ids.extend([aid] * n_win)
+                wins.extend(range(n_win))
+                starts.extend(
+                    float(i * window_samples) / sample_rate
+                    for i in range(n_win)
+                )
+                rmss.extend(np.round(rms, 6))
+                peaks.extend(np.round(pk, 6))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "window": wins,
+                    "start_s": starts,
+                    "rms": rmss,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        op,
+        schema="asset_id string, window int, start_s double,"
+        " rms double, peak double",
+    )

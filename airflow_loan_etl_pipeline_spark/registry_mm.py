@@ -482,3 +482,22 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             " array(0.25D, 0.5D, 0.75D), 1000), x -> round(x, 2))"
         ).alias("price_quartiles_approx"),
     )
+
+
+@query("audio_energy_windows")  # rows-only: no PCM16 decode in ANSI SQL
+def audio_energy_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window RMS/peak energy over PCM16-interpreted payloads
+    (documents text bytes as the deterministic fixture waveform) — the
+    REAL numpy decode path of the audio leg; rows-only by design, DSP
+    semantics pinned by the synthesized-sine unit test."""
+    from airflow_loan_etl_pipeline_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_energy_windows(assets, window_samples=64)

@@ -296,6 +296,7 @@ def main() -> None:
         "events_seasonal_naive_backtest",
         "supplier_revenue_hhi",
         "docs_compressibility",
+        "audio_energy_windows",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

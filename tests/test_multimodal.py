@@ -134,3 +134,44 @@ def test_block_hash_flags_near_identical_payloads(spark):
     assert pairs[(1, 2)] == 0
     assert 1 <= pairs[(1, 3)] <= 3 and 1 <= pairs[(2, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_energy_windows_on_synthesized_pcm(spark):
+    """Real PCM16 decode: a full-scale sine has RMS ~ 1/sqrt(2) and
+    peak ~ 1.0; digital silence has RMS 0; a half-amplitude block sits
+    at half the energy. Windows are exact sample blocks."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from airflow_loan_etl_pipeline_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    sr = 16_000
+    n = 2048  # two 1024-sample windows
+    t = np.arange(n)
+    sine = (np.sin(2 * np.pi * 440 * t / sr) * 32767).astype("<i2")
+    silence = np.zeros(n, dtype="<i2")
+    half = (np.ones(n) * 16384).astype("<i2")
+    rows = [
+        ("sine", "audio", sine.tobytes()),
+        ("silence", "audio", silence.tobytes()),
+        ("half", "audio", half.tobytes()),
+        ("tiny", "audio", struct.pack("<3h", 1, 2, 3)),  # < one window
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, media_type string, payload binary"
+    )
+    out = {}
+    for r in audio_energy_windows(df).collect():
+        out.setdefault(r.asset_id, []).append(r)
+    assert len(out["sine"]) == 2
+    for w in out["sine"]:
+        assert math.isclose(w.rms, 1 / math.sqrt(2), abs_tol=0.01)
+        assert w.peak > 0.99
+    assert all(w.rms == 0.0 for w in out["silence"])
+    assert math.isclose(out["half"][0].rms, 0.5, abs_tol=0.001)
+    assert "tiny" not in out  # sub-window assets produce no rows
+    assert out["sine"][1].start_s == 1024 / sr
