@@ -608,3 +608,95 @@ def test_ohlc_merge_equals_oneshot_for_any_split(spark, vals, split):
         )
     got = {key(r): val(r) for r in finalize_ohlc(merged).collect()}
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=3,
+        max_size=9,
+    ),
+    cut1=st.integers(min_value=1, max_value=8),
+    cut2=st.integers(min_value=1, max_value=8),
+)
+def test_kmv_merge_associative_three_way(spark, docs, cut1, cut2):
+    """merge(merge(sk(A), sk(B)), sk(C)) == sk(A ∪ B ∪ C) for ANY
+    3-way split — the property that lets per-shard sketches fold in any
+    order (tree reduction, streaming arrival order)."""
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [
+        (i, " ".join(toks), "s") for i, toks in enumerate(docs)
+    ]
+    c1 = min(cut1, len(rows) - 2)
+    c2 = min(max(cut2, c1 + 1), len(rows) - 1)
+    parts = [rows[:c1], rows[c1:c2], rows[c2:]]
+    schema = "doc_id long, text string, source string"
+    k = 4
+
+    def sk(rws):
+        return kmv_sketch(spark.createDataFrame(rws, schema), k=k)
+
+    direct = {
+        (r.src, r.h)
+        for r in sk(rows).collect()
+    }
+    merged_df = sk(parts[0])
+    for p in parts[1:]:
+        if p:
+            merged_df = kmv_merge(merged_df.unionByName(sk(p)), k=k)
+    merged = {(r.src, r.h) for r in merged_df.collect()}
+    assert merged == direct
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=7
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dup_span_stats_matches_bruteforce(spark, docs):
+    """Positional dup-span profile == a direct Python recount of
+    corpus-wide trigram frequencies (within-doc repeats included)."""
+    from collections import Counter
+
+    from airflow_loan_etl_pipeline_spark.operators.dedup import dup_span_stats
+
+    rows = [(i, " ".join(toks), "en", "s", 0) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in dup_span_stats(df).collect()}
+
+    freqs = Counter()
+    grams = {}
+    for i, toks in enumerate(docs):
+        g = [tuple(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        grams[i] = g
+        freqs.update(g)
+    for i, g in grams.items():
+        if not g:
+            assert i not in got
+            continue
+        dup_pos = [p + 1 for p, t in enumerate(g) if freqs[t] >= 2]
+        r = got[i]
+        assert r.n_pos == len(g)
+        assert r.n_dup_pos == len(dup_pos)
+        if dup_pos:
+            assert (r.first_dup_pos, r.last_dup_pos) == (
+                dup_pos[0],
+                dup_pos[-1],
+            )
