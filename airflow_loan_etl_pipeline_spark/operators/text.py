@@ -1207,3 +1207,67 @@ def compressibility(
         schema=f"{id_col} long, n_bytes long, n_gzip_bytes long,"
         " compress_ratio double",
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ln P(w_i | w_{i-1}) under the corpus's own bigram model with
+    add-one smoothing — the context-aware upgrade of
+    :func:`unigram_logprob` (word salad with plausible unigrams but
+    impossible transitions scores sharply lower). The CCNet-style
+    quality dial without an external LM.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = |unigram types|.
+    Plan: bigram pairs built in-expression from the token array (one
+    pass), corpus bigram/unigram counts as map-side-combinable
+    aggregates, V as a 1-row broadcast, then the per-doc join + avg.
+    The probability table is vocabulary²-bounded (observed bigrams
+    only); single-token docs have no bigrams and are absent by
+    contract.
+    """
+    t = f"split({text_col}, ' ')"
+    # try_element_at everywhere: sequence(1, 0) DESCENDS (is [1, 0],
+    # not empty) for single-token docs, and codegen can evaluate the
+    # projection alongside the guard — NULL bigrams are filtered after.
+    bi = (
+        f"transform(sequence(1, greatest(size({t}) - 1, 1)),"
+        f" i -> concat(try_element_at({t}, i), ' ',"
+        f" try_element_at({t}, i + 1)))"
+    )
+    # size >= 2 guard BEFORE building indices: Spark's sequence(1, 0)
+    # produces a DESCENDING [1, 0] (not empty), so a single-token doc
+    # would index element 0/2 of a 1-element array.
+    pairs = (
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= 2)
+        .selectExpr(id_col, f"{bi} AS _bis")
+        .select(F.col(id_col), F.explode("_bis").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    bcnt = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    ucnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    vsize = ucnt.agg(F.count(F.lit(1)).alias("V"))
+    prob = (
+        bcnt.withColumn("_w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ucnt.select(F.col("t").alias("_w1"), "cu"), "_w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.log(
+                (F.col("cb") + 1) * F.lit(1.0) / (F.col("cu") + F.col("V"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        pairs.join(prob, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
+        )
+    )

@@ -1812,3 +1812,34 @@ def docs_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched zlib in mapInPandas, one of the few justified Python
     operators; rows-only by design, semantics unit-pinned."""
     return X.compressibility(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+         pairs AS (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1])) AS bg
+                   FROM tk WHERE len(t) >= 2),
+         bcnt AS (SELECT bg, count(*) AS cb FROM pairs GROUP BY 1),
+         toks AS (SELECT unnest({_TOKS}) AS t FROM documents),
+         ucnt AS (SELECT t, count(*) AS cu FROM toks GROUP BY 1),
+         vsize AS (SELECT count(*) AS V FROM ucnt),
+         prob AS (SELECT bg,
+                         ln((cb + 1) * 1.0 / (cu + V)) AS lp
+                  FROM bcnt
+                  JOIN ucnt ON ucnt.t = str_split(bg, ' ')[1]
+                  CROSS JOIN vsize)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_bigram_logprob
+    FROM pairs JOIN prob USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware LM quality: mean ln P(w_i | w_{i-1}) under the
+    corpus bigram model with add-one smoothing — word salad with
+    plausible unigrams but impossible transitions scores sharply
+    lower. Vocabulary²-bounded probability table, per-doc join + avg."""
+    return X.bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -297,6 +297,7 @@ def main() -> None:
         "supplier_revenue_hhi",
         "docs_compressibility",
         "audio_energy_windows",
+        "docs_bigram_logprob",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

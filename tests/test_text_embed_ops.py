@@ -343,3 +343,25 @@ def test_compressibility_separates_boilerplate_from_noise(spark):
     assert out[2].compress_ratio > 0.5       # random text doesn't
     assert out[3].n_bytes == 0               # empty doc handled
     assert out[1].n_bytes == 2000
+
+
+def test_bigram_logprob_punishes_impossible_transitions(spark):
+    from airflow_loan_etl_pipeline_spark.operators.text import bigram_logprob
+
+    # corpus dominated by "the cat sat" patterns; doc 9 uses the same
+    # unigrams in an order never seen elsewhere
+    docs = [(i, "the cat sat on the mat", "en", "s", 0) for i in range(8)]
+    docs.append((9, "mat the sat cat the on", "en", "s", 0))
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[9].avg_bigram_logprob < out[0].avg_bigram_logprob - 1.0
+    assert out[0].n_bigrams == 5
+    # single-token docs are absent by contract
+    df2 = spark.createDataFrame(
+        [(1, "solo", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert bigram_logprob(df2).count() == 0
