@@ -384,3 +384,25 @@ def test_feature_matrix_is_single_scan_no_shuffle(spark, sf_dir):
     assert "Join" not in plan
     # formatted explain prints the single scan node twice (tree + detail)
     assert plan.count("Scan parquet") <= 2
+
+
+def test_recent_bounded_frames_broadcast(spark, sf_dir):
+    """The continuation queries' bounded side-tables (segment sizes,
+    month/nation totals, probability-model broadcasts) must come back
+    as broadcast joins — facts never shuffle to meet bounded state."""
+    for name, want in (
+        ("audience_overlap_matrix", "BroadcastHashJoin"),
+        ("supplier_revenue_hhi", "BroadcastHashJoin"),
+        ("events_psi_drift", "BroadcastHashJoin"),
+        ("docs_unigram_logprob", "BroadcastHashJoin"),
+    ):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert want in plan, name
+
+
+def test_changepoint_argmax_is_aggregate_not_second_sort(spark, sf_dir):
+    """CUSUM: one time-ordered window builds the running sums; the
+    argmax must be a max_by aggregate, not a second per-key sort."""
+    plan = _plan(registry.QUERIES["events_changepoint"](spark, sf_dir))
+    assert plan.count("windowspecdefinition") <= 2  # rn + running sum share one window
+    assert "max_by" in plan
