@@ -170,3 +170,33 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("k").alias(key_col), status.alias("status"))
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    hash_bits: int = 256,
+) -> DataFrame:
+    """Consistent keyed pseudonymization: replace identifier columns
+    with ``sha2(salt || ':' || value)`` — the privacy primitive for
+    training-data exports. CONSISTENT: the same (salt, value) maps to
+    the same pseudonym everywhere, so joins, groupBys, and
+    cross-release linkage still work; rotating the salt unlinks every
+    release at once. One-way for high-entropy ids (for LOW-entropy
+    values enumerate-and-hash attacks apply — salt secrecy is the only
+    defense; document retention accordingly).
+
+    Pure map-side projection (codegen sha2); no shuffle, payload
+    columns untouched.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.sha2(
+                F.concat_ws(":", F.lit(salt), F.col(c).cast("string")),
+                hash_bits,
+            ),
+        )
+    return out

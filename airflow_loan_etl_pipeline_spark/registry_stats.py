@@ -2513,3 +2513,33 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+@query(
+    "users_pseudonymized_activity",
+    oracle="""
+    SELECT sha256('v1:' || CAST(user_id AS VARCHAR)) AS user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def users_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving export: per-user activity keyed by the
+    consistent salted pseudonym instead of the raw id — aggregation and
+    linkage semantics identical (same groups, same counts), identity
+    unrecoverable without the salt. Map-side sha2, one aggregate."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        pseudonymize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        pseudonymize(events, ["user_id"], salt="v1")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -298,6 +298,7 @@ def main() -> None:
         "docs_compressibility",
         "audio_energy_windows",
         "docs_bigram_logprob",
+        "users_pseudonymized_activity",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

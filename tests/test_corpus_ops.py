@@ -457,3 +457,20 @@ def test_kmv_similarity_extremes_and_mergeability(spark):
     sk_doc2 = sorted(h60(t) for t in set(words[50:100]))[:32]
     merged = sorted(set(sk_doc1) | set(sk_doc2))[:32]
     assert merged == direct
+
+
+def test_pseudonymize_preserves_joins_and_rotates_with_salt(spark):
+    from airflow_loan_etl_pipeline_spark.operators.validate import pseudonymize
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "uid long, a string")
+    b = spark.createDataFrame([(1, "m"), (3, "n")], "uid long, b string")
+    pa = pseudonymize(a, ["uid"], salt="s1")
+    pb = pseudonymize(b, ["uid"], salt="s1")
+    joined = pa.join(pb, "uid").collect()
+    assert len(joined) == 1 and joined[0].a == "x" and joined[0].b == "m"
+    # different salt unlinks everything
+    pb2 = pseudonymize(b, ["uid"], salt="s2")
+    assert pa.join(pb2, "uid").count() == 0
+    # pseudonyms are not the raw ids and are 64 hex chars
+    vals = [r.uid for r in pa.collect()]
+    assert all(len(v) == 64 and v not in ("1", "2") for v in vals)
