@@ -2543,3 +2543,40 @@ def users_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "docs_k_anonymity",
+    oracle="""
+    WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                      count(*) AS grp
+               FROM documents GROUP BY 1, 2, 3)
+    SELECT count(*) AS n_groups,
+           count(CASE WHEN grp < 5 THEN 1 END) AS n_risky_groups,
+           CAST(coalesce(sum(CASE WHEN grp < 5 THEN grp END), 0) AS BIGINT)
+             AS n_risky_docs,
+           min(grp) AS min_group_size
+    FROM g
+    """,
+)
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over the release's quasi-identifiers
+    (lang, source, length bucket): groups smaller than k=5 are
+    re-identification risks even after pseudonymization — the
+    governance companion to the pseudonymize export. One bounded
+    aggregate over the quasi-id groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    risky = F.col("grp") < 5
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(risky, 1)).alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("grp"))), F.lit(0)).alias(
+            "n_risky_docs"
+        ),
+        F.min("grp").alias("min_group_size"),
+    )

@@ -1843,3 +1843,49 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     plausible unigrams but impossible transitions scores sharply
     lower. Vocabulary²-bounded probability table, per-doc join + avg."""
     return X.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query("cluster_best_representative", oracle=None)  # assembled below
+def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy upgrade: instead of keeping each near-dup
+    cluster's MIN-id member, keep its HIGHEST-QUALITY member (quality
+    desc, id asc tie-break) — the curation choice real corpus builds
+    make. The per-cluster argmax is a decomposable max_by over the
+    (cluster, quality) rows; cluster ids come from the registered
+    propagation, quality from the registered scorer, so the policy is
+    a pure composition."""
+    clusters = dup_clusters(spark, sf_dir)
+    quality = X.quality_score(load_table(spark, sf_dir, "documents"))
+    j = clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("doc_id").alias("keep_id"),
+                F.col("quality_score").alias("keep_quality"),
+            ),
+            F.struct(F.col("quality_score"), -F.col("doc_id")),
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("_b.keep_id").alias("keep_id"),
+        F.col("_b.keep_quality").alias("keep_quality"),
+        "cluster_size",
+    )
+
+
+_OR["cluster_best_representative"] = f"""
+    WITH cl AS ({_OR["dup_clusters"]}),
+         q AS ({_OR["docs_quality"]}),
+         j AS (SELECT cl.doc_id, cl.cluster_id, q.quality_score
+               FROM cl JOIN q USING (doc_id)),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+               FROM j)
+    SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
+           cluster_size
+    FROM r WHERE rn = 1
+"""

@@ -299,6 +299,8 @@ def main() -> None:
         "audio_energy_windows",
         "docs_bigram_logprob",
         "users_pseudonymized_activity",
+        "docs_k_anonymity",
+        "cluster_best_representative",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
