@@ -200,3 +200,40 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def range_checksums(
+    df: DataFrame,
+    key_col: str,
+    n_chunks: int = 16,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Merkle-style chunked checksums: the table folded into
+    ``n_chunks`` key-addressed chunk checksums (same per-row md5 +
+    modular-sum fold as :func:`table_checksum`). Two replicas compare
+    chunk vectors and recurse only into the chunks that differ —
+    locating divergence in O(log) round trips instead of re-shipping
+    the table; the reconciliation primitive for cross-site corpus
+    mirrors. Chunk addressing is ``key % n_chunks`` (stable under
+    appends anywhere in the keyspace); one |chunks|-key aggregate.
+    """
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
+    h = "cast(conv(substr(md5(_canon), 1, 15), 16, 10) AS bigint)"
+    return (
+        df.select(
+            (F.col(key_col) % n_chunks).alias("chunk"), canon.alias("_canon")
+        )
+        .select("chunk", F.expr(h).alias("_h"))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(_h AS decimal(38,0)))"
+                f" % {1 << 61} AS bigint)"
+            ).alias("checksum"),
+        )
+    )

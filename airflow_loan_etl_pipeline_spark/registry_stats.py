@@ -2580,3 +2580,31 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("grp").alias("min_group_size"),
     )
+
+
+@query(
+    "orders_range_checksums",
+    oracle=f"""
+    WITH c AS (SELECT o_orderkey % 16 AS chunk,
+                      ('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR) || chr(31) ||
+                         CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM orders)
+    SELECT chunk, count(*) AS n_rows,
+           CAST(sum(CAST(h AS HUGEINT)) % {1 << 61} AS BIGINT) AS checksum
+    FROM c GROUP BY chunk
+    """,
+)
+def orders_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style chunk checksums over (orderkey, custkey): replicas
+    compare 16 chunk digests and recurse only into mismatches —
+    O(log) divergence location for cross-site mirrors. Same md5 +
+    modular-sum fold as table_checksum, keyed by o_orderkey % 16."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        range_checksums,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return range_checksums(
+        orders.select("o_orderkey", "o_custkey"), "o_orderkey"
+    )

@@ -301,6 +301,7 @@ def main() -> None:
         "users_pseudonymized_activity",
         "docs_k_anonymity",
         "cluster_best_representative",
+        "orders_range_checksums",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -474,3 +474,25 @@ def test_pseudonymize_preserves_joins_and_rotates_with_salt(spark):
     # pseudonyms are not the raw ids and are 64 hex chars
     vals = [r.uid for r in pa.collect()]
     assert all(len(v) == 64 and v not in ("1", "2") for v in vals)
+
+
+def test_range_checksums_localize_divergence(spark):
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        range_checksums,
+    )
+
+    rows = [(i, f"v{i}") for i in range(160)]
+    a = spark.createDataFrame(rows, "k long, v string")
+    # replica with ONE mutated row (key 37 -> chunk 37 % 16 = 5)
+    rows_b = [(i, "MUTATED" if i == 37 else f"v{i}") for i in range(160)]
+    b = spark.createDataFrame(rows_b, "k long, v string").repartition(7)
+    ca = {r.chunk: r.checksum for r in range_checksums(a, "k").collect()}
+    cb = {r.chunk: r.checksum for r in range_checksums(b, "k").collect()}
+    diff = [c for c in ca if ca[c] != cb[c]]
+    assert diff == [5]  # divergence localized to exactly one chunk
+    # identical replicas agree on every chunk regardless of layout
+    c2 = {
+        r.chunk: r.checksum
+        for r in range_checksums(a.repartition(13), "k").collect()
+    }
+    assert c2 == ca
