@@ -1889,3 +1889,47 @@ _OR["cluster_best_representative"] = f"""
            cluster_size
     FROM r WHERE rn = 1
 """
+
+
+@query("simhash_bit_balance", oracle=None)  # assembled below
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-family health check: each SimHash bit should split the
+    corpus ~50/50 — a skewed bit carries less than one bit of
+    discrimination, silently widening hamming-ball candidate sets. Per
+    bit: the share of documents with the bit set and its absolute
+    deviation from 0.5. 32 output rows; bit extraction is a map-side
+    shift-and-mask over the registered signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(docs)
+    bits = sh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.col("simhash"),
+    ).select(
+        "bit",
+        F.expr("shiftright(simhash, bit) & 1").alias("_b"),
+    )
+    return bits.groupBy("bit").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.sum("_b") * 1e4 / F.count(F.lit(1))) / 1e4).alias(
+            "share_set"
+        ),
+        F.round(
+            F.abs(
+                F.floor(F.sum("_b") * 1e4 / F.count(F.lit(1))) / 1e4 - 0.5
+            ),
+            4,
+        ).alias("abs_dev"),
+    )
+
+
+_OR["simhash_bit_balance"] = f"""
+    WITH sh AS ({_OR["docs_simhash"]}),
+         bits AS (SELECT b.bit, (simhash >> b.bit) & 1 AS isset
+                  FROM sh, (SELECT unnest(generate_series(0, 31)) AS bit) b)
+    SELECT CAST(bit AS INT) AS bit, count(*) AS n_docs,
+           floor(CAST(sum(isset) AS BIGINT) * 1e4 / count(*)) / 1e4
+             AS share_set,
+           round(abs(floor(CAST(sum(isset) AS BIGINT) * 1e4 / count(*))
+                     / 1e4 - 0.5), 4) AS abs_dev
+    FROM bits GROUP BY 1
+"""

@@ -302,6 +302,7 @@ def main() -> None:
         "docs_k_anonymity",
         "cluster_best_representative",
         "orders_range_checksums",
+        "simhash_bit_balance",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
