@@ -1933,3 +1933,71 @@ _OR["simhash_bit_balance"] = f"""
                      / 1e4 - 0.5), 4) AS abs_dev
     FROM bits GROUP BY 1
 """
+
+
+@query("quality_vs_dup_rate", oracle=None)  # assembled below
+def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation calibration: near-dup membership rate per quality
+    quintile — validates (or refutes) the "low quality ⇒ duplicated
+    boilerplate" assumption behind quality-weighted dedup policies.
+    Quintile thresholds interpolate over the exact quality scores
+    (broadcast, 4 numbers); dup membership = appearing in any LSH pair.
+    Output is 5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(docs).select("doc_id", "quality_score")
+    pairs = D.minhash_lsh_pairs(docs)
+    dupped = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    thr = q.agg(
+        F.expr(
+            "percentile(quality_score, array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("_t")
+    )
+    scored = (
+        q.join(dupped, "doc_id", "left")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.expr(
+                "size(filter(_t, t -> quality_score > t))"
+            ).alias("quintile"),
+            F.coalesce(F.col("_dup"), F.lit(0)).alias("_d"),
+        )
+    )
+    return scored.groupBy("quintile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("_d") == 1, 1)).alias("n_dupped"),
+        (
+            F.floor(
+                F.count(F.when(F.col("_d") == 1, 1))
+                * 1e4
+                / F.count(F.lit(1))
+            )
+            / 1e4
+        ).alias("dup_rate"),
+    )
+
+
+_OR["quality_vs_dup_rate"] = f"""
+    WITH q AS (SELECT doc_id, quality_score FROM ({_OR["docs_quality"]})),
+         pairs AS ({_OR["minhash_lsh_pairs"]}),
+         dupped AS (SELECT DISTINCT doc_id FROM (
+                      SELECT doc_a AS doc_id FROM pairs
+                      UNION ALL SELECT doc_b FROM pairs) t),
+         thr AS (SELECT quantile_cont(quality_score,
+                                      [0.2, 0.4, 0.6, 0.8]) AS t FROM q),
+         scored AS (SELECT CAST(len(list_filter(thr.t,
+                                x -> q.quality_score > x)) AS INT)
+                             AS quintile,
+                           CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                             AS dup
+                    FROM q LEFT JOIN dupped d USING (doc_id)
+                    CROSS JOIN thr)
+    SELECT quintile, count(*) AS n_docs,
+           count(CASE WHEN dup = 1 THEN 1 END) AS n_dupped,
+           floor(count(CASE WHEN dup = 1 THEN 1 END) * 1e4 / count(*))
+             / 1e4 AS dup_rate
+    FROM scored GROUP BY 1
+"""

@@ -303,6 +303,7 @@ def main() -> None:
         "cluster_best_representative",
         "orders_range_checksums",
         "simhash_bit_balance",
+        "quality_vs_dup_rate",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
