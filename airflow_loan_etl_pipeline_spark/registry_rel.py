@@ -641,3 +641,65 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_col="p_retailprice",
         max_col="p_size",
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH f AS (SELECT o_custkey,
+                      min(date_trunc('month', o_orderdate)) AS cohort
+               FROM orders GROUP BY 1),
+         r AS (SELECT f.cohort,
+                      (year(o.o_orderdate) - year(f.cohort)) * 12
+                        + (month(o.o_orderdate) - month(f.cohort))
+                        AS months_elapsed,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders o JOIN f ON o.o_custkey = f.o_custkey),
+         m AS (SELECT cohort::DATE AS cohort, months_elapsed,
+                      CAST(sum(cents) AS BIGINT) AS rev_c
+               FROM r GROUP BY 1, 2)
+    SELECT cohort, months_elapsed,
+           round(rev_c / 1e2, 2) AS revenue,
+           round(CAST(sum(rev_c) OVER (PARTITION BY cohort
+                                       ORDER BY months_elapsed
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 / 1e2, 2) AS cumulative_revenue
+    FROM m
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: revenue and CUMULATIVE revenue per
+    (first-order month, months elapsed) — the monetary companion to
+    retention cohorts. Revenue accumulates in exact integer cents; the
+    running sum's window runs over the bounded cohort x month grid,
+    never the facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    r = orders.join(f, "o_custkey").select(
+        F.to_date("cohort").alias("cohort"),
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("months_elapsed"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = r.groupBy("cohort", "months_elapsed").agg(
+        F.sum("cents").alias("rev_c")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("months_elapsed")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return m.select(
+        "cohort",
+        "months_elapsed",
+        F.round(F.col("rev_c") / 1e2, 2).alias("revenue"),
+        F.round(F.sum("rev_c").over(w) / 1e2, 2).alias(
+            "cumulative_revenue"
+        ),
+    )

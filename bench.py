@@ -304,6 +304,7 @@ def main() -> None:
         "orders_range_checksums",
         "simhash_bit_balance",
         "quality_vs_dup_rate",
+        "orders_cohort_ltv",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
