@@ -424,3 +424,60 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Parquet write + release MANIFEST: lands the table and a
+    ``_manifest.json`` sidecar holding row count and the
+    order-insensitive content checksum (validate.table_checksum) — the
+    artifact a consumer verifies before trusting a mirrored/published
+    corpus snapshot (pairs with validate.range_checksums for locating
+    any divergence). The underscore prefix keeps Spark readers from
+    treating the sidecar as data. Returns the manifest dict.
+    """
+    import json as _json
+
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        table_checksum,
+    )
+
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    import os
+
+    w.parquet(path)
+    row = table_checksum(df).collect()[0]
+    manifest = {
+        "n_rows": row.n_rows,
+        "checksum": row.checksum,
+        "columns": df.columns,
+        "partition_by": partition_by or [],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> bool:
+    """Re-derive the manifest from the landed files and compare —
+    True iff the snapshot on disk is exactly what was published."""
+    import json as _json
+    import os
+
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        table_checksum,
+    )
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        expected = _json.load(fh)
+    df = spark.read.parquet(path).select(*expected["columns"])
+    row = table_checksum(df).collect()[0]
+    return (
+        row.n_rows == expected["n_rows"]
+        and row.checksum == expected["checksum"]
+    )

@@ -308,3 +308,30 @@ def test_payment_schedule_amortizes_to_zero(spark):
         # compounds that rounding: |drift| <= 0.005 * ((1+r)^m - 1)/r.
         bound = 0.005 * ((1 + r_m) ** m - 1) / r_m + 0.03
         assert math.isclose(months[m].balance, bal, abs_tol=bound), (m, bal)
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    from airflow_loan_etl_pipeline_spark.sources.io import (
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "k long, v string"
+    )
+    path = str(tmp_path / "release")
+    m = write_with_manifest(df, path)
+    assert m["n_rows"] == 50
+    assert verify_manifest(spark, path) is True
+    # tamper: overwrite with one row changed -> verification fails
+    df2 = spark.createDataFrame(
+        [(i, "X" if i == 7 else f"r{i}") for i in range(50)],
+        "k long, v string",
+    )
+    df2.write.mode("overwrite").parquet(path)
+    import json, os
+
+    # restore the original manifest the overwrite wiped
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(m, fh)
+    assert verify_manifest(spark, path) is False
