@@ -703,3 +703,91 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_revenue"
         ),
     )
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH supply AS (
+      SELECT s.s_nationkey AS nationkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS supply_c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1),
+    demand AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS demand_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT n.n_name AS nation,
+           round(coalesce(supply_c, 0) / 1e2, 2) AS supply_revenue,
+           round(coalesce(demand_c, 0) / 1e2, 2) AS demand_spend,
+           round((coalesce(supply_c, 0) - coalesce(demand_c, 0)) / 1e2, 2)
+             AS balance
+    FROM nation n
+    LEFT JOIN supply ON supply.nationkey = n.n_nationkey
+    LEFT JOIN demand ON demand.nationkey = n.n_nationkey
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue supplied (via supplier side)
+    vs money spent (via customer side) and the net — both sides
+    accumulate in exact integer cents with broadcast dims; the final
+    combine joins two |nations|-row aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supply = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("supply_c")
+        )
+    )
+    demand = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "demand_c"
+            )
+        )
+    )
+    return (
+        nation.join(
+            F.broadcast(supply), F.col("n_nationkey") == supply.nationkey, "left"
+        )
+        .join(
+            F.broadcast(demand), F.col("n_nationkey") == demand.nationkey, "left"
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.coalesce(F.col("supply_c"), F.lit(0)) / 1e2, 2).alias(
+                "supply_revenue"
+            ),
+            F.round(F.coalesce(F.col("demand_c"), F.lit(0)) / 1e2, 2).alias(
+                "demand_spend"
+            ),
+            F.round(
+                (
+                    F.coalesce(F.col("supply_c"), F.lit(0))
+                    - F.coalesce(F.col("demand_c"), F.lit(0))
+                )
+                / 1e2,
+                2,
+            ).alias("balance"),
+        )
+    )

@@ -2608,3 +2608,69 @@ def orders_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_checksums(
         orders.select("o_orderkey", "o_custkey"), "o_orderkey"
     )
+
+
+@query(
+    "users_churn_risk",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         g AS (SELECT user_id, ts, epoch_us(ts) AS us,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events),
+         per AS (SELECT user_id,
+                        max(us) AS last_us,
+                        quantile_cont(gap, 0.5) AS med_gap,
+                        count(*) AS n_events
+                 FROM g GROUP BY 1),
+         flagged AS (SELECT user_id, n_events,
+                            CASE WHEN med_gap IS NOT NULL
+                                  AND (SELECT now_us FROM mx) - last_us
+                                      > 3 * med_gap
+                                 THEN 1 ELSE 0 END AS at_risk
+                     FROM per)
+    SELECT count(*) AS n_users,
+           CAST(sum(at_risk) AS BIGINT) AS n_at_risk,
+           floor(sum(at_risk) * 1e4 / count(*)) / 1e4 AS at_risk_share
+    FROM flagged
+    """,
+)
+def users_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-based churn screen: a user is at risk when their silence
+    since the last event exceeds 3x their own median inter-event gap —
+    personal-baseline recency, not a global cutoff. One window pass for
+    gaps (exact integer microseconds), a per-user aggregate, and a
+    1-row corpus 'now' broadcast; single-event users (no gap baseline)
+    are never flagged."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = events.select(
+        "user_id",
+        us.alias("_us"),
+        (us - F.lag(us).over(w)).alias("_gap"),
+    )
+    per = g.groupBy("user_id").agg(
+        F.max("_us").alias("_last"),
+        F.expr("percentile(_gap, 0.5D)").alias("_med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = events.agg(F.max(us).alias("_now"))
+    flagged = per.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("_med").isNotNull()
+            & ((F.col("_now") - F.col("_last")) > 3 * F.col("_med")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_risk")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_risk").alias("n_at_risk"),
+        (
+            F.floor(F.sum("_risk") * 1e4 / F.count(F.lit(1))) / 1e4
+        ).alias("at_risk_share"),
+    )

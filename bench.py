@@ -305,6 +305,8 @@ def main() -> None:
         "simhash_bit_balance",
         "quality_vs_dup_rate",
         "orders_cohort_ltv",
+        "nation_trade_balance",
+        "users_churn_risk",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
