@@ -1050,3 +1050,89 @@ def minhash_estimate_quality(
         F.round(F.max(err), 4).alias("max_abs_err"),
         F.round(F.corr("_est", "_true"), 4).alias("est_corr"),
     )
+
+
+def substring_cut(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """The CUT half of substring-level dedup (Lee et al. 2022):
+    remove every token covered by an n-gram occurring ≥ ``min_df``
+    times corpus-wide, and emit the cleaned document's fingerprint +
+    removal accounting (the cleaned text itself stays distributed; the
+    md5 lets the oracle verify the rebuild byte-for-byte without
+    shipping documents).
+
+    Fully native: dup positions come from the same hashed positional
+    rows as :func:`dup_span_stats`; coverage expands each dup position
+    to its n token slots (explode, distinct); surviving tokens are a
+    LEFT ANTI join on (doc, position); the rebuild is
+    ``concat_ws(sort_array(struct(pos, token)))`` — per-doc arrays
+    bounded by doc length, no Python in the cut path. Docs shorter
+    than ``n`` tokens pass through uncut.
+    """
+    rows = positional_shingle_rows(docs, id_col, text_col, n)
+    hashed = rows.select(
+        F.col(id_col), "pos", F.expr(HASH60.format(x="s_str")).alias("sh")
+    )
+    dfreq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        hashed.join(dfreq, "sh")
+        .filter(F.col("df") >= min_df)
+        .select(id_col, "pos")
+    )
+    cov = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_p0", "tok"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("tp"), "tok")
+    kept = toks.join(
+        cov,
+        (toks[id_col] == cov[id_col]) & (F.col("tp") == F.col("cp")),
+        "left_anti",
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(tp, tok))),"
+                    " x -> x.tok)"
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            # fully-cut docs rebuild to the empty string's md5
+            F.coalesce(
+                F.col("clean_md5"), F.md5(F.lit(""))
+            ).alias("clean_md5"),
+        )
+    )

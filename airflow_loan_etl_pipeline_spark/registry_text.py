@@ -2001,3 +2001,47 @@ _OR["quality_vs_dup_rate"] = f"""
              / 1e4 AS dup_rate
     FROM scored GROUP BY 1
 """
+
+
+@query(
+    "docs_substring_cut",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+         pos AS (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk) - 2)) AS p
+                 FROM tok WHERE len(tk) >= 3),
+         sh AS (SELECT doc_id, p,
+                       ('0x' || substr(md5(array_to_string(tk[p:p+2], ' ')),
+                                       1, 15))::BIGINT AS h
+                FROM pos),
+         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         dup AS (SELECT doc_id, p FROM sh JOIN dfreq USING (h)
+                 WHERE df >= 2),
+         cov AS (SELECT DISTINCT doc_id, p + o.o AS cp
+                 FROM dup, (SELECT unnest([0, 1, 2]) AS o) o),
+         toks AS (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS tp
+                  FROM tok),
+         kept AS (SELECT t.doc_id, t.tp, t.tk[t.tp] AS w
+                  FROM toks t LEFT JOIN cov c
+                    ON c.doc_id = t.doc_id AND c.cp = t.tp
+                  WHERE c.cp IS NULL),
+         rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                            md5(string_agg(w, ' ' ORDER BY tp))
+                              AS clean_md5
+                     FROM kept GROUP BY 1)
+    SELECT t.doc_id,
+           len(t.tk) AS n_tokens,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def docs_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of substring dedup (Lee et al. 2022): tokens
+    covered by any corpus-duplicated trigram are removed and the
+    cleaned text is fingerprinted (md5) so the oracle verifies the
+    rebuild byte-for-byte without shipping documents. Fully native cut
+    path: coverage explode + LEFT ANTI + sorted-struct reassembly."""
+    return D.substring_cut(load_table(spark, sf_dir, "documents"))

@@ -307,6 +307,7 @@ def main() -> None:
         "orders_cohort_ltv",
         "nation_trade_balance",
         "users_churn_risk",
+        "docs_substring_cut",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

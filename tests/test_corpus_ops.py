@@ -496,3 +496,28 @@ def test_range_checksums_localize_divergence(spark):
         for r in range_checksums(a.repartition(13), "k").collect()
     }
     assert c2 == ca
+
+
+def test_substring_cut_removes_shared_boilerplate(spark):
+    import hashlib
+
+    from airflow_loan_etl_pipeline_spark.operators.dedup import substring_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma all rights reserved", "en", "a", 0),
+            (2, "delta epsilon zeta all rights reserved", "en", "a", 0),
+            (3, "one two three four", "en", "b", 0),
+            (4, "hi there", "en", "b", 0),  # too short: passes through
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in substring_cut(docs).collect()}
+    # docs 1/2 lose exactly the shared trailing trigram's 3 tokens
+    assert out[1].n_removed == 3
+    assert out[1].clean_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert out[2].clean_md5 == hashlib.md5(b"delta epsilon zeta").hexdigest()
+    # unique doc untouched; short doc passes through uncut
+    assert out[3].n_removed == 0
+    assert out[3].clean_md5 == hashlib.md5(b"one two three four").hexdigest()
+    assert out[4].n_removed == 0 and out[4].n_tokens == 2
