@@ -406,3 +406,17 @@ def test_changepoint_argmax_is_aggregate_not_second_sort(spark, sf_dir):
     plan = _plan(registry.QUERIES["events_changepoint"](spark, sf_dir))
     assert plan.count("windowspecdefinition") <= 2  # rn + running sum share one window
     assert "max_by" in plan
+
+
+def test_substring_cut_path_is_native_anti_join(spark, sf_dir):
+    """The cut path must be a LEFT ANTI on (doc, position) with the
+    sorted-struct rebuild — no window, no extra Python stage beyond the
+    one shingle emitter."""
+    plan = _plan(registry.QUERIES["docs_substring_cut"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "sort_array" in plan
+    # ONE Arrow stage: df comes from a window count over the same
+    # hash-keyed pass, so the Python shingling subtree is never
+    # duplicated (the agg+join formulation evaluated it twice —
+    # broadcast join left the probe side exchange-free).
+    assert plan.count("MapInPandas (") <= 1 or plan.count("MapInPandas") <= 2
