@@ -597,3 +597,76 @@ def standardized_norms(
             ).alias("max_abs_z"),
         )
     )
+
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # codebook entries per subspace
+PQ_SUBDIM = DIM // PQ_M
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product Quantization encode (Jégou et al. 2011 — the FAISS
+    storage standard): split each vector into ``PQ_M`` subvectors and
+    replace each with the id of its nearest codebook entry — 64 floats
+    become 8 small codes (32x compression at these settings), with the
+    reconstruction error reported per vector.
+
+    Codebooks are deterministic (the PQ_K lowest-id vectors' subvectors
+    — the same no-RNG discipline as ivf_topk; swap in k-means codebooks
+    at production scale without touching the assignment). The
+    assignment is relational: vectors cross the broadcast
+    (subspace, centroid, subvector) table — M x K rows — and a
+    decomposable ``min_by`` picks each subspace's code; codes reassemble
+    with a sorted-struct collect bounded by M. Nothing but the
+    |vectors| x M skinny code rows ever shuffles.
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    cb = (
+        base.filter(F.col(id_col) < PQ_K)
+        .select(F.col(id_col).alias("cid"), "v")
+        .select(
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
+            "v",
+        )
+        .select(
+            "j",
+            "cid",
+            F.expr(f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "subc"
+            ),
+        )
+    )
+    vj = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
+        "v",
+    ).select(
+        id_col,
+        "j",
+        F.expr(f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("subv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(subv, subc, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 AS double), (acc, d) -> acc + d)"
+    )
+    scored = vj.join(F.broadcast(cb), "j").select(
+        id_col, "j", F.col("cid"), dist.alias("_d")
+    )
+    per_sub = scored.groupBy(id_col, "j").agg(
+        F.min_by(F.col("cid"), F.struct(F.col("_d"), F.col("cid"))).alias(
+            "code"
+        ),
+        F.min("_d").alias("_dmin"),
+    )
+    return per_sub.groupBy(id_col).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(j, code))),"
+            " x -> x.code)"
+        ).alias("codes"),
+        F.round(F.sqrt(F.sum("_dmin")), 6).alias("recon_err"),
+    )

@@ -2045,3 +2045,39 @@ def docs_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild byte-for-byte without shipping documents. Fully native cut
     path: coverage explode + LEFT ANTI + sorted-struct reassembly."""
     return D.substring_cut(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embeddings_pq_codes",
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cb AS (SELECT js.j, b.vec_id AS cid,
+                       b.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
+                FROM base b, js WHERE b.vec_id < 16),
+         vj AS (SELECT vec_id, js.j,
+                       v[js.j * 8 + 1 : js.j * 8 + 8] AS subv
+                FROM base, js),
+         scored AS (SELECT vj.vec_id, vj.j, cb.cid,
+                           list_sum(list_transform(generate_series(1, 8),
+                             k -> (subv[k] - subc[k])
+                                  * (subv[k] - subc[k]))) AS d
+                    FROM vj JOIN cb ON vj.j = cb.j),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d, cid) AS rn
+               FROM scored),
+         per AS (SELECT vec_id, j, cid AS code, d AS dmin
+                 FROM r WHERE rn = 1)
+    SELECT vec_id, list(code ORDER BY j) AS codes,
+           round(sqrt(sum(dmin)), 6) AS recon_err
+    FROM per GROUP BY vec_id
+    """,
+)
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization encode: 64 floats -> 8 codebook codes (32x
+    compression) + per-vector reconstruction error. Deterministic
+    codebooks (lowest-id subvectors, the ivf no-RNG discipline),
+    relational assignment against the broadcast M x K codebook rows,
+    decomposable min_by per subspace."""
+    return S.pq_encode(load_table(spark, sf_dir, "embeddings"))

@@ -308,6 +308,7 @@ def main() -> None:
         "nation_trade_balance",
         "users_churn_risk",
         "docs_substring_cut",
+        "embeddings_pq_codes",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

@@ -365,3 +365,30 @@ def test_bigram_logprob_punishes_impossible_transitions(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert bigram_logprob(df2).count() == 0
+
+
+def test_pq_encode_codebook_members_have_zero_error(spark):
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in pq_encode(df).collect()}
+    assert all(len(r.codes) == PQ_M for r in out.values())
+    # codebook members reconstruct themselves exactly: code j == own id
+    for cid in range(PQ_K):
+        assert out[cid].recon_err == 0.0
+        assert list(out[cid].codes) == [cid] * PQ_M
+    # non-members have positive error but every code is a valid entry
+    assert out[30].recon_err > 0
+    assert all(0 <= c < PQ_K for c in out[30].codes)
