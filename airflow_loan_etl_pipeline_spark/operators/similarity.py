@@ -670,3 +670,64 @@ def pq_encode(
         ).alias("codes"),
         F.round(F.sqrt(F.sum("_dmin")), 6).alias("recon_err"),
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric Distance Computation over PQ codes — why PQ exists:
+    the query stays full-precision, each corpus vector is its 8 codes,
+    and the approximate squared-L2 distance is a sum of 8 LOOKUPS into
+    the query's per-subspace distance table (M x K = 128 numbers,
+    broadcast). At 100 TB the corpus never rematerializes floats: the
+    scan reads 8 bytes of codes per vector; compute is table lookups.
+
+    Here the code rows come from :func:`pq_encode` (deterministic
+    codebooks); the LUT join keys on (subspace, code) and the top-k is
+    the per-query TakeOrdered. Approximate by construction — recall
+    against exact cosine is the quantization dial (raise PQ_K / train
+    real codebooks).
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    codes = pq_encode(df, id_col, vec_col).select(
+        F.col(id_col),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv")
+    )
+    cb = (
+        base.filter(F.col(id_col) < PQ_K)
+        .select(F.col(id_col).alias("code"), "v")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
+            "v",
+            "qv",
+        )
+        .select(
+            "j",
+            "code",
+            F.expr(
+                "aggregate(zip_with("
+                f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 AS double), (acc, d) -> acc + d)"
+            ).alias("_lut"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(cb), ["j", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sqrt(F.sum("_lut")), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != query_id)
+    )
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -2081,3 +2081,46 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational assignment against the broadcast M x K codebook rows,
     decomposable min_by per subspace."""
     return S.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embeddings_pq_adc_topk",
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cb AS (SELECT js.j, b.vec_id AS cid,
+                       b.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
+                FROM base b, js WHERE b.vec_id < 16),
+         vj AS (SELECT vec_id, js.j,
+                       v[js.j * 8 + 1 : js.j * 8 + 8] AS subv
+                FROM base, js),
+         scored AS (SELECT vj.vec_id, vj.j, cb.cid,
+                           list_sum(list_transform(generate_series(1, 8),
+                             k -> (subv[k] - subc[k])
+                                  * (subv[k] - subc[k]))) AS d
+                    FROM vj JOIN cb ON vj.j = cb.j),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d, cid) AS rn
+               FROM scored),
+         per AS (SELECT vec_id, j, cid AS code FROM r WHERE rn = 1),
+         q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+         lut AS (SELECT cb.j, cb.cid AS code,
+                        list_sum(list_transform(generate_series(1, 8),
+                          k -> (subc[k] - qv[js2.j * 8 + k])
+                               * (subc[k] - qv[js2.j * 8 + k]))) AS l
+                 FROM cb, q, (SELECT 0 AS z) z0, LATERAL (SELECT cb.j AS j) js2),
+         adc AS (SELECT per.vec_id,
+                        round(sqrt(sum(l)), 6) AS adc_dist
+                 FROM per JOIN lut ON per.j = lut.j AND per.code = lut.code
+                 GROUP BY 1)
+    SELECT vec_id, adc_dist FROM adc WHERE vec_id != 0
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation: approximate L2
+    top-10 to query 0 as 8 broadcast-LUT lookups per corpus vector —
+    the scan reads codes, never floats. The quantization-accuracy dial
+    pairs with embeddings_pq_codes' reconstruction error."""
+    return S.pq_adc_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)

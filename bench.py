@@ -309,6 +309,7 @@ def main() -> None:
         "users_churn_risk",
         "docs_substring_cut",
         "embeddings_pq_codes",
+        "embeddings_pq_adc_topk",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
