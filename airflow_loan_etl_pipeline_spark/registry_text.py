@@ -2124,3 +2124,57 @@ def embeddings_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan reads codes, never floats. The quantization-accuracy dial
     pairs with embeddings_pq_codes' reconstruction error."""
     return S.pq_adc_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+@query("pq_recall_at_10", oracle=None)  # assembled below
+def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-accuracy dial: recall@10 of ADC-over-PQ-codes
+    against exact squared-L2 — how much retrieval the 32x compression
+    costs on this corpus. One small set-overlap of two 10-row lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc = S.pq_adc_topk(emb, query_id=0).select("vec_id")
+    base = emb.withColumn("v", F.expr(S._as_double("embedding")))
+    q = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    d2 = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 AS double), (acc, d) -> acc + d)"
+    )
+    exact = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(d2, 6).alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hit = exact.join(adc, "vec_id", "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_at_10"),
+        )
+    )
+
+
+_OR["pq_recall_at_10"] = f"""
+    WITH adc AS ({_OR["embeddings_pq_adc_topk"]}),
+         base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+                    AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+         ex AS (SELECT vec_id,
+                       round(list_sum(list_transform(
+                         generate_series(1, len(v)),
+                         k -> (v[k] - qv[k]) * (v[k] - qv[k]))), 6) AS d
+                FROM base, q WHERE vec_id != 0
+                ORDER BY d ASC, vec_id ASC LIMIT 10),
+         hit AS (SELECT e.vec_id FROM ex e
+                 WHERE EXISTS (SELECT 1 FROM adc a
+                               WHERE a.vec_id = e.vec_id))
+    SELECT (SELECT count(*) FROM ex) AS n_true,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / (SELECT count(*) FROM ex), 4) AS recall_at_10
+"""

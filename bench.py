@@ -310,6 +310,7 @@ def main() -> None:
         "docs_substring_cut",
         "embeddings_pq_codes",
         "embeddings_pq_adc_topk",
+        "pq_recall_at_10",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
