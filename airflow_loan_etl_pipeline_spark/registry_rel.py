@@ -791,3 +791,95 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance"),
         )
     )
+
+
+@query(
+    "orders_sla_breach_by_priority",
+    oracle="""
+    WITH first_ship AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                        FROM lineitem GROUP BY 1),
+         j AS (SELECT o.o_orderpriority,
+                      CASE WHEN date_diff('day', o.o_orderdate::DATE,
+                                          f.first_ship::DATE) > 30
+                           THEN 1 ELSE 0 END AS breach
+               FROM orders o JOIN first_ship f
+                 ON o.o_orderkey = f.l_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(breach) AS BIGINT) AS n_breached,
+           floor(sum(breach) * 1e4 / count(*)) / 1e4 AS breach_share
+    FROM j GROUP BY 1
+    """,
+)
+def orders_sla_breach_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA: share of orders whose FIRST line shipped more
+    than 30 days after ordering, by priority — the ops KPI behind the
+    lead-time percentiles. min-ship per order is one key-partitioned
+    aggregate; the date arithmetic is exact integer days."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    breach = F.when(
+        F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate")) > 30, 1
+    ).otherwise(0)
+    return (
+        orders.join(
+            first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select("o_orderpriority", breach.alias("_b"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_b").alias("n_breached"),
+            (
+                F.floor(F.sum("_b") * 1e4 / F.count(F.lit(1))) / 1e4
+            ).alias("breach_share"),
+        )
+    )
+
+
+@query(
+    "returns_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_lines,
+           count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS n_returned,
+           floor(count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 1e4
+                 / count(*)) / 1e4 AS return_share,
+           round(sum(CASE WHEN l.l_returnflag = 'R'
+                          THEN l.l_extendedprice ELSE 0 END), 2)
+             AS returned_value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and returned value per brand — the retail quality
+    KPI. Broadcast part dim, one conditional aggregate over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ret = F.when(F.col("l_returnflag") == "R", 1)
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(ret).alias("n_returned"),
+            (
+                F.floor(F.count(ret) * 1e4 / F.count(F.lit(1))) / 1e4
+            ).alias("return_share"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_value"),
+        )
+    )

@@ -311,6 +311,8 @@ def main() -> None:
         "embeddings_pq_codes",
         "embeddings_pq_adc_topk",
         "pq_recall_at_10",
+        "orders_sla_breach_by_priority",
+        "returns_rate_by_brand",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
