@@ -2674,3 +2674,42 @@ def users_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("_risk") * 1e4 / F.count(F.lit(1))) / 1e4
         ).alias("at_risk_share"),
     )
+
+
+@query(
+    "users_winback_monthly",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         g AS (SELECT user_id, d,
+                      date_diff('day',
+                                lag(d) OVER (PARTITION BY user_id ORDER BY d),
+                                d) AS gap
+               FROM act),
+         rev AS (SELECT user_id, d FROM g WHERE gap > 2)
+    SELECT date_trunc('month', d)::DATE AS month,
+           count(*) AS n_revivals,
+           count(DISTINCT user_id) AS n_users_revived
+    FROM rev GROUP BY 1
+    """,
+)
+def users_winback_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back metric: activity days that follow a dormancy gap,
+    per month — the re-engagement counterpart of the churn screen. One
+    window pass over the deduplicated (user, day) fact; exact
+    integer-day gaps. Threshold fixture-scaled to 2 days (the synthetic
+    users are daily-active; production would use 14/30)."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = act.select(
+        "user_id",
+        "d",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("_gap"),
+    )
+    rev = g.filter(F.col("_gap") > 2)
+    return rev.groupBy(
+        F.to_date(F.date_trunc("month", "d")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_revivals"),
+        F.countDistinct("user_id").alias("n_users_revived"),
+    )

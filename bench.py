@@ -313,6 +313,7 @@ def main() -> None:
         "pq_recall_at_10",
         "orders_sla_breach_by_priority",
         "returns_rate_by_brand",
+        "users_winback_monthly",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
