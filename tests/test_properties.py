@@ -700,3 +700,44 @@ def test_dup_span_stats_matches_bruteforce(spark, docs):
                 dup_pos[0],
                 dup_pos[-1],
             )
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["p", "q", "r"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_cut_matches_bruteforce(spark, docs):
+    """The native cut (coverage explode + anti join + reassembly) must
+    equal a direct Python implementation of Lee-et-al. span removal for
+    ANY corpus."""
+    import hashlib
+    from collections import Counter
+
+    from airflow_loan_etl_pipeline_spark.operators.dedup import substring_cut
+
+    rows = [(i, " ".join(t), "en", "s", 0) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in substring_cut(df).collect()}
+
+    freqs = Counter()
+    for t in docs:
+        freqs.update(tuple(t[j : j + 3]) for j in range(len(t) - 2))
+    for i, t in enumerate(docs):
+        covered = set()
+        for j in range(len(t) - 2):
+            if freqs[tuple(t[j : j + 3])] >= 2:
+                covered.update((j, j + 1, j + 2))
+        kept = [w for j, w in enumerate(t) if j not in covered]
+        r = got[i]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(covered)
+        assert r.clean_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
