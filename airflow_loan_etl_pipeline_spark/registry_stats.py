@@ -2713,3 +2713,89 @@ def users_winback_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_revivals"),
         F.countDistinct("user_id").alias("n_users_revived"),
     )
+
+
+@query(
+    "orders_median_bootstrap_ci",
+    oracle="""
+    WITH ex AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       round(o_totalprice * 100) AS vc,
+                       unnest(generate_series(1, 32)) AS b
+                FROM orders),
+         uw AS (SELECT b, vc,
+                       ('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)),
+                                       1, 15))::BIGINT
+                         / 1152921504606846976.0 AS u
+                FROM ex),
+         w AS (SELECT b, vc,
+                      CASE WHEN u < 0.36787944117144233 THEN 0
+                           WHEN u < 0.7357588823428847 THEN 1
+                           WHEN u < 0.9196986029286058 THEN 2
+                           WHEN u < 0.9810118431238462 THEN 3
+                           WHEN u < 0.9963401531726563 THEN 4
+                           ELSE 5 END AS wt
+               FROM uw),
+         expanded AS (SELECT b, vc
+                      FROM w, UNNEST(generate_series(1, wt)) AS r
+                      WHERE wt > 0),
+         pb AS (SELECT b, quantile_cont(vc, 0.5) / 100.0 AS med_b
+                FROM expanded GROUP BY b),
+         ms AS (SELECT list_sort(list(med_b)) AS l FROM pb),
+         g AS (SELECT quantile_cont(round(o_totalprice * 100), 0.5) / 100.0
+                 AS median_val
+               FROM orders)
+    SELECT round(median_val, 2) AS median_val,
+           round(l[2], 2) AS boot_lo, round(l[31], 2) AS boot_hi,
+           32 AS n_replicas
+    FROM g, ms
+    """,
+)
+def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap generalized past means: a rank-based CI
+    for the MEDIAN order value. Replica membership reuses the
+    content-addressed Poisson(1) weights; each replica's median runs
+    over the weight-expanded rows with the integer-cents interpolation
+    discipline; the interval is order statistics of 32 replica
+    medians — no closed-form variance needed, the point of
+    bootstrapping."""
+    orders = load_table(spark, sf_dir, "orders")
+    ex = orders.select(
+        F.col("o_orderkey").cast("string").alias("_k"),
+        F.round(F.col("o_totalprice") * 100).alias("_vc"),
+    ).select(
+        "_k",
+        "_vc",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+    )
+    from airflow_loan_etl_pipeline_spark.operators.dedup import HASH60
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        POISSON1_CDF,
+        TWO_POW_60,
+    )
+
+    u = F.expr(HASH60.format(x="concat(_k, ':', b)")) / F.lit(TWO_POW_60)
+    w = F.lit(5)
+    for mult, cum in reversed(POISSON1_CDF):
+        w = F.when(u < cum, F.lit(mult)).otherwise(w)
+    expanded = (
+        ex.select("b", "_vc", w.alias("_w"))
+        .filter(F.col("_w") > 0)
+        .select(
+            "b", "_vc", F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_r")
+        )
+    )
+    pb = expanded.groupBy("b").agg(
+        F.expr("percentile(_vc, 0.5D) / 100.0").alias("med_b")
+    )
+    ms = pb.agg(F.sort_array(F.collect_list("med_b")).alias("_ms"))
+    g = orders.agg(
+        F.expr(
+            "round(percentile(round(o_totalprice * 100), 0.5D) / 100.0, 2)"
+        ).alias("median_val")
+    )
+    return g.crossJoin(F.broadcast(ms)).select(
+        "median_val",
+        F.round(F.element_at("_ms", 2), 2).alias("boot_lo"),
+        F.round(F.element_at("_ms", 31), 2).alias("boot_hi"),
+        F.lit(32).alias("n_replicas"),
+    )

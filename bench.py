@@ -314,6 +314,7 @@ def main() -> None:
         "orders_sla_breach_by_priority",
         "returns_rate_by_brand",
         "users_winback_monthly",
+        "orders_median_bootstrap_ci",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
