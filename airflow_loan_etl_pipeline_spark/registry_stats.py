@@ -2799,3 +2799,49 @@ def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("_ms", 31), 2).alias("boot_hi"),
         F.lit(32).alias("n_replicas"),
     )
+
+
+@query(
+    "nation_priority_chi2",
+    oracle="""
+    WITH base AS (SELECT n.n_name AS r, o.o_orderpriority AS s
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         ct AS (SELECT r, s, count(*) AS c FROM base GROUP BY 1, 2),
+         rt AS (SELECT r, sum(c) AS rtot FROM ct GROUP BY 1),
+         cl AS (SELECT s, sum(c) AS stot FROM ct GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                      count(DISTINCT r) AS nr,
+                      count(DISTINCT s) AS ns
+               FROM ct)
+    SELECT count(*) AS n_observed_cells,
+           (first(nr) - 1) * (first(ns) - 1) AS dof,
+           round(sum((c - CAST(rtot AS DOUBLE) * stot / n)
+                     * (c - CAST(rtot AS DOUBLE) * stot / n)
+                     / (CAST(rtot AS DOUBLE) * stot / n))
+                 + first(n)
+                 - sum(CAST(rtot AS DOUBLE) * stot / n), 4) AS chi2
+    FROM ct JOIN rt USING (r) JOIN cl USING (s) CROSS JOIN n
+    """,
+)
+def nation_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square independence operator reapplied on the relational
+    star (customer nation vs order priority) — demonstrates the
+    operator's domain generality: same contingency + broadcast-marginal
+    shape, dims broadcast into the fact before the test."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("r"), F.col("o_orderpriority").alias("s"))
+    )
+    return ST.chi_square_independence(base, "r", "s")

@@ -315,6 +315,7 @@ def main() -> None:
         "returns_rate_by_brand",
         "users_winback_monthly",
         "orders_median_bootstrap_ci",
+        "nation_priority_chi2",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
