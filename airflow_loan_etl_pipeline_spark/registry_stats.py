@@ -2845,3 +2845,85 @@ def nation_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("r"), F.col("o_orderpriority").alias("s"))
     )
     return ST.chi_square_independence(base, "r", "s")
+
+
+@query(
+    "events_session_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id, event_type,
+                      epoch_us(ts) AS us FROM events),
+         g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 300000000
+                               OR lag(us) OVER w IS NULL
+                              THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         per AS (SELECT user_id, sid,
+                        min(CASE WHEN event_type = 'view' THEN us END)
+                          AS t_view,
+                        min(CASE WHEN event_type = 'purchase' THEN us END)
+                          AS t_buy
+                 FROM s GROUP BY 1, 2),
+         conv AS (SELECT CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+                           AS has_view,
+                        CASE WHEN t_view IS NOT NULL AND t_buy > t_view
+                             THEN 1 ELSE 0 END AS converted
+                  FROM per)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_view) AS BIGINT) AS n_view_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           floor(sum(converted) * 1e4 / greatest(sum(has_view), 1)) / 1e4
+             AS session_cvr
+    FROM conv
+    """,
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped conversion: a session converts iff a purchase
+    follows a view WITHIN the same 5-minute-gap session — stricter and
+    more actionable than the global funnel (same user converting days
+    later doesn't count). One user-keyed window pass builds session
+    ids; per-session step times are conditional mins on the same
+    partitioning; exact integer microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = us - F.lag(us).over(w)
+    e = events.select(
+        "user_id", "ts", "event_id", "event_type", us.alias("_us")
+    ).withColumn(
+        "_brk",
+        F.when(gap.isNull() | (gap > 300_000_000), 1).otherwise(0),
+    )
+    s = e.withColumn(
+        "_sid",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "_sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("_us"))
+        ).alias("_tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("_us"))
+        ).alias("_tb"),
+    )
+    has_view = F.when(F.col("_tv").isNotNull(), 1).otherwise(0)
+    converted = F.when(
+        F.col("_tv").isNotNull() & (F.col("_tb") > F.col("_tv")), 1
+    ).otherwise(0)
+    conv = per.select(has_view.alias("_hv"), converted.alias("_cv"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("_hv").alias("n_view_sessions"),
+        F.sum("_cv").alias("n_converted"),
+        (
+            F.floor(
+                F.sum("_cv") * 1e4 / F.greatest(F.sum("_hv"), F.lit(1))
+            )
+            / 1e4
+        ).alias("session_cvr"),
+    )

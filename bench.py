@@ -316,6 +316,7 @@ def main() -> None:
         "users_winback_monthly",
         "orders_median_bootstrap_ci",
         "nation_priority_chi2",
+        "events_session_conversion",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
