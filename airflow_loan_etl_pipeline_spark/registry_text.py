@@ -2178,3 +2178,66 @@ _OR["pq_recall_at_10"] = f"""
            round((SELECT count(*) FROM hit) * 1.0
                  / (SELECT count(*) FROM ex), 4) AS recall_at_10
 """
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH base AS (SELECT vec_id, label,
+                         CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+         e AS (SELECT label, half,
+                      unnest(generate_series(1, len(v))) AS dim, v
+               FROM base),
+         cen AS (SELECT label, half, dim, avg(v[dim]) AS m
+                 FROM e GROUP BY 1, 2, 3),
+         a AS (SELECT label, dim, m FROM cen WHERE half = 0),
+         b AS (SELECT label, dim, m FROM cen WHERE half = 1),
+         dots AS (SELECT a.label,
+                         sum(a.m * b.m) AS ab,
+                         sum(a.m * a.m) AS aa,
+                         sum(b.m * b.m) AS bb,
+                         count(*) AS n_dims
+                  FROM a JOIN b USING (label, dim)
+                  GROUP BY 1)
+    SELECT label, CAST(n_dims AS BIGINT) AS n_dims,
+           round(ab / sqrt(aa * bb), 6) AS centroid_cosine
+    FROM dots
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-rebuild drift monitor: cosine between each label's
+    centroid computed on two halves of the corpus (even/odd ids as the
+    deterministic stand-in for old/new snapshots) — a cosine well below
+    1 flags an embedding-space shift that invalidates cached neighbors.
+    Per-dim means are |labels| x dims bounded aggregates; the cosine is
+    a dim-keyed join over that bounded frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.expr(S._as_double("embedding"))).alias("_p", "val"),
+    ).select("label", "half", (F.col("_p") + 1).alias("dim"), "val")
+    cen = base.groupBy("label", "half", "dim").agg(F.avg("val").alias("m"))
+    a = cen.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = cen.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / F.sqrt(
+                    F.sum(F.col("ma") * F.col("ma"))
+                    * F.sum(F.col("mb") * F.col("mb"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -317,6 +317,7 @@ def main() -> None:
         "orders_median_bootstrap_ci",
         "nation_priority_chi2",
         "events_session_conversion",
+        "embedding_centroid_drift",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
