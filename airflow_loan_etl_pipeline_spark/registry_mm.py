@@ -501,3 +501,64 @@ def audio_energy_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return audio_energy_windows(assets, window_samples=64)
+
+
+@query(
+    "lineitem_2d_density_grid",
+    oracle="""
+    WITH c AS (SELECT round(l_extendedprice * 100) AS pc,
+                      CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem),
+         bp AS (SELECT quantile_cont(pc, [0.25, 0.5, 0.75]) AS pbs,
+                       quantile_cont(q, [0.25, 0.5, 0.75]) AS qbs
+                FROM c)
+    SELECT (CASE WHEN pc >= pbs[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN pc >= pbs[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN pc >= pbs[3] THEN 1 ELSE 0 END) AS price_band,
+           (CASE WHEN q >= qbs[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN q >= qbs[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN q >= qbs[3] THEN 1 ELSE 0 END) AS qty_band,
+           count(*) AS n_rows,
+           round(min(pc) / 100.0, 2) AS band_price_min,
+           round(max(pc) / 100.0, 2) AS band_price_max
+    FROM c, bp GROUP BY 1, 2
+    """,
+)
+def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-depth density grid (price quartile x quantity
+    quartile) — the joint-distribution view behind z-order layout
+    choices and the scatter-density dashboards. Same scale shape as the
+    1-D equi-depth histogram: one boundary aggregate broadcast, codegen
+    bucketing, a 16-cell count — never an ntile sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    bp = li.agg(
+        F.expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").alias("pbs"),
+        F.expr("percentile(q, array(0.25D, 0.5D, 0.75D))").alias("qbs"),
+    )
+    pband = sum(
+        (
+            F.when(F.col("pc") >= F.expr(f"pbs[{i}]"), 1).otherwise(0)
+            for i in range(3)
+        ),
+        F.lit(0),
+    )
+    qband = sum(
+        (
+            F.when(F.col("q") >= F.expr(f"qbs[{i}]"), 1).otherwise(0)
+            for i in range(3)
+        ),
+        F.lit(0),
+    )
+    return (
+        li.crossJoin(F.broadcast(bp))
+        .select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
+        .groupBy("price_band", "qty_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("pc") / 100.0, 2).alias("band_price_min"),
+            F.round(F.max("pc") / 100.0, 2).alias("band_price_max"),
+        )
+    )

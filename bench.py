@@ -318,6 +318,7 @@ def main() -> None:
         "nation_priority_chi2",
         "events_session_conversion",
         "embedding_centroid_drift",
+        "lineitem_2d_density_grid",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
