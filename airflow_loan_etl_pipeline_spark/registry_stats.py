@@ -2927,3 +2927,48 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("session_cvr"),
     )
+
+
+@query(
+    "events_metric_coverage",
+    oracle="""
+    WITH h AS (SELECT DISTINCT event_type,
+                      epoch_us(ts) // 3600000000 AS hr
+               FROM events),
+         span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h)
+    SELECT event_type,
+           count(*) AS n_hours_present,
+           CAST(first(hi - lo + 1) AS BIGINT) AS n_hours_span,
+           floor(count(*) * 1e4 / first(hi - lo + 1)) / 1e4 AS coverage
+    FROM h CROSS JOIN span
+    GROUP BY event_type
+    """,
+)
+def events_metric_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness index per metric: the share of corpus-span hours
+    with at least one event — the one-number "is this feed healthy"
+    gauge (the gapfill query shows WHERE the holes are; this says HOW
+    MUCH is missing). Distinct (type, hour) pass + a 1-row span
+    broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).alias("hr"),
+    ).distinct()
+    span = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    return (
+        h.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_present"),
+            F.first(F.col("hi") - F.col("lo") + 1).alias("n_hours_span"),
+            (
+                F.floor(
+                    F.count(F.lit(1))
+                    * 1e4
+                    / F.first(F.col("hi") - F.col("lo") + 1)
+                )
+                / 1e4
+            ).alias("coverage"),
+        )
+    )

@@ -2241,3 +2241,51 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+@query(
+    "dup_provenance",
+    oracle="""
+    WITH g AS (SELECT md5(text) AS fp,
+                      count(*) AS n_copies,
+                      count(DISTINCT source) AS n_sources
+               FROM documents GROUP BY 1)
+    SELECT count(CASE WHEN n_copies > 1 THEN 1 END) AS n_dup_groups,
+           count(CASE WHEN n_copies > 1 AND n_sources > 1 THEN 1 END)
+             AS n_cross_source_groups,
+           CAST(coalesce(sum(CASE WHEN n_copies > 1 THEN n_copies END), 0)
+                AS BIGINT) AS n_dup_docs,
+           floor(count(CASE WHEN n_copies > 1 AND n_sources > 1 THEN 1 END)
+                 * 1e4 / greatest(count(CASE WHEN n_copies > 1 THEN 1 END),
+                                  1)) / 1e4 AS cross_source_share
+    FROM g
+    """,
+)
+def dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: of the exact-dup groups, how many
+    span multiple sources (syndication/mirroring) vs repeat within one
+    (template reuse) — the answer decides whether dedup belongs at
+    ingest (per source) or at merge. One fp-keyed aggregate carrying
+    distinct-source counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dup = F.col("n_copies") > 1
+    cross = dup & (F.col("n_sources") > 1)
+    return g.agg(
+        F.count(F.when(dup, 1)).alias("n_dup_groups"),
+        F.count(F.when(cross, 1)).alias("n_cross_source_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("n_copies"))), F.lit(0)).alias(
+            "n_dup_docs"
+        ),
+        (
+            F.floor(
+                F.count(F.when(cross, 1))
+                * 1e4
+                / F.greatest(F.count(F.when(dup, 1)), F.lit(1))
+            )
+            / 1e4
+        ).alias("cross_source_share"),
+    )

@@ -319,6 +319,8 @@ def main() -> None:
         "events_session_conversion",
         "embedding_centroid_drift",
         "lineitem_2d_density_grid",
+        "dup_provenance",
+        "events_metric_coverage",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
