@@ -883,3 +883,36 @@ def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returned_value"),
         )
     )
+
+
+@query(
+    "parts_single_sourced",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+                FROM lineitem GROUP BY 1)
+    SELECT count(*) AS n_parts_traded,
+           count(CASE WHEN n_suppliers = 1 THEN 1 END) AS n_single_sourced,
+           floor(count(CASE WHEN n_suppliers = 1 THEN 1 END) * 1e4
+                 / count(*)) / 1e4 AS single_source_share,
+           max(n_suppliers) AS max_suppliers
+    FROM ps
+    """,
+)
+def parts_single_sourced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-point-of-failure screen: parts whose entire traded volume
+    comes from ONE supplier — the per-part complement of the HHI
+    concentration index. One distinct-count aggregate keyed on part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    single = F.col("n_suppliers") == 1
+    return ps.agg(
+        F.count(F.lit(1)).alias("n_parts_traded"),
+        F.count(F.when(single, 1)).alias("n_single_sourced"),
+        (
+            F.floor(F.count(F.when(single, 1)) * 1e4 / F.count(F.lit(1)))
+            / 1e4
+        ).alias("single_source_share"),
+        F.max("n_suppliers").alias("max_suppliers"),
+    )

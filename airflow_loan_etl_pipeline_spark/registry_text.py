@@ -2289,3 +2289,42 @@ def dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("cross_source_share"),
     )
+
+
+@query(
+    "docs_hapax_rate",
+    oracle="""
+    WITH f AS (SELECT source, tok, count(*) AS c
+               FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
+                     FROM documents) t
+               GROUP BY 1, 2)
+    SELECT source,
+           count(*) AS n_types,
+           count(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+           floor(count(CASE WHEN c = 1 THEN 1 END) * 1e4 / count(*))
+             / 1e4 AS hapax_share
+    FROM f GROUP BY 1
+    """,
+)
+def docs_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source (types occurring exactly once) —
+    the vocabulary-health companion to entropy and the Zipf fit: OCR
+    noise and ID-like garbage inflate hapax mass; templated text
+    deflates it. One vocabulary-keyed aggregate per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.col("c") == 1
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(hapax, 1)).alias("n_hapax"),
+        (
+            F.floor(F.count(F.when(hapax, 1)) * 1e4 / F.count(F.lit(1)))
+            / 1e4
+        ).alias("hapax_share"),
+    )

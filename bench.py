@@ -321,6 +321,8 @@ def main() -> None:
         "lineitem_2d_density_grid",
         "dup_provenance",
         "events_metric_coverage",
+        "parts_single_sourced",
+        "docs_hapax_rate",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
