@@ -2972,3 +2972,46 @@ def events_metric_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+         g AS (SELECT count(CASE WHEN variant = 0 THEN 1 END) AS n0,
+                      count(CASE WHEN variant = 1 THEN 1 END) AS n1
+               FROM u)
+    SELECT n0, n1,
+           round((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 4) AS srm_chi2,
+           CASE WHEN (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1) > 3.841
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM g
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch check — the experiment-quality gate that
+    must pass BEFORE reading any A/B result: chi-square of the observed
+    unit split against the intended 50/50 (one degree of freedom;
+    flag above the 3.841 critical value at alpha = 0.05). A failed SRM
+    means assignment is broken and both t-test and conversion readouts
+    are invalid. One distinct-unit aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    g = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1"))
+        * (F.col("n0") - F.col("n1"))
+        * F.lit(1.0)
+        / (F.col("n0") + F.col("n1"))
+    )
+    return g.select(
+        "n0",
+        "n1",
+        F.round(chi2, 4).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )

@@ -323,6 +323,7 @@ def main() -> None:
         "events_metric_coverage",
         "parts_single_sourced",
         "docs_hapax_rate",
+        "events_ab_srm_check",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
