@@ -2328,3 +2328,41 @@ def docs_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("hapax_share"),
     )
+
+
+@query("dedup_funnel_summary", oracle=None)  # assembled below
+def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL in one row: corpus size, survivors after exact
+    dedup, after normalization-aware exact dedup, and after near-dup
+    cluster collapse — the shrinking-corpus headline every dedup run
+    reports. Each stage is the registered operator; the oracle splices
+    their registered oracles, so the funnel cannot drift from the
+    stages it summarizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = (
+        D.exact_dedup(docs).agg(F.count(F.lit(1)).alias("n_after_exact"))
+    )
+    n_norm = X.normalized_exact_dedup(docs).agg(
+        F.count(F.lit(1)).alias("n_after_normalized")
+    )
+    clusters = dup_clusters(spark, sf_dir)
+    n_near = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_after_neardup")
+    )
+    return (
+        n_docs.crossJoin(n_exact)
+        .crossJoin(n_norm)
+        .crossJoin(n_near)
+    )
+
+
+_OR["dedup_funnel_summary"] = f"""
+    WITH cl AS ({_OR["dup_clusters"]}),
+         ex AS ({_OR["dedup_exact"]}),
+         nx AS ({_OR["dedup_exact_normalized"]})
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM ex) AS n_after_exact,
+           (SELECT count(*) FROM nx) AS n_after_normalized,
+           (SELECT count(DISTINCT cluster_id) FROM cl) AS n_after_neardup
+"""

@@ -324,6 +324,7 @@ def main() -> None:
         "parts_single_sourced",
         "docs_hapax_rate",
         "events_ab_srm_check",
+        "dedup_funnel_summary",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
