@@ -521,3 +521,18 @@ def test_substring_cut_removes_shared_boilerplate(spark):
     assert out[3].n_removed == 0
     assert out[3].clean_md5 == hashlib.md5(b"one two three four").hexdigest()
     assert out[4].n_removed == 0 and out[4].n_tokens == 2
+
+
+def test_dedup_funnel_is_monotone(spark):
+    """Funnel contract: each stage can only shrink the corpus —
+    raw >= exact >= normalized, and near-dup clusters never exceed the
+    exact-group count (identical texts share every band, so LSH always
+    links them)."""
+    from airflow_loan_etl_pipeline_spark.registry_text import (
+        dedup_funnel_summary,
+    )
+
+    r = dedup_funnel_summary(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_docs >= r.n_after_exact >= r.n_after_normalized
+    assert r.n_after_neardup <= r.n_after_exact
+    assert r.n_after_neardup >= 1
