@@ -1032,7 +1032,7 @@ def rank_rbo(
         shared.join(F.broadcast(lut), "d")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.round((1 - p) * F.sum("tail"), 6).alias("rbo"),
+            F.round(F.coalesce((1 - p) * F.sum("tail"), F.lit(0.0)), 6).alias("rbo"),
         )
     )
 

@@ -166,13 +166,19 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lineitem_percentiles",
     oracle="""
-    SELECT l_returnflag,
-           count(*) AS n_items,
-           list_transform(
-               quantile_cont(round(l_extendedprice * 100), [0.25, 0.5, 0.75]),
-               x -> x / 100.0) AS price_quartiles
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH g AS (
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               list_transform(
+                   quantile_cont(round(l_extendedprice * 100),
+                                 [0.25, 0.5, 0.75]),
+                   x -> x / 100.0) AS qs
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_items, CAST(i - 1 AS BIGINT) AS quartile,
+           qs[i] AS price_quartile
+    FROM g, unnest(generate_series(1, 3)) AS u(i)
     """,
 )
 def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,15 +190,21 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles — no rounding, no decimal-half ambiguity. At 100 TB swap
     for `percentile_approx` (t-digest, mergeable partial aggregation);
     the approx variant is benchmarked separately via
-    event_type_stats_approx."""
+    event_type_stats_approx. Gate shape is exploded to one row per
+    (l_returnflag, quartile) — driver-safe scalar rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.expr(
             "transform(percentile(round(l_extendedprice * 100),"
             " array(0.25D, 0.5D, 0.75D)), x -> x / 100.0)"
         ).alias("price_quartiles"),
     )
+    return g.select(
+        "l_returnflag",
+        "n_items",
+        F.posexplode("price_quartiles").alias("quartile", "price_quartile"),
+    ).withColumn("quartile", F.col("quartile").cast("bigint"))
 
 
 @query(
@@ -235,24 +247,26 @@ def orders_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           embedding[1:3] AS first3,
+           CAST(i - 1 AS BIGINT) AS pos,
+           embedding[1:3][i] AS elem,
            embedding[-1] AS last_elem,
            list_min(embedding) AS min_elem
-    FROM embeddings
+    FROM embeddings, unnest(generate_series(1, 3)) AS u(i)
     """,
 )
 def embeddings_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over ArrayType(Float): slice, negative
     element_at, min. Element passthrough (no float arithmetic) so the
-    comparison is exact."""
+    comparison is exact. Gate shape explodes the 3-element slice to
+    one row per position — driver-safe scalar rows."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "elem"),
         F.element_at("embedding", -1).alias("last_elem"),
         F.array_min("embedding").alias("min_elem"),
-    )
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 @query(
@@ -343,7 +357,7 @@ def user_value_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k,
+           CAST(sum(cast(json_extract_string(props, '$.k') AS int)) AS BIGINT) AS sum_k,
            max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
     FROM events
     GROUP BY event_type
@@ -473,15 +487,23 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch per group per partition instead of sorting values). No SQL
     oracle by design (sketch internals differ across engines); the
     driver records the weaker rows-only check, and the accuracy bound
-    vs the exact interpolated percentiles is pinned by a unit test."""
+    vs the exact interpolated percentiles is pinned by a unit test.
+    Gate shape exploded to (l_returnflag, quartile) scalar rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.expr(
             "transform(approx_percentile(l_extendedprice,"
             " array(0.25D, 0.5D, 0.75D), 1000), x -> round(x, 2))"
         ).alias("price_quartiles_approx"),
     )
+    return g.select(
+        "l_returnflag",
+        "n_items",
+        F.posexplode("price_quartiles_approx").alias(
+            "quartile", "price_quartile_approx"
+        ),
+    ).withColumn("quartile", F.col("quartile").cast("bigint"))
 
 
 @query("audio_energy_windows")  # rows-only: no PCM16 decode in ANSI SQL

@@ -169,7 +169,7 @@ def orders_salted_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_map_props",
     oracle="""
     SELECT event_id,
-           list_sort(json_keys(props)) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            len(json_keys(props)) AS n_props,
            json_extract(props, '$.k')::BIGINT AS k_val
     FROM events
@@ -178,12 +178,13 @@ def orders_salted_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface (SURVEY.md §2.8 gap): JSON props → typed map,
     key listing, direct value access. Pure projection, codegen,
-    no shuffle."""
+    no shuffle. Gate shape joins the key list to a ','-string —
+    driver-safe scalar rows."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_props"),
         m.getItem("k").alias("k_val"),
     )
@@ -356,10 +357,9 @@ def lateral_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, s.pos AS pos, avg(s.val) AS m
         FROM el GROUP BY label, s.pos
     )
-    SELECT label,
-           len(list(m ORDER BY pos)) AS dim,
-           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS centroid
-    FROM d GROUP BY label
+    SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+           round(m, 6) AS centroid_val
+    FROM d
     """,
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,19 +368,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim) partial+final avg → re-assemble the vector ordered by
     position. Shuffle volume is |labels|·dim rows, independent of the
     corpus size — the map-side partial average already collapsed the
-    vectors."""
+    vectors. Gate shape is the (label, pos) per-dimension rows
+    directly — driver-safe scalar rows; vector reassembly stays an
+    operator-layer concern."""
     e = load_table(spark, sf_dir, "embeddings")
-    per_dim = (
+    return (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("m"))
-    )
-    return per_dim.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dim"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, m))),"
-            " s -> round(s.m, 6))"
-        ).alias("centroid"),
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
     )
 
 
@@ -555,10 +551,10 @@ LIMIT 20
 
 _Q12 = """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

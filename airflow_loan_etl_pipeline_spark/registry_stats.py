@@ -554,10 +554,10 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type,
-           sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 1 ELSE 0 END)
-               AS n_kept,
-           sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 0 ELSE 1 END)
-               AS n_dropped
+           CAST(sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gap IS NULL OR gap >= 60 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_dropped
     FROM g GROUP BY 1
     """,
 )
@@ -821,8 +821,8 @@ def events_tier_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cd + 1 AS day, -1 AS d FROM closed
     ),
     daily AS (SELECT day, sum(d) AS dd FROM deltas GROUP BY 1)
-    SELECT day, sum(dd) OVER (ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS n_open
+    SELECT day, CAST(sum(dd) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
     FROM daily
     """,
 )
@@ -871,7 +871,7 @@ _COS_LR2 = (
                                   ORDER BY n DESC, label ASC) AS rn
         FROM cl
     ),
-    tot AS (SELECT cid, sum(n) AS n_vectors FROM cl GROUP BY 1)
+    tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vectors FROM cl GROUP BY 1)
     SELECT t.cid, t.n_vectors, b.majority_label,
            floor(b.majority_n * 1e4 / t.n_vectors) / 1e4 AS purity
     FROM tot t JOIN best b ON b.cid = t.cid AND b.rn = 1
@@ -959,8 +959,8 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad AS (SELECT event_type, quantile_cont(d2, 0.5) AS mad2
             FROM dev GROUP BY 1)
     SELECT event_type, count(*) AS n_events,
-           sum(CASE WHEN abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
-                    THEN 1 ELSE 0 END) AS n_anomalies,
+           CAST(sum(CASE WHEN abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            round(any_value(m) / 100, 4) AS median_value,
            round(any_value(mad2) / 200, 4) AS mad
     FROM dev JOIN mad USING (event_type)
@@ -1161,7 +1161,7 @@ def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            CAST(power(2, bucket) AS BIGINT) AS df_at_least,
            count(*) AS n_shingles,
-           sum(d * d) AS pair_fanout
+           CAST(sum(d * d) AS BIGINT) AS pair_fanout
     FROM b GROUP BY bucket
     """,
 )
@@ -1252,7 +1252,7 @@ MIX_WEIGHTS = (("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1))
     oracle=f"""
     WITH w(source, wt) AS (VALUES {", ".join(f"('{s}', {w}::DOUBLE)" for s, w in MIX_WEIGHTS)}),
     t AS (
-        SELECT source, sum(len(str_split(text, ' '))) AS n_tokens
+        SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY 1
     ),
     j AS (SELECT t.source, n_tokens, wt FROM t JOIN w USING (source)),
@@ -1993,7 +1993,8 @@ _RBO_LUT = ", ".join(
          shared AS (SELECT CAST(greatest(ra.rnk, rb.rnk) AS INT) AS d
                     FROM ra JOIN rb USING (doc_id))
     SELECT count(*) AS n_shared,
-           round(0.09999999999999998 * sum(tail), 6) AS rbo
+           CAST(coalesce(round(0.09999999999999998 * sum(tail), 6), 0.0)
+                AS DOUBLE) AS rbo
     FROM shared JOIN lut USING (d)
     """,
 )

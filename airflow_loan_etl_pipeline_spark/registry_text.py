@@ -610,17 +610,24 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     means AS (SELECT cid, pos, round(avg(x), 6) AS m
               FROM perdim GROUP BY cid, pos),
     sizes AS (SELECT cid, count(*) AS n_members FROM assigned GROUP BY cid)
-    SELECT m.cid, s.n_members, list(m.m ORDER BY m.pos) AS centroid
+    SELECT m.cid, s.n_members, CAST(m.pos - 1 AS BIGINT) AS dim,
+           m.m AS centroid_val
     FROM means m JOIN sizes s USING (cid)
-    GROUP BY m.cid, s.n_members
     """,
 )
 def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration over the embedding corpus: map-side nearest-
     centroid assignment (zero corpus shuffles) + element-wise mean per
     cluster — the IVF/k-means build primitive, run a handful of times
-    before freezing inverted lists."""
-    return S.kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+    before freezing inverted lists. Gate shape is exploded to one row
+    per (cid, dim) — the driver canonicalizer cannot sort list-typed
+    columns; the operator itself stays vector-valued."""
+    out = S.kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "cid",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "centroid_val"),
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 @query(
@@ -633,16 +640,24 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS sc
           FROM base)
     SELECT vec_id, round(sc, 6) AS scale,
-           list_transform(v, x -> CASE WHEN sc = 0.0 THEN 0
-               ELSE CAST(floor(x * 127.0 / sc + 0.5) AS INT) END) AS q
+           array_to_string(
+               list_transform(v, x -> CASE WHEN sc = 0.0 THEN 0
+                   ELSE CAST(floor(x * 127.0 / sc + 0.5) AS INT) END),
+               ',') AS q
     FROM s
     """,
 )
 def embeddings_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the 4x storage/bandwidth
     path for 100 TB embedding corpora. floor(x+0.5) both sides (binary
-    halfway rounding is engine-dependent; floor is not)."""
-    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    halfway rounding is engine-dependent; floor is not). Gate shape
+    serializes the code vector to a ','-joined string (ints format
+    identically on both engines; the driver canonicalizer cannot sort
+    list columns); the operator itself stays array-valued."""
+    out = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "q", F.concat_ws(",", F.col("q").cast("array<string>"))
+    )
 
 
 @query(
@@ -881,7 +896,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
             AS bigint) AS bin_id
         FROM sized)
-    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS tokens_in_bin,
+    SELECT source, bin_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_in_bin,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM binned GROUP BY 1, 2
     """,
@@ -1079,7 +1094,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep AS (SELECT d.doc_id
              FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
              WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id)
-    SELECT d.lang, count(*) AS n_docs, sum(len(str_split(d.text, ' '))) AS n_tokens
+    SELECT d.lang, count(*) AS n_docs, CAST(sum(len(str_split(d.text, ' '))) AS BIGINT) AS n_tokens
     FROM documents d JOIN keep k ON k.doc_id = d.doc_id
     GROUP BY 1
     """,
@@ -1109,8 +1124,8 @@ def corpus_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, count(*) AS c FROM t GROUP BY 1
         ORDER BY c DESC, term ASC LIMIT 20))
     SELECT doc_id, count(*) AS n_tokens,
-           sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
-                    THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            round(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
                           THEN 1 ELSE 0 END) / count(*), 4) AS oov_rate
     FROM t GROUP BY doc_id
@@ -1240,7 +1255,7 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 90
                 THEN 'val' ELSE 'train' END AS split,
            count(*) AS n_docs,
-           sum(len({_TOKS})) AS n_tokens
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
     FROM s4 GROUP BY 1
     """,
 )
@@ -1393,11 +1408,11 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS others
       FROM documents)
     SELECT source, count(*) AS n_docs,
-           sum(len) AS n_chars,
-           sum(digits) AS digit_chars,
-           sum(uppers) AS upper_chars,
-           sum(spaces) AS space_chars,
-           sum(others) AS other_chars,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           CAST(sum(digits) AS BIGINT) AS digit_chars,
+           CAST(sum(uppers) AS BIGINT) AS upper_chars,
+           CAST(sum(spaces) AS BIGINT) AS space_chars,
+           CAST(sum(others) AS BIGINT) AS other_chars,
            floor(sum(digits) * 1e4 / sum(len)) / 1e4 AS digit_share
     FROM per GROUP BY source
     """,
@@ -2069,7 +2084,7 @@ def docs_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM scored),
          per AS (SELECT vec_id, j, cid AS code, d AS dmin
                  FROM r WHERE rn = 1)
-    SELECT vec_id, list(code ORDER BY j) AS codes,
+    SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes,
            round(sqrt(sum(dmin)), 6) AS recon_err
     FROM per GROUP BY vec_id
     """,
@@ -2079,8 +2094,13 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression) + per-vector reconstruction error. Deterministic
     codebooks (lowest-id subvectors, the ivf no-RNG discipline),
     relational assignment against the broadcast M x K codebook rows,
-    decomposable min_by per subspace."""
-    return S.pq_encode(load_table(spark, sf_dir, "embeddings"))
+    decomposable min_by per subspace. Gate shape serializes the code
+    list to a ','-joined string (driver-safe scalar row); the operator
+    itself stays array-valued."""
+    out = S.pq_encode(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "codes", F.concat_ws(",", F.col("codes").cast("array<string>"))
+    )
 
 
 @query(

@@ -82,6 +82,31 @@ def compare(name, spark_df, duck_rel) -> tuple[bool, bool, str]:
     return True, exact, f"{len(s_rows)} rows"
 
 
+#: Oracle output types the driver's pandas/Arrow canonicalizer renders
+#: differently from Spark's wire types (HUGEINT -> float64 while Spark
+#: emits int64; DECIMAL -> object/Decimal while Spark emits float64).
+#: Values compare equal but the value-hash differs, so the gate goes red.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(con: duckdb.DuckDBPyConnection) -> list[str]:
+    """LIMIT-0 type lint: reject any oracle whose output schema contains
+    a type the driver harness canonicalizes differently from Spark.
+    Wrap integer aggregates in CAST(... AS BIGINT) and decimal math in
+    CAST(... AS DOUBLE) to clear a violation."""
+    bad = []
+    for name, sql in registry.ORACLE.items():
+        try:
+            rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:
+            bad.append(f"{name}: LIMIT-0 probe failed: {type(e).__name__}: {e}")
+            continue
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if any(str(typ).startswith(b) for b in BANNED_DUCK_TYPES):
+                bad.append(f"{name}.{col}: {typ}")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -101,6 +126,12 @@ def main():
     else:
         spark = get_spark("oracle_check")
     con = duck_conn(sf_dir)
+    lint = lint_oracle_types(con)
+    if lint:
+        print("ORACLE TYPE LINT FAILURES (driver-hazard output types):")
+        for line in lint:
+            print(f"  !  {line}")
+        sys.exit(2)
     failures = []
     for name, fn in registry.QUERIES.items():
         if only and name not in only:
