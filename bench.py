@@ -339,21 +339,32 @@ def main() -> None:
     print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "value_warm": round(total_warm, 3),
-                "queries_warm": warm,
-                "streaming_e2e": stream_metrics,
-                "extra_queries": extra,
-            }
-        )
-    )
+    # The driver captures a bounded TAIL of stdout: round 2's single
+    # JSON line (with queries_warm + 66 extra-query timings inlined)
+    # overflowed it, so the captured tail started mid-line and parsed
+    # as null. Keep stdout to ONE compact JSON line — headline totals
+    # + the headline per-query map only — and push the full detail
+    # (warm per-query map, extras, streaming metrics) to stderr where
+    # the other diagnostics already live.
+    detail = {
+        "metric": "headline_suite_wall_clock_detail",
+        "queries_warm": warm,
+        "streaming_e2e": stream_metrics,
+        "extra_queries": extra,
+    }
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+    headline = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "value_warm": round(total_warm, 3),
+        "n_extra_queries": len(extra),
+        "extra_total_sec": round(sum(extra.values()), 3),
+    }
+    print(json.dumps(headline))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
