@@ -731,19 +731,25 @@ def dup_span_stats(
     minhash_lsh_pairs).
     """
     rows = positional_shingle_rows(docs, id_col, text_col, n)
+    # persist: the hashed rows feed BOTH the df aggregate and the
+    # join-back; without it the Python shingling subtree evaluates once
+    # per consumer (measured — a broadcast join leaves the probe side
+    # exchange-free, so nothing is reused). The earlier WINDOW-count
+    # formulation evaluated once by construction but put EVERY
+    # occurrence of one shingle into a single task with no partial
+    # aggregation — a hot boilerplate n-gram (df in the billions at
+    # 100 TB) is an unbounded single-task straggler. The agg+join form
+    # combines df map-side and AQE skew-join splits the hot join
+    # partitions; at cluster scale use DISK_ONLY persist (rows are
+    # 8-byte hashes + positions, never text).
     hashed = rows.select(
         id_col,
         "n_pos",
         "pos",
         F.expr(HASH60.format(x="s_str")).alias("sh"),
-    )
-    # df as a WINDOW count over one hash-key shuffle: the agg+join-back
-    # formulation evaluates the Python shingling subtree once per
-    # consumer (measured: broadcast join keeps the probe side
-    # exchange-free, so nothing is reused); the window computes df on
-    # the same rows in a single pass by construction.
-    w_sh = Window.partitionBy("sh")
-    hashed = hashed.withColumn("df", F.count(F.lit(1)).over(w_sh))
+    ).persist()
+    dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    hashed = hashed.join(dfs, "sh")
     is_dup = F.col("df") >= min_df
     return (
         hashed
@@ -1084,15 +1090,16 @@ def substring_cut(
     than ``n`` tokens pass through uncut.
     """
     rows = positional_shingle_rows(docs, id_col, text_col, n)
+    # persist + map-side-combined df + AQE-skew-splittable join-back —
+    # same hot-shingle skew reasoning as dup_span_stats (a window
+    # partitioned on the hash key is a single-task straggler for
+    # boilerplate n-grams at scale).
     hashed = rows.select(
         F.col(id_col), "pos", F.expr(HASH60.format(x="s_str")).alias("sh")
-    )
-    # df via window over one hash-key shuffle — single Python
-    # shingling evaluation by construction (see dup_span_stats)
-    w_sh = Window.partitionBy("sh")
+    ).persist()
+    dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     dup = (
-        hashed.withColumn("df", F.count(F.lit(1)).over(w_sh))
-        .filter(F.col("df") >= min_df)
+        hashed.join(dfs.filter(F.col("df") >= min_df), "sh", "left_semi")
         .select(id_col, "pos")
     )
     cov = (

@@ -292,6 +292,71 @@ def kmeans_refine(
     return rebuilt.join(sizes, "cid").select("cid", "n_members", "centroid")
 
 
+def kmeans_train(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-iteration Lloyd k-means on top of the kmeans_refine step:
+    seed with the ``n_centroids`` lowest-id vectors, then repeat
+    (map-side nearest-centroid assignment against the BROADCAST current
+    centroids → per-(cid, dim) mean) ``n_iters`` times. Returns
+    (cid, n_members, centroid) for the final assignment.
+
+    Scale shape: the corpus is re-scanned once per iteration and NEVER
+    shuffled — assignment is a broadcast argmax, the mean is a hash
+    aggregate emitting centroids×dims rows. The tiny centroid frame is
+    localCheckpoint'ed every round (the dup_clusters lineage-truncation
+    pattern) so the plan does not grow with iterations; at cluster
+    scale prefer reliable ``checkpoint()``. Means round to 6 dp per
+    round — the same edge-rounding as kmeans_refine, which also keeps
+    the fixed-iteration replay bit-identical across engines."""
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    cents = (
+        base.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("long").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    scores = (
+        "transform(cents, c -> named_struct("
+        f"'ccos', {cosine_expr('v', 'c.cv')}, "
+        "'negcid', -c.cid, 'cid', c.cid))"
+    )
+    assigned = None
+    for _ in range(n_iters):
+        cent_arr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("cents")
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(cent_arr))
+            .withColumn("best", F.expr(f"array_max({scores})"))
+            .select(id_col, "v", F.col("best.cid").alias("cid"))
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return cents.join(sizes, "cid").select(
+        "cid", "n_members", F.col("cv").alias("centroid")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -626,7 +691,10 @@ def pq_encode(
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     cb = (
-        base.filter(F.col(id_col) < PQ_K)
+        # The PQ_K lowest ids, selected for real (orderBy+limit):
+        # `id < PQ_K` silently yields an EMPTY codebook on any
+        # corpus whose ids are not 0-based contiguous.
+        base.orderBy(id_col).limit(PQ_K)
         .select(F.col(id_col).alias("cid"), "v")
         .select(
             "cid",
@@ -701,7 +769,10 @@ def pq_adc_topk(
         F.col("v").alias("qv")
     )
     cb = (
-        base.filter(F.col(id_col) < PQ_K)
+        # The PQ_K lowest ids, selected for real (orderBy+limit):
+        # `id < PQ_K` silently yields an EMPTY codebook on any
+        # corpus whose ids are not 0-based contiguous.
+        base.orderBy(id_col).limit(PQ_K)
         .select(F.col(id_col).alias("code"), "v")
         .crossJoin(F.broadcast(q))
         .select(

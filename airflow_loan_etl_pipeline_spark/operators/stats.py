@@ -844,3 +844,192 @@ def poisson_bootstrap_ci(
         F.round(F.element_at("_ms", n_replicas - 1), 4).alias("boot_hi"),
         F.lit(n_replicas).alias("n_replicas"),
     )
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...],
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact interpolated percentiles WITHOUT a single-buffer exact
+    `percentile` aggregate: range-partition the column, rank locally
+    per partition, add broadcast cumulative partition offsets to get
+    global ranks, and pick the two rows covering each target position
+    pos = p·(n−1) (Spark's own Percentile interpolation formula, so
+    results are bit-identical to `percentile(col, probs)` when `col`
+    holds integers). Returns a 1-row frame with an array<double> `bs`
+    ordered like `probs`.
+
+    Scale shape: the only full-data operations are one range shuffle
+    and a per-range-partition sort (num_ranges-way parallel). The
+    single-task pieces are the num_ranges-row offset cumsum and the
+    |probs|-row boundary assembly. The naive `percentile(...)`
+    aggregate instead merges every value into ONE buffer on one task —
+    the 100 TB straggler this replaces (reference point: BASELINE.md's
+    equidepth note)."""
+    vals = df.select(F.col(col).alias("_v")).repartitionByRange(
+        num_ranges, "_v"
+    )
+    part = vals.withColumn("_pid", F.spark_partition_id())
+    cnts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    n1 = cnts.agg((F.sum("_c") - 1).cast("double").alias("_n1"))
+    wloc = Window.partitionBy("_pid").orderBy("_v")
+    ranked = (
+        part.withColumn("_lr", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "_pid")
+        .select("_v", (F.col("_off") + F.col("_lr") - 1).alias("_gr"))
+    )
+    probs_df = df.sparkSession.createDataFrame(
+        [(i, p) for i, p in enumerate(probs)], "_i int, _p double"
+    )
+    targets = probs_df.crossJoin(F.broadcast(n1)).select(
+        "_i",
+        (F.col("_p") * F.col("_n1")).alias("_pos"),
+    ).select(
+        "_i",
+        "_pos",
+        F.floor("_pos").alias("_lo"),
+        F.ceil("_pos").alias("_hi"),
+    )
+    # Equi-join on the exploded target ranks (2 per prob) — a broadcast
+    # HASH join; the OR-of-two-ranks form would be a nested-loop probe
+    # of every row against every target.
+    targets = targets.select(
+        "_i",
+        "_pos",
+        "_lo",
+        "_hi",
+        F.explode(F.array_distinct(F.array("_lo", "_hi"))).alias("_t"),
+    )
+    hits = ranked.join(F.broadcast(targets), F.col("_gr") == F.col("_t"))
+    bounds = (
+        hits.groupBy("_i")
+        .agg(
+            F.max(F.when(F.col("_gr") == F.col("_lo"), F.col("_v")))
+            .alias("_vlo"),
+            F.max(F.when(F.col("_gr") == F.col("_hi"), F.col("_v")))
+            .alias("_vhi"),
+            F.max("_pos").alias("_mpos"),
+            F.max("_lo").alias("_mlo"),
+        )
+        .select(
+            "_i",
+            # Spark Percentile's exact form: (hi−pos)·vlo + (pos−lo)·vhi
+            # (NOT vlo + frac·(vhi−vlo), which differs in the last ulp)
+            F.when(F.col("_mpos") == F.col("_mlo"), F.col("_vlo"))
+            .otherwise(
+                (F.col("_mlo") + 1 - F.col("_mpos")) * F.col("_vlo")
+                + (F.col("_mpos") - F.col("_mlo")) * F.col("_vhi")
+            )
+            .cast("double")
+            .alias("_b"),
+        )
+    )
+    return bounds.agg(
+        F.expr("transform(array_sort(collect_list(struct(_i, _b))),"
+               " s -> s._b)").alias("bs")
+    )
+
+
+def exact_percentiles_twopass(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...],
+    grid: int = 4096,
+) -> list[float]:
+    """Exact interpolated percentiles via the classic two-pass
+    histogram method — the 100 TB shape: NO full-data shuffle at all.
+
+    Pass 1 grid-buckets the column and counts per bucket (map-side
+    combined; the shuffle carries ≤ grid×partitions partial rows).
+    The driver walks the ≤grid-row cumulative histogram to find, for
+    each target position pos = p·(n−1) (Spark's own Percentile
+    formula), the bucket holding ranks floor(pos)/ceil(pos) and their
+    residual in-bucket ranks. Pass 2 filters to just those candidate
+    buckets (~2·|probs| of them), ranks within each by one small
+    window, and returns the interpolated boundaries as Python floats —
+    boundary collection is the RangePartitioner precedent (bounded
+    driver collects of ≤grid rows and 2·|probs| values).
+
+    Caveat (documented, SCALE.md): a degenerate distribution that
+    drops ~n rows into one grid bucket makes pass 2's window partition
+    that large; a recursive refinement pass would bound it, not needed
+    for price-like domains. Results are bit-identical to
+    `percentile(col, probs)` for integer-valued columns (interpolation
+    over exactly-representable integers)."""
+    vals = df.select(F.col(col).cast("double").alias("_v"))
+    mn, mx, n = vals.agg(
+        F.min("_v"), F.max("_v"), F.count(F.lit(1))
+    ).collect()[0]
+    if n == 0:
+        return [float("nan")] * len(probs)
+    if mx == mn:
+        return [float(mn)] * len(probs)
+    width = (mx - mn) / grid
+    bexpr = F.least(
+        F.floor((F.col("_v") - F.lit(mn)) / F.lit(width)),
+        F.lit(grid - 1),
+    ).alias("_bk")
+    hist = dict(
+        vals.select(bexpr).groupBy("_bk").count().collect()
+    )
+    cum = 0
+    cum_before = {}
+    for bk in sorted(hist):
+        cum_before[bk] = cum
+        cum += hist[bk]
+    order = sorted(hist)
+
+    def locate(rank):
+        # bucket whose cumulative range covers `rank`, plus residual
+        for bk in order:
+            if rank < cum_before[bk] + hist[bk]:
+                return bk, rank - cum_before[bk]
+        bk = order[-1]
+        return bk, rank - cum_before[bk]
+
+    needed: dict[tuple[int, int], None] = {}
+    plan = []
+    for p in probs:
+        pos = p * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        blo, rlo = locate(lo)
+        bhi, rhi = locate(hi)
+        plan.append((pos, lo, (blo, rlo), (bhi, rhi)))
+        needed[(blo, rlo)] = None
+        needed[(bhi, rhi)] = None
+    cand_buckets = sorted({bk for bk, _ in needed})
+    wb = Window.partitionBy("_bk").orderBy("_v")
+    picked = (
+        vals.select("_v", bexpr)
+        .filter(F.col("_bk").isin(cand_buckets))
+        .withColumn("_r", F.row_number().over(wb) - 1)
+        # (bucket, residual-rank) pairs encoded as one bigint so the
+        # pick is a simple isin over ≤2·|probs| literals
+        .filter(
+            (F.col("_bk") * F.lit(1 << 40) + F.col("_r")).isin(
+                [int(bk) * (1 << 40) + int(r) for bk, r in needed]
+            )
+        )
+        .collect()
+    )
+    val_at = {(r["_bk"], r["_r"]): r["_v"] for r in picked}
+    out = []
+    for pos, lo, klo, khi in plan:
+        vlo, vhi = val_at[klo], val_at[khi]
+        if pos == lo:
+            out.append(float(vlo))
+        else:
+            # Spark Percentile's exact interpolation:
+            # (hi−pos)·vlo + (pos−lo)·vhi
+            out.append(float((lo + 1 - pos) * vlo + (pos - lo) * vhi))
+    return out

@@ -411,21 +411,32 @@ def lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans, ZERO global sort. The naive `ntile(10) OVER (ORDER BY
     price)` formulation is a total sort through one partition at 100 TB.
     Interpolation runs over integer cents so boundaries are bit-exact
-    across engines; at scale, swap `percentile` for `percentile_approx`
-    (mergeable t-digest) without touching the bucketing side.
+    across engines. The boundary aggregate itself is the distributed
+    range-partition/global-rank computation
+    (stats.exact_percentiles_distributed) — the single-buffer exact
+    `percentile` it replaces merged every value into one task's
+    buffer, the straggler BASELINE.md flags at scale.
     """
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_twopass,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).alias("cents")
     )
-    probs = ", ".join(f"0.{i}D" for i in range(1, 10))
-    b = li.agg(F.expr(f"percentile(cents, array({probs}))").alias("bs"))
+    # Two-pass histogram boundaries (no full-data shuffle; see
+    # exact_percentiles_twopass) collected into 9 double literals —
+    # the same move Spark's own RangePartitioner makes (distributed
+    # boundary job, driver-collected cutpoints).
+    bs = exact_percentiles_twopass(
+        li, "cents", tuple(i / 10 for i in range(1, 10))
+    )
     bucket = None
     for i in range(1, 10):
-        term = F.when(F.col("cents") >= F.expr(f"bs[{i - 1}]"), 1).otherwise(0)
+        term = F.when(F.col("cents") >= F.lit(bs[i - 1]), 1).otherwise(0)
         bucket = term if bucket is None else bucket + term
     return (
-        li.crossJoin(F.broadcast(b))
-        .select(bucket.alias("bucket"), "cents")
+        li.select(bucket.alias("bucket"), "cents")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

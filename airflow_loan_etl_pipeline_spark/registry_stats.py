@@ -2758,12 +2758,29 @@ def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the weight-expanded rows with the integer-cents interpolation
     discipline; the interval is order statistics of 32 replica
     medians — no closed-form variance needed, the point of
-    bootstrapping."""
+    bootstrapping.
+
+    Scale shape: the only fan-out is the 32-replica explode — the
+    ×weight row expansion and the single-buffer exact `percentile` of
+    the naive form are gone (at 100 TB those made each of the 32
+    replica groups materialize the whole expanded column in one task).
+    Each replica's weighted median comes from cumulative weights over
+    the weighted rows, sorted once per replica by the window:
+    quantile_cont over the expanded multiset at position p = (W-1)/2
+    equals v_lo + frac·(v_hi − v_lo) where v_lo/v_hi are the rows
+    covering expanded positions floor(p)/ceil(p) — exact, because
+    cents are integers and frac is 0 or 0.5 (the verify recipe's
+    integer-cents interpolation discipline). Ties in _vc may order
+    arbitrarily but carry equal values, so the positional lookup is
+    deterministic. The numbered repartition spreads the explode+md5
+    across tasks (the single-file scan otherwise pins the whole
+    fan-out to one task; 9.7 s → 0.3 s warm at sf0.1)."""
     orders = load_table(spark, sf_dir, "orders")
-    ex = orders.select(
+    src = orders.select(
         F.col("o_orderkey").cast("string").alias("_k"),
         F.round(F.col("o_totalprice") * 100).alias("_vc"),
-    ).select(
+    ).repartition(32)
+    ex = src.select(
         "_k",
         "_vc",
         F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
@@ -2778,15 +2795,42 @@ def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(5)
     for mult, cum in reversed(POISSON1_CDF):
         w = F.when(u < cum, F.lit(mult)).otherwise(w)
-    expanded = (
-        ex.select("b", "_vc", w.alias("_w"))
-        .filter(F.col("_w") > 0)
-        .select(
-            "b", "_vc", F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_r")
-        )
+    weighted = ex.select("b", "_vc", w.alias("_wt")).filter(
+        F.col("_wt") > 0
     )
-    pb = expanded.groupBy("b").agg(
-        F.expr("percentile(_vc, 0.5D) / 100.0").alias("med_b")
+    wcum = (
+        Window.partitionBy("b")
+        .orderBy("_vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("b")
+    t = weighted.withColumn(
+        "_cum", F.sum("_wt").over(wcum)
+    ).withColumn("_tot", F.sum("_wt").over(wtot))
+    p = (F.col("_tot") - 1) / 2.0
+    lo, hi = F.floor(p), F.ceil(p)
+    prev = F.col("_cum") - F.col("_wt")
+    pb = (
+        t.select(
+            "b",
+            p.alias("_p"),
+            lo.alias("_lo"),
+            F.when((prev <= lo) & (lo < F.col("_cum")), F.col("_vc"))
+            .alias("_vlo"),
+            F.when((prev <= hi) & (hi < F.col("_cum")), F.col("_vc"))
+            .alias("_vhi"),
+        )
+        .groupBy("b")
+        .agg(
+            (
+                (
+                    F.max("_vlo")
+                    + (F.max("_p") - F.max("_lo"))
+                    * (F.max("_vhi") - F.max("_vlo"))
+                )
+                / 100.0
+            ).alias("med_b")
+        )
     )
     ms = pb.agg(F.sort_array(F.collect_list("med_b")).alias("_ms"))
     g = orders.agg(

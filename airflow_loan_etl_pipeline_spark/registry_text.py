@@ -630,6 +630,67 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
+def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
+    """Fixed-iteration Lloyd replay: the oracle re-runs the exact
+    per-round (assign → rounded mean) chain as nested CTEs, so the
+    multi-iteration trainer cannot drift from the single-step operator
+    it iterates."""
+    ctes = [
+        "base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS v FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cid, v AS cv FROM base"
+        f" WHERE vec_id < {k})",
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"cents{i - 1}"
+        ctes += [
+            f"scored{i} AS (SELECT b.vec_id, b.v, c.cid, "
+            + _COS_LR.format(l="b.v", r="c.cv")
+            + f" AS ccos FROM base b, {prev} c)",
+            f"assigned{i} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY ccos DESC, cid ASC) AS rn FROM scored{i})"
+            f" WHERE rn = 1)",
+            f"perdim{i} AS (SELECT cid,"
+            f" unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x"
+            f" FROM assigned{i})",
+            f"means{i} AS (SELECT cid, pos, round(avg(x), 6) AS m"
+            f" FROM perdim{i} GROUP BY cid, pos)",
+            f"cents{i} AS (SELECT cid, list(m ORDER BY pos) AS cv"
+            f" FROM means{i} GROUP BY cid)",
+        ]
+    last = n_iters
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT m.cid, s.n_members, CAST(m.pos - 1 AS BIGINT) AS dim,
+           m.m AS centroid_val
+    FROM means{last} m
+    JOIN (SELECT cid, count(*) AS n_members FROM assigned{last}
+          GROUP BY cid) s USING (cid)
+    """
+    )
+
+
+@query("kmeans_train_k16", oracle=_kmeans_train_oracle(n_iters=3, k=16))
+def kmeans_train_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations over the embedding corpus (k=16): the
+    multi-round trainer built on the kmeans_refine step — broadcast
+    assignment (zero corpus shuffles per round), per-round lineage
+    truncation via localCheckpoint, 6-dp edge rounding keeping the
+    fixed-iteration replay bit-identical across engines. Gate shape
+    exploded to (cid, n_members, dim, centroid_val) scalar rows."""
+    out = S.kmeans_train(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16, n_iters=3
+    )
+    return out.select(
+        "cid",
+        "n_members",
+        F.posexplode("centroid").alias("dim", "centroid_val"),
+    ).withColumn("dim", F.col("dim").cast("bigint"))
+
+
 @query(
     "embeddings_quantized_int8",
     oracle="""
@@ -673,13 +734,19 @@ def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5), how many does LSH banding surface as candidates?
     The recall/cost dial every production dedup pipeline monitors —
     banding parameters (bands × rows) trade this number against the
-    candidate-join volume. One small join of two pair sets."""
+    candidate-join volume. One LEFT join + one aggregation pass: both
+    pair pipelines (each ends in distinct, so the join cannot fan out)
+    are referenced exactly once — the earlier semi-join + crossJoin
+    form referenced `truth` twice and re-evaluated the whole shingle
+    pipeline per reference (r02 solo ~3 s; this form roughly halves
+    it)."""
     docs = load_table(spark, sf_dir, "documents")
     truth = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    cand = D.minhash_lsh_pairs(docs)
-    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
-        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    cand = D.minhash_lsh_pairs(docs).withColumn("_hit", F.lit(1))
+    flagged = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_hit"),
     ).select(
         "n_true",
         "n_hit",
@@ -1754,23 +1821,24 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding surfaces, how many are truly similar (exact Jaccard ≥ 0.5)?
     Low precision means the exact-verify stage burns compute on false
     candidates — band/row parameters trade this against recall. Same
-    reused-oracle discipline."""
+    reused-oracle discipline; same single-reference LEFT-join shape as
+    lsh_candidate_recall (both pair sets are distinct, so no fan-out)
+    instead of the double-referencing semi-join + crossJoin form."""
     docs = load_table(spark, sf_dir, "documents")
     truth = D.ngram_jaccard_pairs(docs, threshold=0.5).select(
         "doc_a", "doc_b"
-    )
+    ).withColumn("_hit", F.lit(1))
     cand = D.minhash_lsh_pairs(docs)
-    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-    return (
-        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_true_hits")))
-        .select(
-            "n_candidates",
-            "n_true_hits",
-            F.round(
-                F.col("n_true_hits") / F.col("n_candidates"), 4
-            ).alias("precision"),
-        )
+    flagged = cand.join(truth, ["doc_a", "doc_b"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("_hit").alias("n_true_hits"),
+    ).select(
+        "n_candidates",
+        "n_true_hits",
+        F.round(
+            F.col("n_true_hits") / F.col("n_candidates"), 4
+        ).alias("precision"),
     )
 
 

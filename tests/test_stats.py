@@ -718,3 +718,50 @@ def test_psi_drift_survives_single_period_metric(spark):
 
     assert math.isfinite(out["early"].psi)
     assert out["early"].psi > 1.0  # total disappearance = massive drift
+
+
+def test_exact_percentiles_distributed_matches_percentile(spark, sf_dir):
+    """The range-partition/global-rank boundary computation must be
+    bit-identical to Spark's single-buffer exact `percentile` (same
+    p*(n-1) interpolation) — it exists to replace that aggregate's
+    one-task merge at scale."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    probs = tuple(i / 10 for i in range(1, 10))
+    got = ST.exact_percentiles_distributed(li, "cents", probs).collect()[0][
+        "bs"
+    ]
+    plist = ", ".join(f"{p}D" for p in probs)
+    want = li.agg(
+        F.expr(f"percentile(cents, array({plist}))").alias("bs")
+    ).collect()[0]["bs"]
+    assert list(got) == list(want)
+
+
+def test_exact_percentiles_twopass_matches_percentile(spark, sf_dir):
+    """The two-pass histogram boundaries (no full-data shuffle) must
+    also be bit-identical to exact `percentile` on an integer-valued
+    column, including duplicate-heavy and tiny inputs."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).alias("cents")
+    )
+    probs = (0.25, 0.5, 0.75, 0.9)
+    got = ST.exact_percentiles_twopass(li, "cents", probs)
+    plist = ", ".join(f"{p}D" for p in probs)
+    want = li.agg(
+        F.expr(f"percentile(cents, array({plist}))").alias("bs")
+    ).collect()[0]["bs"]
+    assert got == list(want)
+    # duplicate-heavy + constant cases
+    dup = spark.createDataFrame(
+        [(v,) for v in [1, 1, 1, 2, 2, 3, 100, 100, 100, 100]], ["x"]
+    )
+    # sorted ranks 4,5 (0-indexed) hold 2 and 3 -> interpolated 2.5
+    assert ST.exact_percentiles_twopass(dup, "x", (0.5,)) == [2.5]
+    const = spark.createDataFrame([(7,)] * 5, ["x"])
+    assert ST.exact_percentiles_twopass(const, "x", (0.1, 0.9)) == [7.0, 7.0]

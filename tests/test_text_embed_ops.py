@@ -392,3 +392,29 @@ def test_pq_encode_codebook_members_have_zero_error(spark):
     # non-members have positive error but every code is a valid entry
     assert out[30].recon_err > 0
     assert all(0 <= c < PQ_K for c in out[30].codes)
+
+
+def test_kmeans_train_stable_under_repartitioning(spark, sf_dir):
+    """Training results must not depend on the physical partitioning of
+    the corpus: the per-round 6-dp mean rounding bounds partition-order
+    summation drift, so centroids from a 7-way repartitioned input match
+    the defaults to 1e-6 and memberships match exactly."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        r["cid"]: (r["n_members"], r["centroid"])
+        for r in S.kmeans_train(emb, n_centroids=16, n_iters=2).collect()
+    }
+    b = {
+        r["cid"]: (r["n_members"], r["centroid"])
+        for r in S.kmeans_train(
+            emb.repartition(7), n_centroids=16, n_iters=2
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for cid in a:
+        assert a[cid][0] == b[cid][0], cid
+        for x, y in zip(a[cid][1], b[cid][1]):
+            assert abs(x - y) <= 1e-6, (cid, x, y)
