@@ -114,3 +114,21 @@ def object_store_conf(
     if secret_key:
         conf[f"{prefix}.secret.key"] = secret_key
     return conf
+
+
+def apply_object_store_conf(spark, conf: dict[str, str]) -> None:
+    """Land :func:`object_store_conf` keys on a RUNNING session.
+
+    ``spark.hadoop.*`` keys only flow into the Hadoop configuration at
+    session construction; for an existing session the Hadoop conf must
+    be written directly (safe as long as the target scheme hasn't been
+    used yet — Hadoop caches FileSystem instances per scheme on first
+    use). Non-``spark.hadoop.`` keys (committer algorithm) go to the
+    SQL/runtime conf.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+        else:
+            spark.conf.set(k, v)
