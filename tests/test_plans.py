@@ -415,8 +415,53 @@ def test_substring_cut_path_is_native_anti_join(spark, sf_dir):
     plan = _plan(registry.QUERIES["docs_substring_cut"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "sort_array" in plan
-    # ONE Arrow stage: df comes from a window count over the same
-    # hash-keyed pass, so the Python shingling subtree is never
-    # duplicated (the agg+join formulation evaluated it twice —
-    # broadcast join left the probe side exchange-free).
-    assert plan.count("MapInPandas (") <= 1 or plan.count("MapInPandas") <= 2
+    # ONE Arrow execution: the hashed shingle rows are persisted, so
+    # every consumer reads InMemoryTableScan and the Python emitter
+    # runs once no matter how many branches reference it. (The earlier
+    # window-count form also ran it once but put every occurrence of a
+    # hot n-gram into a single task — unbounded skew at scale; the
+    # persisted agg+join combines df map-side and AQE can split the
+    # skewed join partitions.)
+    assert "InMemoryTableScan" in plan
+    # no df WINDOW over the hash key anywhere in the cut path
+    assert "windowspecdefinition(sh" not in plan
+
+
+def test_median_bootstrap_no_weight_expansion_or_exact_percentile(
+    spark, sf_dir
+):
+    """The replica medians must come from cumulative weights over the
+    32x replica fan-out — exactly ONE generator (the replica explode),
+    no x-weight row expansion, and no single-buffer exact `percentile`
+    over exploded rows (the only percentile allowed is the global
+    median over the raw orders scan)."""
+    from airflow_loan_etl_pipeline_spark import registry_stats  # noqa: F401
+
+    plan = _plan(
+        registry.QUERIES["orders_median_bootstrap_ci"](spark, sf_dir)
+    )
+    # the only generator is the 32-replica fan-out (the literal
+    # sequence(1,32) constant-folds to an UnsafeArrayData literal;
+    # formatted explain prints the Generate node twice: tree + detail)...
+    assert plan.count("Generate") == 2
+    # ...never a per-row x-weight expansion
+    assert "sequence(1, _w" not in plan and "sequence(1, cast(_w" not in plan
+    # the only exact percentile is the global median (formatted explain
+    # prints its partial+final aggregate expressions <= 4 times); the
+    # replica medians come from the cumulative-weight window on b
+    assert plan.count("percentile(") <= 4
+    assert "windowspecdefinition(b" in plan
+
+
+def test_equidepth_hist_main_plan_is_scan_plus_hash_agg(spark, sf_dir):
+    """After the two-pass boundary computation collapses to literals,
+    the returned plan must be a single lineitem scan + hash aggregate:
+    no exact `percentile`, no window, no join."""
+    from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
+
+    plan = _plan(registry.QUERIES["lineitem_equidepth_hist"](spark, sf_dir))
+    assert "percentile" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # formatted explain prints the one scan twice (tree + detail)
+    assert plan.count("Scan parquet") == 2
