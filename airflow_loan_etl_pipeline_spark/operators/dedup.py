@@ -564,6 +564,12 @@ def dup_clusters(
     (``spark.sparkContext.setCheckpointDir`` on durable storage +
     ``df.checkpoint()``) so an executor loss mid-iteration doesn't
     force recomputing the whole chain.
+
+    The iteration runs over ONLY the nodes that appear in some pair —
+    at corpus scale the dup subgraph is a small fraction of the
+    documents, so every per-round join is |dup nodes|-sized, not
+    |corpus|-sized; singletons label themselves via one final LEFT
+    join after convergence.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -572,9 +578,12 @@ def dup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    labels = (
+        ue.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
 
     for it in range(max_iter):
         prop = (
@@ -615,8 +624,15 @@ def dup_clusters(
         else:
             labels = new_labels
 
-    return labels.select(
-        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    # Singletons (docs in no pair) label themselves; only dup-subgraph
+    # nodes carried through the iteration.
+    return (
+        docs.select(F.col(id_col))
+        .join(labels, docs[id_col] == labels.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("lbl", F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 

@@ -1271,3 +1271,63 @@ def bigram_logprob(
             F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
         )
     )
+
+
+def quality_importance_sample(
+    df: DataFrame,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft quality filter by importance sampling: accept each document
+    with probability proportional to its quality score — p = min(1,
+    target_frac · q / mean(q)) — instead of a hard threshold. The hard
+    cut discards everything below the bar and keeps boilerplate above
+    it; proportional acceptance (the FineWeb/DSIR-style soft screen)
+    keeps a quality-tilted sample whose EXPECTED size is ~target_frac
+    of the corpus while every stratum stays represented.
+
+    Determinism: u is content-addressed (md5 of the doc id, ':qis'
+    salt) so the same doc makes the same cut on any engine, partition
+    layout, or rerun; mean(q) is computed over exact fixed-point
+    integers (quality scores are floor-scaled 4-decimal values, so the
+    scaled sum is exact and the mean is the identical double on both
+    engines — no summation-order ulp in the acceptance threshold).
+
+    Scale shape: one |corpus|-scan quality pass, a 1-row broadcast
+    mean, and a scan-local filter — no shuffle of documents.
+    """
+    q = quality_score(df, id_col, text_col).select(id_col, "quality_score")
+    mean_row = q.agg(
+        (
+            F.sum(F.round(F.col("quality_score") * 1e4).cast("bigint"))
+            / F.count(F.lit(1))
+            / F.lit(1e4)
+        ).alias("_mean_q")
+    )
+    u = (
+        F.expr(
+            f"cast(conv(substr(md5(concat(cast({id_col} AS string), ':qis')),"
+            " 1, 8), 16, 10) AS bigint)"
+        )
+        / F.lit(4294967296.0)
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(target_frac) * F.col("quality_score") / F.col("_mean_q"),
+    )
+    return (
+        q.crossJoin(F.broadcast(mean_row))
+        .select(
+            id_col,
+            "quality_score",
+            p.alias("_p"),
+            u.alias("_u"),
+        )
+        .filter(F.col("_u") < F.col("_p"))
+        .select(
+            id_col,
+            "quality_score",
+            (F.floor(F.col("_p") * 1e4) / 1e4).alias("p_accept"),
+        )
+    )

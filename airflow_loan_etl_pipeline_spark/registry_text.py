@@ -885,6 +885,39 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_quality_importance_sample",
+    oracle="""
+    WITH q AS ({q}),
+    m AS (SELECT CAST(sum(CAST(round(quality_score * 1e4) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1e4 AS mean_q
+          FROM q),
+    s AS (SELECT doc_id, quality_score,
+                 least(1.0, 0.5 * quality_score / mean_q) AS p,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':qis'),
+                                 1, 8))::BIGINT / 4294967296.0 AS u
+          FROM q, m)
+    SELECT doc_id, quality_score, floor(p * 1e4) / 1e4 AS p_accept
+    FROM s WHERE u < p
+    """,
+)
+def docs_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality screen: importance-sample the corpus with
+    acceptance probability proportional to quality (expected keep rate
+    ~50%) instead of a hard threshold — every quality stratum stays
+    represented, tilted toward the good tail. Content-addressed u and
+    an exact fixed-point mean make the cut engine- and
+    partitioning-invariant."""
+    return X.quality_importance_sample(
+        load_table(spark, sf_dir, "documents"), target_frac=0.5
+    )
+
+
+_ORACLE["docs_quality_importance_sample"] = _ORACLE[
+    "docs_quality_importance_sample"
+].format(q=_ORACLE["docs_quality"])
+
+
+@query(
     "docs_bpe_token_estimate",
     oracle=f"""
     SELECT doc_id,
