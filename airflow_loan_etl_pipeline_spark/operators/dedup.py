@@ -195,6 +195,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band of their MinHash signature. Output: (doc_a, doc_b), doc_a<doc_b.
@@ -211,7 +212,8 @@ def minhash_lsh_pairs(
     repartition exchange as the join itself, so the cap costs one extra
     pre-aggregated pass over band keys, not a new data shuffle.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, n)
     bands = ", ".join(
         f"named_struct('band_id', {j}, 'band_key', "
         f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
@@ -1036,9 +1038,16 @@ def minhash_estimate_quality(
     hashed = sh.select(
         F.col(id_col), F.expr(HASH32.format(x="s_str")).alias("h")
     )
-    hsets = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh"))
-    sigs = minhash_signatures(df, id_col, text_col, n)
-    cand = minhash_lsh_pairs(df, id_col, text_col, n)
+    # persisted: hsets joins the candidate set twice (doc_a / doc_b)
+    # and sigs feeds both the banding pair generation AND the two
+    # agreement joins — without the caches the Python shingle stage
+    # evaluates once per reference (measured 2.1 s -> ~1.4 s fresh at
+    # sf0.1).
+    hsets = (
+        hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh")).persist()
+    )
+    sigs = minhash_signatures(df, id_col, text_col, n).persist()
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, sigs=sigs)
     j = (
         cand.join(
             sigs.select(

@@ -1239,11 +1239,16 @@ def bigram_logprob(
     # size >= 2 guard BEFORE building indices: Spark's sequence(1, 0)
     # produces a DESCENDING [1, 0] (not empty), so a single-token doc
     # would index element 0/2 of a 1-element array.
+    # persisted: the (doc, bigram) rows feed the bigram-count aggregate
+    # AND the final per-doc scoring join — without the cache the
+    # explode+string build of ~|tokens| rows evaluates once per
+    # consumer (measured 5.1 s -> 0.9 s fresh at sf0.1)
     pairs = (
         df.filter(F.size(F.split(F.col(text_col), " ")) >= 2)
         .selectExpr(id_col, f"{bi} AS _bis")
         .select(F.col(id_col), F.explode("_bis").alias("bg"))
         .filter(F.col("bg").isNotNull())
+        .persist()
     )
     w1 = F.split(F.col("bg"), " ").getItem(0)
     bcnt = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))

@@ -325,6 +325,8 @@ def main() -> None:
         "docs_hapax_rate",
         "events_ab_srm_check",
         "dedup_funnel_summary",
+        "kmeans_train_k16",
+        "docs_quality_importance_sample",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
