@@ -814,6 +814,83 @@ def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, "
+    f"array_to_string(sig[{j * D.ROWS_PER_BAND + 1}:{(j + 1) * D.ROWS_PER_BAND}], '-')"
+    f" AS band_key FROM sig"
+    for j in range(D.N_BANDS)
+)
+
+
+@query(
+    "dedup_incremental_neardup",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    fresh_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    fresh_b AS (SELECT b.* FROM bands b
+                WHERE b.doc_id IN (SELECT doc_id FROM fresh_ids)),
+    exist_b AS (SELECT b.* FROM bands b
+                WHERE b.doc_id NOT IN (SELECT doc_id FROM fresh_ids)),
+    corpus_dup AS (
+        SELECT DISTINCT f.doc_id
+        FROM fresh_b f JOIN exist_b e
+          ON f.band_id = e.band_id AND f.band_key = e.band_key
+    ),
+    surv_b AS (SELECT * FROM fresh_b
+               WHERE doc_id NOT IN (SELECT doc_id FROM corpus_dup)),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM surv_b l JOIN surv_b r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    ),
+    ue AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+            FROM r GROUP BY a)
+    SELECT f.doc_id,
+           CASE WHEN f.doc_id IN (SELECT doc_id FROM corpus_dup)
+                THEN 'dup_of_corpus'
+                WHEN coalesce(l.cluster_id, f.doc_id) = f.doc_id
+                THEN 'admitted'
+                ELSE 'dup_in_batch' END AS admission
+    FROM fresh_ids f LEFT JOIN lbl l ON l.node = f.doc_id
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup tier of incremental ingest admission (companion to
+    dedup_incremental_candidates' exact tier, and the batch face of
+    streaming/admission.py): the incoming source ('src0') is screened
+    against the standing corpus by MinHash band keys — probable
+    near-dups of admitted content are rejected, the within-batch
+    survivors are clustered by shared bands and one representative
+    (min id) per cluster is admitted. Shuffles 16 band keys per doc,
+    never text; at 100 TB the standing key table lives bucketed by
+    (band_id, band_key) so only the new batch shuffles."""
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admission_decisions,
+        band_key_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("source") != "src0")
+    fresh = docs.filter(F.col("source") == "src0")
+    standing = band_key_rows(
+        D.minhash_signatures(existing), "doc_id"
+    )
+    decisions, _keys = admission_decisions(fresh, standing)
+    return decisions
+
+
 _REACH_RECURSION = """
     ue AS (
         SELECT doc_a AS src, doc_b AS dst FROM nd_pairs

@@ -327,6 +327,7 @@ def main() -> None:
         "dedup_funnel_summary",
         "kmeans_train_k16",
         "docs_quality_importance_sample",
+        "dedup_incremental_neardup",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:

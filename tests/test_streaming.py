@@ -494,3 +494,91 @@ def test_available_now_respects_max_files_per_trigger(spark, tmp_path):
     assert len(seen) == 4          # one batch per file
     assert sum(n for _, n in seen) == 4
     assert all(n == 1 for _, n in seen)
+
+
+def test_streaming_neardup_admission_matches_sequential_replay(
+    spark, tmp_path
+):
+    """Streaming near-dup admission capstone: micro-batches of
+    documents screened against the standing corpus via MinHash band
+    keys in a foreachBatch loop. Pins (a) cross-batch rejection — a
+    near-dup of an ADMITTED doc is 'dup_of_corpus'; (b) within-batch
+    clustering — one representative (min id) per dup cluster; (c) the
+    state loop — the streaming run admits exactly the set a
+    batch-sequential replay of admit_batch admits."""
+    import shutil
+
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admit_batch,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    decisions = str(tmp_path / "decisions")
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight"
+    t_c = "red green blue yellow purple orange pink white"
+    t_d = "north south east west up down left right"
+    batches = [
+        [(1, t_a), (2, t_a), (3, t_b)],          # 2 dups 1 in-batch
+        [(4, t_a), (5, t_c)],                    # 4 dup of corpus
+        [(6, t_c), (7, t_c), (8, t_d)],          # 6,7 dups of corpus
+    ]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").option("header", True).csv(str(land))
+
+    def screen(batch_df, epoch_id):
+        out = admit_batch(spark, batch_df, state)
+        out.write.mode("append").parquet(decisions)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("header", True)
+            .csv(str(land))
+        )
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for rows in batches:
+        write_batch(rows)
+        run_stream()
+
+    got = {
+        r.doc_id: r.admission
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got == {
+        1: "admitted",
+        2: "dup_in_batch",
+        3: "admitted",
+        4: "dup_of_corpus",
+        5: "admitted",
+        6: "dup_of_corpus",
+        7: "dup_of_corpus",
+        8: "admitted",
+    }
+
+    # batch-sequential replay over a FRESH state dir admits the same set
+    replay_state = str(tmp_path / "replay_state")
+    shutil.rmtree(replay_state, ignore_errors=True)
+    replay = {}
+    for rows in batches:
+        out = admit_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            replay_state,
+        )
+        replay.update({r.doc_id: r.admission for r in out.collect()})
+    assert replay == got
