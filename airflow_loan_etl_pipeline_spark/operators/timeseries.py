@@ -99,10 +99,15 @@ def funnel(
     from pyspark.sql import functions as F
 
     ev = events.select(key, ts_col, type_col)
+    # each stage frame (|users who reached it| rows) is persisted: it
+    # feeds BOTH the next stage's join and its own count aggregate, and
+    # counts re-evaluate the whole predecessor chain otherwise (stage 0
+    # was scanned 3x in the 3-step funnel)
     stage = (
         ev.filter(F.col(type_col) == steps[0])
         .groupBy(key)
         .agg(F.min(ts_col).alias("t0"))
+        .persist()
     )
     reached = [stage]
     for i, step in enumerate(steps[1:], start=1):
@@ -119,6 +124,7 @@ def funnel(
             .filter(cond)
             .groupBy(key)
             .agg(F.min(ts_col).alias(f"t{i}"))
+            .persist()
         )
         reached.append(nxt)
 
