@@ -54,15 +54,17 @@ def global_rank(
     order (append a unique id as tie-break).
 
     The offsets branch re-derives the ranked subtree (the
-    ``spark_partition_id`` marker blocks exchange reuse); persist the
-    ranked frame first when the input is expensive. Used by
-    text.shuffle_order (training-order permutation) and
-    stats.revenue_concentration (Gini ranks).
+    ``spark_partition_id`` marker blocks exchange reuse), so the ranged
+    frame is PERSISTED here — (key, id)-width rows, spill-safe; every
+    caller (rrf_fuse, text.shuffle_order, revenue_concentration) was
+    paying the double evaluation. Used by text.shuffle_order
+    (training-order permutation) and stats.revenue_concentration
+    (Gini ranks).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     ranked = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).persist()
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -98,9 +100,11 @@ def global_prefix_sum(
     oracle).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    # persisted for the same totals-branch re-derivation reason as
+    # global_rank above
     ranged = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).persist()
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     ).rowsBetween(Window.unboundedPreceding, 0)

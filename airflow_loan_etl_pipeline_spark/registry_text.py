@@ -2345,15 +2345,18 @@ def pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id")
     )
-    hit = exact.join(adc, "vec_id", "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-        .select(
-            "n_true",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_at_10"),
-        )
+    # single-reference flag join (renamed key: both lists derive from
+    # the same embeddings scan): the semi-join + crossJoin form
+    # re-evaluated the exact brute-force ranking per reference
+    ad = adc.select(F.col("vec_id").alias("_avid"), F.lit(1).alias("_hit"))
+    flagged = exact.join(ad, F.col("vec_id") == F.col("_avid"), "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_at_10"),
     )
 
 
