@@ -561,33 +561,37 @@ def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D equi-depth density grid (price quartile x quantity
     quartile) — the joint-distribution view behind z-order layout
     choices and the scatter-density dashboards. Same scale shape as the
-    1-D equi-depth histogram: one boundary aggregate broadcast, codegen
+    1-D equi-depth histogram: two-pass grid-histogram boundaries
+    (stats.exact_percentiles_twopass — no full-data shuffle, no
+    single-buffer exact percentile) collected to literals, codegen
     bucketing, a 16-cell count — never an ntile sort."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_twopass,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).alias("pc"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    bp = li.agg(
-        F.expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").alias("pbs"),
-        F.expr("percentile(q, array(0.25D, 0.5D, 0.75D))").alias("qbs"),
-    )
+    probs = (0.25, 0.5, 0.75)
+    pbs = exact_percentiles_twopass(li, "pc", probs)
+    qbs = exact_percentiles_twopass(li, "q", probs)
     pband = sum(
         (
-            F.when(F.col("pc") >= F.expr(f"pbs[{i}]"), 1).otherwise(0)
+            F.when(F.col("pc") >= F.lit(pbs[i]), 1).otherwise(0)
             for i in range(3)
         ),
         F.lit(0),
     )
     qband = sum(
         (
-            F.when(F.col("q") >= F.expr(f"qbs[{i}]"), 1).otherwise(0)
+            F.when(F.col("q") >= F.lit(qbs[i]), 1).otherwise(0)
             for i in range(3)
         ),
         F.lit(0),
     )
     return (
-        li.crossJoin(F.broadcast(bp))
-        .select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
+        li.select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
         .groupBy("price_band", "qty_band")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
