@@ -741,3 +741,70 @@ def test_substring_cut_matches_bruteforce(spark, docs):
         assert r.n_tokens == len(t)
         assert r.n_removed == len(covered)
         assert r.clean_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_twopass_percentiles_equal_exact_percentile(spark, vals, probs):
+    """The shuffle-free two-pass histogram percentiles must equal
+    Spark's exact `percentile` bit-for-bit on ANY integer multiset —
+    including duplicate-heavy, constant, and single-element inputs."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_twopass,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = exact_percentiles_twopass(df, "x", tuple(probs), grid=16)
+    plist = ", ".join(f"{p}D" for p in probs)
+    want = df.agg(
+        F.expr(f"percentile(x, array({plist}))").alias("bs")
+    ).collect()[0]["bs"]
+    assert got == list(want), (vals, probs)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="ab ",
+            min_size=1,
+            max_size=40,
+        ).map(lambda s: " ".join(s.split()) or "a"),
+        min_size=1,
+        max_size=12,
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_importance_sample_partitioning_invariant(spark, docs, n_parts):
+    """quality_importance_sample's accept/reject decision must be a
+    pure function of content — identical under any repartitioning
+    (content-addressed u + exact fixed-point mean)."""
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        quality_importance_sample,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.doc_id: r.p_accept
+        for r in quality_importance_sample(df, 0.5).collect()
+    }
+    b = {
+        r.doc_id: r.p_accept
+        for r in quality_importance_sample(
+            df.repartition(n_parts), 0.5
+        ).collect()
+    }
+    assert a == b
