@@ -38,8 +38,17 @@ from airflow_loan_etl_pipeline_spark import registry_text  # noqa: E402, F401
 from airflow_loan_etl_pipeline_spark.catalog import TABLE_NAMES, load_table  # noqa: E402
 from airflow_loan_etl_pipeline_spark.session import get_spark  # noqa: E402
 
-BIG_DIR = "/tmp/sparkgraft_sf0.1x10"
-COPIES = 10
+import argparse  # noqa: E402
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--rebuild", action="store_true")
+_ap.add_argument("--copies", type=int, default=10)
+_ap.add_argument("--queries", type=str, default="")
+_ap.add_argument("--out", type=str, default="SCALECURVE.md")
+ARGS, _ = _ap.parse_known_args()
+
+COPIES = ARGS.copies
+BIG_DIR = f"/tmp/sparkgraft_sf0.1x{COPIES}"
 KEY_OFFSET = 100_000_000
 
 # key columns to shift per table (dims untouched; foreign keys into
@@ -113,17 +122,19 @@ def build_big(spark) -> None:
 def main() -> None:
     spark = get_spark("scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.isdir(BIG_DIR):
+    if ARGS.rebuild or not os.path.isdir(BIG_DIR):
         build_big(spark)
+    big_label = f"sf0.1x{COPIES}"
     dirs = [("sf0.01", "/root/testdata/sf0.01"),
             ("sf0.1", "/root/testdata/sf0.1"),
-            ("sf0.1x10", BIG_DIR)]
+            (big_label, BIG_DIR)]
     # warm page cache + JIT
     for _, d in dirs:
         for t in TABLE_NAMES:
             load_table(spark, d, t).count()
     rows = []
-    for name in QUERIES:
+    queries = [q for q in ARGS.queries.split(",") if q] or QUERIES
+    for name in queries:
         fn = registry.QUERIES[name]
         rec = {"query": name}
         # untimed warmup: first-ever execution of a pipeline pays JIT /
@@ -137,10 +148,11 @@ def main() -> None:
                 fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             rec[label] = round(best, 3)
-        # exponent over the measured 10x step (sf0.1 -> x10)
+        # exponent over the measured COPIES-x step (sf0.1 -> xN)
         if rec["sf0.1"] > 0:
-            rec["exp_10x"] = round(
-                math.log10(max(rec["sf0.1x10"], 1e-3) / max(rec["sf0.1"], 1e-3)),
+            rec["exp_big"] = round(
+                math.log10(max(rec[big_label], 1e-3) / max(rec["sf0.1"], 1e-3))
+                / math.log10(COPIES),
                 2,
             )
         rows.append(rec)
@@ -148,19 +160,20 @@ def main() -> None:
     lines = [
         "# SCALECURVE — measured runtime scaling (local[32])",
         "",
-        "Derived 10x dataset: sf0.1 facts unioned 10x with shifted keys",
-        "(dims kept at one copy); perf experiment only, never a",
-        "correctness input. `exp_10x` = log10(t_10x / t_sf0.1): 1.0 is",
-        "linear scaling, ~0 means fixed overhead dominates at this size,",
-        "2.0 would mean a surviving quadratic term.",
+        f"Derived {COPIES}x dataset: sf0.1 facts unioned {COPIES}x with",
+        "shifted keys (dims kept at one copy); perf experiment only,",
+        "never a correctness input. `exp` = log(t_big / t_sf0.1) /",
+        f"log({COPIES}): 1.0 is linear scaling, ~0 means fixed overhead",
+        "dominates at this size, 2.0 would mean a surviving quadratic",
+        "term.",
         "",
-        "| query | sf0.01 s | sf0.1 s | sf0.1x10 s | exp_10x |",
+        f"| query | sf0.01 s | sf0.1 s | {big_label} s | exp |",
         "| --- | --- | --- | --- | --- |",
     ]
     for r in rows:
         lines.append(
             f"| `{r['query']}` | {r['sf0.01']} | {r['sf0.1']} |"
-            f" {r['sf0.1x10']} | {r.get('exp_10x', '')} |"
+            f" {r[big_label]} | {r.get('exp_big', '')} |"
         )
     lines += [
         "",
@@ -178,9 +191,9 @@ def main() -> None:
         "  per-stage scheduling, not data, is the cost floor on",
         "  local[32].",
     ]
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALECURVE.md"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__), "..", ARGS.out), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("# wrote SCALECURVE.md", file=sys.stderr)
+    print(f"# wrote {ARGS.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
