@@ -335,3 +335,55 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(m, fh)
     assert verify_manifest(spark, path) is False
+
+
+def test_drive_pipeline_full_dag_equivalent(spark, tmp_path):
+    """The whole reference DAG in one call (poll -> screen -> compress
+    -> ETL -> report), plus the cron-idempotency contract: a second
+    tick with no new files is a no-op before any data work, and a
+    third tick with one new file processes ONLY it."""
+    import gzip
+
+    from airflow_loan_etl_pipeline_spark.plans.drive_pipeline import (
+        run_drive_pipeline,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    work = str(tmp_path / "work")
+    for name, rows in (("loan_a.csv", FILE_A), ("loan_b.csv", FILE_B)):
+        (watch / name).write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+    (watch / "other.csv").write_text("x\n1\n")  # prefix-excluded
+    (watch / "loan_x.json").write_text("{}")   # mime-excluded
+
+    summaries, aggs, html = run_drive_pipeline(
+        spark, str(watch), work, prefix="loan_"
+    )
+    assert sorted(s["filename"] for s in summaries) == [
+        "loan_a.csv",
+        "loan_b.csv",
+    ]
+    for s in summaries:
+        assert s["original_size"] > 0 and s["compressed_size"] > 0
+        assert 0 < s["ratio"]
+        # executor-written gzip round-trips to the original bytes
+        raw = (watch / s["filename"]).read_bytes()
+        assert gzip.decompress(open(s["compressed_path"], "rb").read()) == raw
+    assert sum(r["loan_count"] for r in aggs.collect()) == 6
+    assert "<table>" in html and "loan_a.csv" in html
+
+    # tick 2: nothing new -> early no-op
+    summaries2, aggs2, html2 = run_drive_pipeline(
+        spark, str(watch), work, prefix="loan_"
+    )
+    assert summaries2 == [] and aggs2 is None and html2 is None
+
+    # tick 3: one new file -> only it is compressed; ETL sees all three
+    (watch / "loan_c.csv").write_text(
+        HEADER + "\nLN7,900.0,ACTIVE,personal,North,2024-03-05 09:00:00\n"
+    )
+    summaries3, aggs3, _ = run_drive_pipeline(
+        spark, str(watch), work, prefix="loan_"
+    )
+    assert [s["filename"] for s in summaries3] == ["loan_c.csv"]
+    assert sum(r["loan_count"] for r in aggs3.collect()) == 7
