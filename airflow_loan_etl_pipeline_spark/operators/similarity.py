@@ -162,6 +162,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize to the nearest centroid,
     probe only the query's ``nprobe`` nearest inverted lists.
@@ -185,9 +186,14 @@ def ivf_topk(
     higher at the same nprobe).
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    if centroids is not None:
+        # externally trained index (e.g. kmeans_train output as
+        # (cid, cv)) — same broadcast assignment path as the seeds
+        cents = centroids.select("cid", "cv")
+    else:
+        cents = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv")
+        )
     # One row: the sorted array of all centroids. Broadcast-cross-joined
     # onto the corpus it is a per-task constant (BroadcastNestedLoopJoin
     # over 1 row = map side).

@@ -630,11 +630,10 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
-def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
-    """Fixed-iteration Lloyd replay: the oracle re-runs the exact
-    per-round (assign → rounded mean) chain as nested CTEs, so the
-    multi-iteration trainer cannot drift from the single-step operator
-    it iterates."""
+def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
+    """CTE chain for a fixed-iteration Lloyd replay, ending at
+    cents{n_iters} — shared by the trainer oracle and the trained-IVF
+    oracle so neither can drift from the operator chain."""
     ctes = [
         "base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
         " AS v FROM embeddings)",
@@ -659,10 +658,18 @@ def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
             f"cents{i} AS (SELECT cid, list(m ORDER BY pos) AS cv"
             f" FROM means{i} GROUP BY cid)",
         ]
+    return ",\n".join(ctes)
+
+
+def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
+    """Fixed-iteration Lloyd replay: the oracle re-runs the exact
+    per-round (assign → rounded mean) chain as nested CTEs, so the
+    multi-iteration trainer cannot drift from the single-step operator
+    it iterates."""
     last = n_iters
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _kmeans_train_ctes(n_iters, k)
         + f"""
     SELECT m.cid, s.n_members, CAST(m.pos - 1 AS BIGINT) AS dim,
            m.m AS centroid_val
@@ -671,6 +678,59 @@ def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
           GROUP BY cid) s USING (cid)
     """
     )
+
+
+def _ivf_trained_oracle(
+    n_iters: int = 2,
+    k: int = 16,
+    nprobe: int = 4,
+    query_id: int = 0,
+    topk: int = 10,
+) -> str:
+    """Trained-IVF replay: the kmeans CTE chain's final centroids feed
+    the same assignment/probe SQL as embeddings_ivf_topk."""
+    last = n_iters
+    return (
+        "WITH "
+        + _kmeans_train_ctes(n_iters, k)
+        + f""",
+    tsc AS (
+        SELECT vec_id, v, cid, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid,
+                     {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
+              FROM base b, cents{last} c)
+    ),
+    tassigned AS (SELECT vec_id, v, cid FROM tsc WHERE rn = 1),
+    tqprobe AS (SELECT cid AS pcid, v AS qv FROM tsc
+                WHERE vec_id = {query_id} AND rn <= {nprobe})
+    SELECT a.vec_id, a.cid,
+           round({_COS_LR.format(l='a.v', r='q.qv')}, 6) AS cosine
+    FROM tassigned a JOIN tqprobe q ON a.cid = q.pcid
+    WHERE a.vec_id != {query_id}
+    ORDER BY cosine DESC, vec_id ASC LIMIT {topk}
+    """
+    )
+
+
+@query(
+    "embeddings_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(n_iters=2, k=16, nprobe=4),
+)
+def embeddings_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train → index → query ANN path: two Lloyd iterations
+    produce the coarse quantizer, assignment and probing run against
+    the TRAINED centroids (ivf_topk's `centroids` parameter) instead
+    of the lowest-id seeds — the production IVF lifecycle, still fully
+    deterministic and replayed exactly by the oracle's CTE chain.
+    Scale shape unchanged: per-round broadcast assignment, zero corpus
+    shuffles, probe prunes to nprobe inverted lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, n_centroids=16, n_iters=2).select(
+        "cid", F.col("centroid").alias("cv")
+    )
+    return S.ivf_topk(emb, query_id=0, centroids=cents)
 
 
 @query("kmeans_train_k16", oracle=_kmeans_train_oracle(n_iters=3, k=16))
