@@ -2627,3 +2627,64 @@ _OR["dedup_funnel_summary"] = f"""
            (SELECT count(*) FROM nx) AS n_after_normalized,
            (SELECT count(DISTINCT cluster_id) FROM cl) AS n_after_neardup
 """
+
+
+@query("text_embedding_dup_agreement", oracle=None)  # assembled below
+def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency dial: over the TRUE text near-dup pairs
+    (exact n-gram Jaccard >= 0.5), how similar are the documents'
+    embeddings? Low mean/min cosine here means the embedding space
+    does NOT see the duplicates the text pipeline sees — the signal to
+    distrust embedding-based semantic dedup (or the embeddings) before
+    relying on it at scale. Work is candidate-bounded: the pair list
+    joins the embedding table twice by id; cosines are array
+    expressions, no re-expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(S._as_double("embedding")).alias("v")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    j = (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("_va")),
+            "doc_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("_vb")),
+            "doc_b",
+        )
+        .select(
+            "jaccard",
+            F.expr(S.cosine_expr("_va", "_vb")).alias("_cos"),
+        )
+    )
+    c = F.corr("jaccard", "_cos")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("_cos"), 4).alias("mean_cosine"),
+        F.round(F.min("_cos"), 4).alias("min_cosine"),
+        # zero-variance jaccard (all planted dups identical) makes corr
+        # NaN on Spark and NULL on DuckDB — normalize to NULL
+        F.round(F.when(F.isnan(c), F.lit(None)).otherwise(c), 4).alias(
+            "jaccard_cosine_corr"
+        ),
+    )
+
+
+_OR["text_embedding_dup_agreement"] = f"""
+    WITH pairs AS (
+        SELECT * FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    j AS (SELECT p.jaccard,
+                 {_COS_LR.format(l='a.v', r='b.v')} AS cos
+          FROM pairs p
+          JOIN e a ON a.vec_id = p.doc_a
+          JOIN e b ON b.vec_id = p.doc_b)
+    SELECT count(*) AS n_pairs,
+           round(avg(cos), 4) AS mean_cosine,
+           round(min(cos), 4) AS min_cosine,
+           round(corr(jaccard, cos), 4) AS jaccard_cosine_corr
+    FROM j
+"""
