@@ -534,7 +534,7 @@ def test_streaming_neardup_admission_matches_sequential_replay(
         ).write.mode("append").option("header", True).csv(str(land))
 
     def screen(batch_df, epoch_id):
-        out = admit_batch(spark, batch_df, state)
+        out = admit_batch(spark, batch_df, state, batch_tag=epoch_id)
         out.write.mode("append").parquet(decisions)
 
     def run_stream():
@@ -582,3 +582,41 @@ def test_streaming_neardup_admission_matches_sequential_replay(
         )
         replay.update({r.doc_id: r.admission for r in out.collect()})
     assert replay == got
+
+
+def test_neardup_admission_idempotent_under_batch_redelivery(
+    spark, tmp_path
+):
+    """foreachBatch retry semantics: if an epoch's state append landed
+    but the checkpoint didn't commit, the engine REDELIVERS the batch.
+    The replay must produce the identical decisions (not flag its own
+    admitted docs as corpus dups) and must not duplicate state keys."""
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admit_batch,
+    )
+
+    state = str(tmp_path / "state")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_c = "red green blue yellow purple orange pink white"
+    b1 = spark.createDataFrame([(1, t_a)], "doc_id long, text string")
+    admit_batch(spark, b1, state, batch_tag=0).collect()
+
+    b2 = spark.createDataFrame(
+        [(4, t_a), (5, t_c)], "doc_id long, text string"
+    )
+    first = {
+        r.doc_id: r.admission
+        for r in admit_batch(spark, b2, state, batch_tag=1).collect()
+    }
+    assert first == {4: "dup_of_corpus", 5: "admitted"}
+    # simulate redelivery of the SAME epoch after its append landed
+    replay = {
+        r.doc_id: r.admission
+        for r in admit_batch(spark, b2, state, batch_tag=1).collect()
+    }
+    assert replay == first
+    keys = spark.read.parquet(state)
+    # no duplicated state rows from the retry
+    assert keys.count() == keys.distinct().count()
+    # doc 5's keys present exactly once (4 bands)
+    assert keys.filter(keys.doc_id == 5).count() == 4
