@@ -1,0 +1,187 @@
+"""Streaming NEAR-duplicate admission: every micro-batch of incoming
+documents is screened against the standing corpus by MinHash-LSH band
+keys before admission — the production shape of continuous corpus
+ingest (the batch `dedup_incremental_candidates` query covers the
+exact-fingerprint tier; this module adds the near-dup tier and the
+foreachBatch state loop).
+
+Policy (two stages, deterministic):
+
+1. CROSS-CORPUS: a document sharing ANY signature band key with an
+   already-admitted document is rejected (the standard LSH candidate
+   criterion — at the configured banding, that is "probable near-dup
+   of something we already kept").
+2. WITHIN-BATCH: the survivors are clustered by shared band keys
+   (transitive closure via the pointer-jumping dup_clusters) and ONE
+   representative per cluster — the minimum id — is admitted.
+
+State is the append-only parquet of admitted (band_id, band_key) rows
+plus the admitted-id ledger; a batch appends its admitted keys after
+screening, so replaying the same batches always admits the same set
+(the test pins streaming == batch-sequential replay).
+
+Scale shape: the batch side shuffles band keys (16 bands x ~8 bytes),
+never text; the standing-state join is an equi semi-join on
+(band_id, band_key) that at 100 TB reads a bucketed-by-band-key state
+table so only the new batch shuffles. Within-batch clustering runs on
+the batch's dup subgraph only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.operators.dedup import (
+    N_BANDS,
+    ROWS_PER_BAND,
+    dup_clusters,
+    minhash_signatures,
+)
+
+
+def band_key_rows(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_key) rows from a signature frame — the same
+    banding as minhash_lsh_pairs, reused for state screening."""
+    bands = ", ".join(
+        f"named_struct('band_id', {j}, 'band_key', "
+        f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
+        for j in range(N_BANDS)
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
+    ).select(id_col, "b.band_id", "b.band_key")
+
+
+def admission_decisions(
+    batch_df: DataFrame,
+    standing_keys: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Pure near-dup admission decision (no state I/O): screen
+    ``batch_df`` against ``standing_keys`` ((band_id, band_key) rows of
+    the already-admitted corpus, or None for an empty corpus). Returns
+    ``(decisions, admitted_keys)`` where decisions is (id, admission ∈
+    {'admitted', 'dup_of_corpus', 'dup_in_batch'}) and admitted_keys
+    are the (band_id, band_key, id) rows to append to the state."""
+    sigs = minhash_signatures(batch_df, id_col, text_col).persist()
+    keys = band_key_rows(sigs, id_col).persist()
+
+    if standing_keys is not None:
+        corpus_dups = (
+            keys.join(
+                standing_keys.select("band_id", "band_key"),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        corpus_dups = keys.select(id_col).filter(F.lit(False))
+    corpus_dups = corpus_dups.persist()
+
+    surv_keys = keys.join(corpus_dups, id_col, "left_anti")
+    a = surv_keys.select(
+        "band_id", "band_key", F.col(id_col).alias("doc_a")
+    )
+    b = surv_keys.select(
+        "band_id", "band_key", F.col(id_col).alias("doc_b")
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    survivors = batch_df.select(id_col).join(corpus_dups, id_col, "left_anti")
+    clusters = dup_clusters(survivors, pairs, id_col=id_col)
+    admitted = clusters.filter(
+        F.col("cluster_id") == F.col(id_col)
+    ).select(id_col)
+
+    # lookup frames derive from batch_df itself; rename their key
+    # column so the join conditions reference DISTINCT attributes —
+    # a bare `join(..., id_col)` here resolves to a trivially-true
+    # self-equality and marks every row as matched
+    cd = corpus_dups.select(
+        F.col(id_col).alias("_cid"), F.lit(1).alias("_c")
+    )
+    ad = admitted.select(F.col(id_col).alias("_aid"), F.lit(1).alias("_a"))
+    out = (
+        batch_df.select(id_col)
+        .join(cd, F.col(id_col) == F.col("_cid"), "left")
+        .join(ad, F.col(id_col) == F.col("_aid"), "left")
+        .select(
+            id_col,
+            F.when(F.col("_c") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("_a") == 1, F.lit("admitted"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("admission"),
+        )
+    )
+    admitted_keys = keys.join(admitted, id_col, "left_semi").select(
+        "band_id", "band_key", F.col(id_col)
+    )
+    return out, admitted_keys
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_tag: str | int | None = None,
+) -> DataFrame:
+    """Screen one micro-batch against the persistent state and append
+    its admitted band keys. Returns the (id, admission) decisions.
+
+    Designed as a ``foreachBatch`` body: state reads/writes are plain
+    parquet (swap for Delta/Iceberg where concurrent ingest needs
+    atomic appends). Pass the foreachBatch ``epoch_id`` as
+    ``batch_tag`` to make the state write an OVERWRITE of a
+    ``batch=<tag>`` partition directory — a retried epoch then
+    replaces its own keys instead of appending them twice (don't mix
+    tagged and untagged writes in one state dir: top-level files break
+    partition discovery)."""
+    import os
+
+    have_state = os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") or f.startswith("batch=")
+        for f in os.listdir(state_dir)
+    )
+    standing = spark.read.parquet(state_dir) if have_state else None
+    if standing is not None:
+        # Exactly-once under foreachBatch RETRIES: if a prior attempt
+        # appended this batch's admitted keys and then failed before
+        # the checkpoint committed, the redelivered batch would collide
+        # with its own keys and flag every admitted doc dup_of_corpus.
+        # Excluding state rows owned by the current batch's ids makes
+        # admit_batch idempotent per batch (ids are globally unique
+        # across the ingest, the usual contract).
+        ids = batch_df.select(F.col(id_col).alias("_bid")).distinct()
+        standing = standing.join(
+            ids, standing[id_col] == F.col("_bid"), "left_anti"
+        )
+    out, admitted_keys = admission_decisions(
+        batch_df, standing, id_col, text_col
+    )
+    # materialize BOTH outputs BEFORE mutating state: the decision plan
+    # reads the state table, so any later re-evaluation would see the
+    # batch's own appended keys and flag its admitted docs as
+    # self-collisions. localCheckpoint (eager) pins the computed rows —
+    # persist()+count() was observed to re-evaluate on a post-append
+    # collect.
+    out = out.localCheckpoint()
+    admitted_keys = admitted_keys.localCheckpoint()
+    if batch_tag is None:
+        admitted_keys.write.mode("append").parquet(state_dir)
+    else:
+        admitted_keys.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_tag}")
+        )
+    return out
