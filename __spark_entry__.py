@@ -47,6 +47,11 @@ _R3_PRIORITY = (
     "embeddings_quantized_int8", "embeddings_pq_codes",
     "lineitem_percentiles", "embeddings_array_funcs", "events_map_props",
     "label_centroids",
+    # round-3 NEW operators (never sampled; front-loaded so the fresh
+    # capabilities get external verification this round)
+    "kmeans_train_k16", "docs_quality_importance_sample",
+    "dedup_incremental_neardup", "embeddings_ivf_trained_topk",
+    "text_embedding_dup_agreement",
 )
 
 # Queries the round-2 driver gate sampled (CORRECTNESS_r02.json keys).
