@@ -189,6 +189,23 @@ def minhash_signatures(
     )
 
 
+def band_key_rows(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_key) rows from a signature frame — THE
+    banding definition: minhash_lsh_pairs builds its pair join from
+    these rows and streaming admission screens its state with them, so
+    the two tiers cannot drift."""
+    bands = ", ".join(
+        f"named_struct('band_id', {j}, 'band_key', "
+        f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
+        for j in range(N_BANDS)
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
+    ).select(id_col, "b.band_id", "b.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -214,14 +231,7 @@ def minhash_lsh_pairs(
     """
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, n)
-    bands = ", ".join(
-        f"named_struct('band_id', {j}, 'band_key', "
-        f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
-        for j in range(N_BANDS)
-    )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
-    ).select(id_col, "b.band_id", "b.band_key")
+    exploded = band_key_rows(sigs, id_col)
     # Pair generation as a self-equi-join on the band key — codegen'd
     # hash join + distinct, where a collect_list posting expansion runs
     # as an interpreted lambda (and, when AQE coalesces the tiny

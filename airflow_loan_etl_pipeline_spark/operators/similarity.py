@@ -154,6 +154,26 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def seed_centroids(
+    base: DataFrame, n: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """The ``n`` lowest-id vectors as (cid, cv) with DENSE 0-based
+    cids. Selecting the lowest ids FOR REAL (orderBy+limit) instead of
+    ``id < n`` keeps the codebook non-empty on id-offset corpora, and
+    the dense re-index keeps cids in the compact 0..n-1 domain the
+    quantization story assumes. On 0-based contiguous fixtures this is
+    identical to the old ``id < n`` filter. ``base`` must carry the
+    double-array column ``v``."""
+    w = Window.orderBy(id_col)
+    return (
+        base.select(id_col, "v")
+        .orderBy(id_col)
+        .limit(n)
+        .withColumn("cid", (F.row_number().over(w) - 1).cast("long"))
+        .select("cid", F.col("v").alias("cv"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -191,9 +211,7 @@ def ivf_topk(
         # (cid, cv)) — same broadcast assignment path as the seeds
         cents = centroids.select("cid", "cv")
     else:
-        cents = base.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col("v").alias("cv")
-        )
+        cents = seed_centroids(base, n_centroids, id_col)
     # One row: the sorted array of all centroids. Broadcast-cross-joined
     # onto the corpus it is a per-task constant (BroadcastNestedLoopJoin
     # over 1 row = map side).
@@ -245,9 +263,7 @@ def assign_centroids(
     broadcast-array ``array_max`` argmax as :func:`ivf_topk`, zero
     shuffles of the corpus."""
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    cents = seed_centroids(base, n_centroids, id_col)
     cent_arr = cents.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cid"), F.col("cv")))
@@ -320,10 +336,8 @@ def kmeans_train(
     round — the same edge-rounding as kmeans_refine, which also keeps
     the fixed-iteration replay bit-identical across engines."""
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cents = (
-        base.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("long").alias("cid"), F.col("v").alias("cv"))
-        .localCheckpoint(eager=False)
+    cents = seed_centroids(base, n_centroids, id_col).localCheckpoint(
+        eager=False
     )
     scores = (
         "transform(cents, c -> named_struct("
@@ -697,11 +711,11 @@ def pq_encode(
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     cb = (
-        # The PQ_K lowest ids, selected for real (orderBy+limit):
-        # `id < PQ_K` silently yields an EMPTY codebook on any
-        # corpus whose ids are not 0-based contiguous.
-        base.orderBy(id_col).limit(PQ_K)
-        .select(F.col(id_col).alias("cid"), "v")
+        # dense 0-based codebook ids from the true PQ_K lowest-id
+        # vectors (seed_centroids discipline): codes stay in 0..PQ_K-1
+        # on ANY corpus
+        seed_centroids(base, PQ_K, id_col)
+        .select("cid", F.col("cv").alias("v"))
         .select(
             "cid",
             F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
@@ -775,11 +789,9 @@ def pq_adc_topk(
         F.col("v").alias("qv")
     )
     cb = (
-        # The PQ_K lowest ids, selected for real (orderBy+limit):
-        # `id < PQ_K` silently yields an EMPTY codebook on any
-        # corpus whose ids are not 0-based contiguous.
-        base.orderBy(id_col).limit(PQ_K)
-        .select(F.col(id_col).alias("code"), "v")
+        # same dense 0-based codebook as pq_encode
+        seed_centroids(base, PQ_K, id_col)
+        .select(F.col("cid").alias("code"), F.col("cv").alias("v"))
         .crossJoin(F.broadcast(q))
         .select(
             "code",

@@ -868,10 +868,17 @@ def exact_percentiles_distributed(
     aggregate instead merges every value into ONE buffer on one task —
     the 100 TB straggler this replaces (reference point: BASELINE.md's
     equidepth note)."""
-    vals = df.select(F.col(col).alias("_v")).repartitionByRange(
-        num_ranges, "_v"
+    # NULLs are excluded like Spark's percentile; the ranged frame is
+    # PERSISTED because the offsets branch re-derives it otherwise (the
+    # spark_partition_id marker blocks exchange reuse, and a re-derived
+    # repartitionByRange may even sample DIFFERENT range boundaries,
+    # desynchronizing _pid between the rank and offset branches)
+    vals = (
+        df.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .repartitionByRange(num_ranges, "_v")
     )
-    part = vals.withColumn("_pid", F.spark_partition_id())
+    part = vals.withColumn("_pid", F.spark_partition_id()).persist()
     cnts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     woff = (
         Window.orderBy("_pid")
@@ -966,7 +973,10 @@ def exact_percentiles_twopass(
     for price-like domains. Results are bit-identical to
     `percentile(col, probs)` for integer-valued columns (interpolation
     over exactly-representable integers)."""
-    vals = df.select(F.col(col).cast("double").alias("_v"))
+    # NULLs excluded, matching Spark's percentile
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
     mn, mx, n = vals.agg(
         F.min("_v"), F.max("_v"), F.count(F.lit(1))
     ).collect()[0]

@@ -50,10 +50,10 @@ def _register_listing(spark: SparkSession) -> None:
         FileListingDataSource,
     )
 
-    try:
-        spark.dataSource.register(FileListingDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering the same source is a no-op overwrite (verified on
+    # Spark 4) — a real registration failure must surface, not be
+    # swallowed here and resurface as an opaque "source not found"
+    spark.dataSource.register(FileListingDataSource)
 
 
 def compress_new_files(fresh: DataFrame, out_dir: str) -> DataFrame:
@@ -132,9 +132,14 @@ def run_drive_pipeline(
         compress_new_files(fresh, os.path.join(work_dir, "compressed"))
     ).localCheckpoint()
 
-    loans = read_csv_dir(
-        spark, os.path.join(watch_dir, f"{prefix}*.csv"), schema=schemas.LOAN
-    )
+    # ETL input = exactly the SCREENED cumulative set (previously
+    # ledgered files + this tick's fresh ones) — a raw watch-dir glob
+    # would ingest unsettled/mid-copy files the screen just excluded
+    processed_names = {
+        r["file_id"] for r in load_ledger(spark, ledger_path).collect()
+    } | {r["file_id"] for r in fresh.select("file_id").collect()}
+    loan_paths = [os.path.join(watch_dir, n) for n in sorted(processed_names)]
+    loans = read_csv_dir(spark, loan_paths, schema=schemas.LOAN)
     _cleaned, aggs = clean_and_aggregate(
         loans,
         group_cols=["status", "product_type", "branch"],

@@ -854,7 +854,7 @@ _COS_LR2 = (
     WITH base AS (SELECT vec_id, label,
                          list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
     scored AS (
         SELECT vec_id, label, cid,
                row_number() OVER (PARTITION BY vec_id

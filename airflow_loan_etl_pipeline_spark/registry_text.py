@@ -386,7 +386,7 @@ _COS_LR = (
     oracle=f"""
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
     scored AS (
         SELECT vec_id, v, cid, ccos,
                row_number() OVER (PARTITION BY vec_id
@@ -592,7 +592,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
     scored AS (SELECT b.vec_id, b.v, c.cid,
                       {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
                FROM base b, cents c),
@@ -637,8 +637,9 @@ def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
     ctes = [
         "base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
         " AS v FROM embeddings)",
-        f"cents0 AS (SELECT vec_id AS cid, v AS cv FROM base"
-        f" WHERE vec_id < {k})",
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS cid, v AS cv FROM (SELECT vec_id, v FROM base"
+        f" ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(1, n_iters + 1):
         prev = f"cents{i - 1}"
@@ -947,7 +948,7 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = band_key_rows(
         D.minhash_signatures(existing), "doc_id"
     )
-    decisions, _keys = admission_decisions(fresh, standing)
+    decisions, _keys, _cached = admission_decisions(fresh, standing)
     return decisions
 
 
@@ -2306,9 +2307,13 @@ def docs_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
          js AS (SELECT unnest(generate_series(0, 7)) AS j),
-         cb AS (SELECT js.j, b.vec_id AS cid,
-                       b.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
-                FROM base b, js WHERE b.vec_id < 16),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                          AS cid, v
+                   FROM (SELECT vec_id, v FROM base
+                         ORDER BY vec_id LIMIT 16)),
+         cb AS (SELECT js.j, sd.cid,
+                       sd.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
+                FROM seeds sd, js),
          vj AS (SELECT vec_id, js.j,
                        v[js.j * 8 + 1 : js.j * 8 + 8] AS subv
                 FROM base, js),
@@ -2347,9 +2352,13 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
          js AS (SELECT unnest(generate_series(0, 7)) AS j),
-         cb AS (SELECT js.j, b.vec_id AS cid,
-                       b.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
-                FROM base b, js WHERE b.vec_id < 16),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                          AS cid, v
+                   FROM (SELECT vec_id, v FROM base
+                         ORDER BY vec_id LIMIT 16)),
+         cb AS (SELECT js.j, sd.cid,
+                       sd.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
+                FROM seeds sd, js),
          vj AS (SELECT vec_id, js.j,
                        v[js.j * 8 + 1 : js.j * 8 + 8] AS subv
                 FROM base, js),

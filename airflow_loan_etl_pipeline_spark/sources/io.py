@@ -36,12 +36,13 @@ from pyspark.sql import types as T
 
 def read_csv_dir(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     schema: T.StructType | None = None,
     lenient_timestamps: bool = True,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Read every CSV under ``path`` (glob union, SET1) with a header row.
+    """Read every CSV under ``path`` (glob union, SET1; also accepts an
+    explicit path list) with a header row.
 
     With ``schema=None`` falls back to inference (reference parity;
     loan_spark_etl.py:155) — avoid for large inputs.

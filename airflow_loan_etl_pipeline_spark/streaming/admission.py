@@ -33,26 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.operators.dedup import (
-    N_BANDS,
-    ROWS_PER_BAND,
+    band_key_rows,
     dup_clusters,
     minhash_signatures,
 )
-
-
-def band_key_rows(
-    sigs: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, band_id, band_key) rows from a signature frame — the same
-    banding as minhash_lsh_pairs, reused for state screening."""
-    bands = ", ".join(
-        f"named_struct('band_id', {j}, 'band_key', "
-        f"concat_ws('-', slice(sig, {j * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})))"
-        for j in range(N_BANDS)
-    )
-    return sigs.select(
-        F.col(id_col), F.explode(F.expr(f"array({bands})")).alias("b")
-    ).select(id_col, "b.band_id", "b.band_key")
 
 
 def admission_decisions(
@@ -60,13 +44,17 @@ def admission_decisions(
     standing_keys: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Pure near-dup admission decision (no state I/O): screen
     ``batch_df`` against ``standing_keys`` ((band_id, band_key) rows of
     the already-admitted corpus, or None for an empty corpus). Returns
-    ``(decisions, admitted_keys)`` where decisions is (id, admission ∈
-    {'admitted', 'dup_of_corpus', 'dup_in_batch'}) and admitted_keys
-    are the (band_id, band_key, id) rows to append to the state."""
+    ``(decisions, admitted_keys, cached)`` where decisions is (id,
+    admission ∈ {'admitted', 'dup_of_corpus', 'dup_in_batch'}),
+    admitted_keys are the (band_id, band_key, id) rows to append to
+    the state, and cached lists the persisted intermediate frames —
+    callers that materialize the outputs (localCheckpoint/collect)
+    MUST unpersist them or a long-running stream accumulates cache
+    blocks per epoch."""
     sigs = minhash_signatures(batch_df, id_col, text_col).persist()
     keys = band_key_rows(sigs, id_col).persist()
 
@@ -126,7 +114,7 @@ def admission_decisions(
     admitted_keys = keys.join(admitted, id_col, "left_semi").select(
         "band_id", "band_key", F.col(id_col)
     )
-    return out, admitted_keys
+    return out, admitted_keys, [sigs, keys, corpus_dups]
 
 
 def admit_batch(
@@ -167,7 +155,7 @@ def admit_batch(
         standing = standing.join(
             ids, standing[id_col] == F.col("_bid"), "left_anti"
         )
-    out, admitted_keys = admission_decisions(
+    out, admitted_keys, cached = admission_decisions(
         batch_df, standing, id_col, text_col
     )
     # materialize BOTH outputs BEFORE mutating state: the decision plan
@@ -178,6 +166,8 @@ def admit_batch(
     # collect.
     out = out.localCheckpoint()
     admitted_keys = admitted_keys.localCheckpoint()
+    for df in cached:  # outputs are pinned; release the per-epoch caches
+        df.unpersist()
     if batch_tag is None:
         admitted_keys.write.mode("append").parquet(state_dir)
     else:

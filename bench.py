@@ -150,6 +150,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # operator-level persists (funnel stages, global_rank frames,
+        # shingle rows, ...) are per-DataFrame and never reused across
+        # calls; dropping them between queries stops monotonic cache
+        # growth from distorting later timings
+        spark.catalog.clearCache()
 
     # Second pass over the same headline queries: first-execution
     # numbers carry JIT/shuffle-file-creation cold costs that spread
@@ -167,6 +172,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         warm[name] = round(dt, 3)
         total_warm += dt
+        spark.catalog.clearCache()
     print(f"# warm pass total: {total_warm:.3f}s", file=sys.stderr)
 
     # Round-2 additions timed SEPARATELY so the headline total stays
@@ -337,6 +343,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         extra[name] = round(dt, 3)
         print(f"# extra {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()
 
     stream_metrics = streaming_e2e(spark, sf_dir)
     print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)

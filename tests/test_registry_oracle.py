@@ -114,7 +114,8 @@ def test_no_array_columns_in_registered_outputs(spark, sf_dir):
     columns (the r02 err failure mode for kmeans_refine_step /
     embeddings_quantized_int8). Gate queries must emit scalar rows;
     array-returning OPERATORS stay array-valued — only the registered
-    gate shapes are constrained. Schema-only: no job is launched."""
+    gate shapes are constrained. Mostly schema-only; the equi-depth
+    queries run their (small) eager boundary jobs during construction."""
     from pyspark.sql import types as T
 
     offenders = []

@@ -765,3 +765,20 @@ def test_exact_percentiles_twopass_matches_percentile(spark, sf_dir):
     assert ST.exact_percentiles_twopass(dup, "x", (0.5,)) == [2.5]
     const = spark.createDataFrame([(7,)] * 5, ["x"])
     assert ST.exact_percentiles_twopass(const, "x", (0.1, 0.9)) == [7.0, 7.0]
+
+
+def test_percentile_primitives_ignore_nulls(spark):
+    """Both distributed exact-percentile recipes must skip NULLs the
+    way Spark's `percentile` does (NULLs previously crashed the
+    two-pass histogram walk and silently shifted distributed ranks)."""
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,), (5,)], "x int"
+    )
+    want = df.agg(
+        F.expr("percentile(x, array(0.5D))").alias("bs")
+    ).collect()[0]["bs"]
+    assert ST.exact_percentiles_twopass(df, "x", (0.5,)) == list(want)
+    got = ST.exact_percentiles_distributed(df, "x", (0.5,)).collect()[0][
+        "bs"
+    ]
+    assert list(got) == list(want)

@@ -418,3 +418,40 @@ def test_kmeans_train_stable_under_repartitioning(spark, sf_dir):
         assert a[cid][0] == b[cid][0], cid
         for x, y in zip(a[cid][1], b[cid][1]):
             assert abs(x - y) <= 1e-6, (cid, x, y)
+
+
+def test_seed_centroids_on_id_offset_corpus(spark, sf_dir):
+    """The codebook/centroid seeds must come from the TRUE lowest ids
+    with dense 0-based cids: a corpus whose ids start at 1000 (shard
+    offset) previously produced a silently EMPTY codebook from the
+    `id < k` filter. Train/encode results must be identical to the
+    0-based corpus modulo the id shift."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shifted = emb.withColumn("vec_id", (F.col("vec_id") + 1000).cast("long"))
+
+    base = {
+        r["cid"]: (r["n_members"], tuple(r["centroid"]))
+        for r in S.kmeans_train(emb, n_centroids=8, n_iters=1).collect()
+    }
+    moved = {
+        r["cid"]: (r["n_members"], tuple(r["centroid"]))
+        for r in S.kmeans_train(shifted, n_centroids=8, n_iters=1).collect()
+    }
+    assert base == moved and len(base) > 0
+
+    pq0 = {
+        r["vec_id"] - 0: (tuple(r["codes"]), r["recon_err"])
+        for r in S.pq_encode(emb).collect()
+    }
+    pq1 = {
+        r["vec_id"] - 1000: (tuple(r["codes"]), r["recon_err"])
+        for r in S.pq_encode(shifted).collect()
+    }
+    assert pq0 == pq1 and len(pq0) > 0
+    # codes live in the dense 0..PQ_K-1 domain even on offset ids
+    assert all(
+        0 <= c < S.PQ_K for codes, _ in pq1.values() for c in codes
+    )
