@@ -2697,3 +2697,19 @@ _OR["text_embedding_dup_agreement"] = f"""
            round(corr(jaccard, cos), 4) AS jaccard_cosine_corr
     FROM j
 """
+
+
+@query("docs_bpe_tokens")  # rows-only: iterative merge training isn't ANSI SQL
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counts: train 200 merges on the corpus word-
+    frequency table (one distributed aggregate + a vocabulary-sized
+    driver loop — the standard Sennrich split), then encode every
+    document with the broadcast merge ranks in one Arrow-batched scan.
+    Upgrades the heuristic docs_bpe_token_estimate for sequence packing
+    and token budgeting; semantics pinned by hand-computed unit tests
+    and a partitioning-invariance property (deterministic tie-breaks)."""
+    from airflow_loan_etl_pipeline_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=200)
+    return B.bpe_token_counts(docs, merges)

@@ -334,6 +334,9 @@ def main() -> None:
         "kmeans_train_k16",
         "docs_quality_importance_sample",
         "dedup_incremental_neardup",
+        "embeddings_ivf_trained_topk",
+        "text_embedding_dup_agreement",
+        "docs_bpe_tokens",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
