@@ -163,14 +163,24 @@ def seed_centroids(
     the dense re-index keeps cids in the compact 0..n-1 domain the
     quantization story assumes. On 0-based contiguous fixtures this is
     identical to the old ``id < n`` filter. ``base`` must carry the
-    double-array column ``v``."""
-    w = Window.orderBy(id_col)
-    return (
-        base.select(id_col, "v")
-        .orderBy(id_col)
+    double-array column ``v``. Dense ids come from posexplode over the
+    id-sorted collected seed array — not a row_number Window, so plans
+    composing this stay Window-free (the collect_list is bounded by
+    ``n`` rows, after the TakeOrdered limit)."""
+    arr = (
+        base.select(F.col(id_col).alias("_sid"), "v")
+        .orderBy("_sid")
         .limit(n)
-        .withColumn("cid", (F.row_number().over(w) - 1).cast("long"))
-        .select("cid", F.col("v").alias("cv"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_sid"), F.col("v")))
+            ).alias("_seeds")
+        )
+    )
+    return arr.select(
+        F.posexplode("_seeds").alias("cid", "_s")
+    ).select(
+        F.col("cid").cast("long"), F.col("_s.v").alias("cv")
     )
 
 
