@@ -32,27 +32,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Round-3 re-verification prefix: the 21 queries whose ORACLES or gate
-# shapes changed this round (HUGEINT -> BIGINT casts; array outputs
-# exploded/serialized to scalar rows). Every one is exact in the local
-# differential gate; listing them first makes the driver's 50-sample
-# prefix prove the fixes green.
-_R3_PRIORITY = (
-    "docs_pack_sequences", "corpus_dedup_final", "docs_oov_rate",
-    "corpus_build_summary", "docs_charset_stats",
-    "events_props_variant_stats", "q12_priority_shipping_buckets",
-    "events_debounce", "orders_open_backlog", "embedding_cluster_purity",
-    "events_mad_anomalies", "docs_shingle_df_histogram",
-    "corpus_token_budget_plan", "docs_rank_rbo", "kmeans_refine_step",
-    "embeddings_quantized_int8", "embeddings_pq_codes",
-    "lineitem_percentiles", "embeddings_array_funcs", "events_map_props",
-    "label_centroids",
-    # round-3 NEW operators (never sampled; front-loaded so the fresh
-    # capabilities get external verification this round)
-    "kmeans_train_k16", "docs_quality_importance_sample",
-    "dedup_incremental_neardup", "embeddings_ivf_trained_topk",
+# Queries the round-3 driver gate sampled (CORRECTNESS_r03.json keys —
+# all 50 green). Round 4 front-loads NOTHING: every changed query this
+# round (lineitem_percentiles + the equidepth/2d-grid boundary rewiring)
+# is exact in the local differential gate, so all 50 driver sample
+# slots go to draining the never-sampled backlog (VERDICT r3 item 1).
+_R3_SAMPLED = {
+    "cluster_best_representative", "corpus_build_summary",
+    "corpus_dedup_final", "corpus_token_budget_plan",
+    "customer_regexp_funcs", "dedup_funnel_summary",
+    "dedup_incremental_neardup", "docs_charset_stats", "docs_hapax_rate",
+    "docs_oov_rate", "docs_pack_sequences",
+    "docs_quality_importance_sample", "docs_rank_rbo",
+    "docs_shingle_df_histogram", "docs_substring_cut", "dup_provenance",
+    "embedding_centroid_drift", "embedding_cluster_purity",
+    "embedding_vector_stats", "embeddings_array_funcs",
+    "embeddings_ivf_trained_topk", "embeddings_pq_adc_topk",
+    "embeddings_pq_codes", "embeddings_quantized_int8",
+    "events_asof_next_purchase", "events_debounce", "events_mad_anomalies",
+    "events_map_props", "events_props_variant_stats", "events_range_join",
+    "events_user_value_anomalies", "kmeans_refine_step", "kmeans_train_k16",
+    "label_centroids", "lineitem_percentiles", "lineitem_stats_aggs",
+    "nation_extreme_customers", "orders_expectations",
+    "orders_open_backlog", "orders_retention_cohorts",
+    "orders_union_by_name", "orders_window_frames", "orders_window_nav",
+    "part_price_unpivot", "pq_recall_at_10",
+    "q12_priority_shipping_buckets", "quality_vs_dup_rate",
+    "simhash_bit_balance", "status_multiset_ops",
     "text_embedding_dup_agreement",
-)
+}
 
 # Queries the round-2 driver gate sampled (CORRECTNESS_r02.json keys).
 # Disjoint from _R1_SAMPLED; union = cumulative driver coverage.
@@ -102,22 +110,20 @@ _R1_SAMPLED = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, ordered for a prefix-sampling driver: (1) this round's
-    fixed queries, (2) never-driver-sampled oracle queries, (3) already
-    driver-green queries, (4) rows-only entries last (no oracle — a
+    """Registry, ordered for a prefix-sampling driver: (1) never-
+    driver-sampled oracle queries (so each round's 50-sample prefix
+    retires ~50 more of the external-verification backlog), (2) already
+    driver-green queries, (3) rows-only entries last (no oracle — a
     sample slot spent on one yields only the weak rows-check)."""
-    covered = _R1_SAMPLED | _R2_SAMPLED
-    prio = set(_R3_PRIORITY)
+    covered = _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _R3_PRIORITY:
-        ordered[name] = registry.QUERIES[name]
     for tier in (
         lambda k: k in registry.ORACLE and k not in covered,
         lambda k: k in registry.ORACLE,
         lambda k: True,
     ):
         for k, v in registry.QUERIES.items():
-            if k not in ordered and k not in prio and tier(k):
+            if k not in ordered and tier(k):
                 ordered[k] = v
     return ordered
 

@@ -182,28 +182,37 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group — Spark's `percentile`
-    (sort-based exact) vs DuckDB `quantile_cont`, identical
-    pos = p*(n-1) linear interpolation. Interpolating over integer
-    CENTS keeps every intermediate exactly representable (quartile
-    fractions of integers), so both engines produce bit-identical
-    doubles — no rounding, no decimal-half ambiguity. At 100 TB swap
-    for `percentile_approx` (t-digest, mergeable partial aggregation);
-    the approx variant is benchmarked separately via
-    event_type_stats_approx. Gate shape is exploded to one row per
-    (l_returnflag, quartile) — driver-safe scalar rows."""
-    li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.expr(
-            "transform(percentile(round(l_extendedprice * 100),"
-            " array(0.25D, 0.5D, 0.75D)), x -> x / 100.0)"
-        ).alias("price_quartiles"),
+    """Exact interpolated percentiles per group vs DuckDB
+    `quantile_cont`, identical pos = p*(n-1) linear interpolation,
+    computed by stats.exact_percentiles_by_value — the counting-sort
+    shape: one map-side-combined reduction to a (group, cents)
+    frequency table, then rank arithmetic over DISTINCT values only.
+    Spark's exact `percentile` aggregate instead buffers every row of a
+    group in one task's memory — the 100 TB straggler this avoids; the
+    post-reduction frames here are bounded by the price DOMAIN, not the
+    row count. Interpolating over integer CENTS keeps every
+    intermediate exactly representable, so both engines produce
+    bit-identical doubles. At 100 TB with a truly unbounded domain swap
+    for `percentile_approx` (t-digest, mergeable partial aggregation;
+    benchmarked via event_type_stats_approx). Gate shape is exploded to
+    one row per (l_returnflag, quartile) — driver-safe scalar rows."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_by_value,
     )
-    return g.select(
+
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        "n_items",
-        F.posexplode("price_quartiles").alias("quartile", "price_quartile"),
+        F.round(F.col("l_extendedprice") * 100).alias("cents"),
+    )
+    pct = exact_percentiles_by_value(
+        li, "cents", (0.25, 0.5, 0.75), group_cols=("l_returnflag",)
+    )
+    return pct.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        F.posexplode(F.expr("transform(bs, x -> x / 100.0)")).alias(
+            "quartile", "price_quartile"
+        ),
     ).withColumn("quartile", F.col("quartile").cast("bigint"))
 
 
@@ -411,32 +420,33 @@ def lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans, ZERO global sort. The naive `ntile(10) OVER (ORDER BY
     price)` formulation is a total sort through one partition at 100 TB.
     Interpolation runs over integer cents so boundaries are bit-exact
-    across engines. The boundary aggregate itself is the distributed
-    range-partition/global-rank computation
-    (stats.exact_percentiles_distributed) — the single-buffer exact
-    `percentile` it replaces merged every value into one task's
-    buffer, the straggler BASELINE.md flags at scale.
+    across engines. The boundary aggregate is LAZY
+    (stats.exact_percentiles_by_value): a counting-sort reduction whose
+    one-row result broadcast-joins onto the fact scan — no collect() at
+    plan-construction time, so boundaries can never go stale between
+    build and execution, and the single-buffer exact `percentile` it
+    replaces (every value merged into one task's buffer — the straggler
+    BASELINE.md flags at scale) never runs.
     """
     from airflow_loan_etl_pipeline_spark.operators.stats import (
-        exact_percentiles_twopass,
+        exact_percentiles_by_value,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).alias("cents")
     )
-    # Two-pass histogram boundaries (no full-data shuffle; see
-    # exact_percentiles_twopass) collected into 9 double literals —
-    # the same move Spark's own RangePartitioner makes (distributed
-    # boundary job, driver-collected cutpoints).
-    bs = exact_percentiles_twopass(
+    b = exact_percentiles_by_value(
         li, "cents", tuple(i / 10 for i in range(1, 10))
-    )
+    ).select("bs")
     bucket = None
     for i in range(1, 10):
-        term = F.when(F.col("cents") >= F.lit(bs[i - 1]), 1).otherwise(0)
+        term = F.when(
+            F.col("cents") >= F.element_at("bs", i), 1
+        ).otherwise(0)
         bucket = term if bucket is None else bucket + term
     return (
-        li.select(bucket.alias("bucket"), "cents")
+        li.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "cents")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -561,12 +571,13 @@ def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D equi-depth density grid (price quartile x quantity
     quartile) — the joint-distribution view behind z-order layout
     choices and the scatter-density dashboards. Same scale shape as the
-    1-D equi-depth histogram: two-pass grid-histogram boundaries
-    (stats.exact_percentiles_twopass — no full-data shuffle, no
-    single-buffer exact percentile) collected to literals, codegen
-    bucketing, a 16-cell count — never an ntile sort."""
+    1-D equi-depth histogram: LAZY counting-sort boundary frames
+    (stats.exact_percentiles_by_value — no single-buffer exact
+    percentile, no collect() at plan-construction time) broadcast onto
+    the fact scan, codegen bucketing, a 16-cell count — never an ntile
+    sort."""
     from airflow_loan_etl_pipeline_spark.operators.stats import (
-        exact_percentiles_twopass,
+        exact_percentiles_by_value,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -574,24 +585,30 @@ def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     probs = (0.25, 0.5, 0.75)
-    pbs = exact_percentiles_twopass(li, "pc", probs)
-    qbs = exact_percentiles_twopass(li, "q", probs)
+    pb = exact_percentiles_by_value(li, "pc", probs).select(
+        F.col("bs").alias("pbs")
+    )
+    qb = exact_percentiles_by_value(li, "q", probs).select(
+        F.col("bs").alias("qbs")
+    )
     pband = sum(
         (
-            F.when(F.col("pc") >= F.lit(pbs[i]), 1).otherwise(0)
+            F.when(F.col("pc") >= F.element_at("pbs", i + 1), 1).otherwise(0)
             for i in range(3)
         ),
         F.lit(0),
     )
     qband = sum(
         (
-            F.when(F.col("q") >= F.lit(qbs[i]), 1).otherwise(0)
+            F.when(F.col("q") >= F.element_at("qbs", i + 1), 1).otherwise(0)
             for i in range(3)
         ),
         F.lit(0),
     )
     return (
-        li.select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
+        li.crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(qb))
+        .select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
         .groupBy("price_band", "qty_band")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -185,9 +185,13 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+def _ngram_jaccard_oracle(thr: float = 0.2) -> str:
+    """Base n-gram Jaccard pair oracle with the similarity threshold as
+    a real parameter — downstream oracles (LSH recall/precision truth
+    sets at 0.5) call this instead of string-replacing the 0.2 literal,
+    which silently no-op'd if the base SQL was ever reformatted
+    (ADVICE r3 item 4)."""
+    return f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
     ex AS (SELECT doc_id, len(shingles) AS n_sh,
                   unnest(list_transform(shingles,
@@ -200,8 +204,13 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
-    FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
-    """,
+    FROM inter WHERE round(inter / (na + nb - inter), 4) >= {thr}
+    """
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_ngram_jaccard_oracle(),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -819,7 +828,7 @@ from airflow_loan_etl_pipeline_spark.registry import ORACLE as _OR  # noqa: E402
 
 _OR["lsh_candidate_recall"] = f"""
     WITH truth AS (
-        SELECT doc_a, doc_b FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+        SELECT doc_a, doc_b FROM ({_ngram_jaccard_oracle(0.5)})
     ),
     cand AS ({_OR["minhash_lsh_pairs"]}),
     hit AS (SELECT t.doc_a FROM truth t
@@ -2015,7 +2024,7 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OR["lsh_candidate_precision"] = f"""
     WITH truth AS (
-        SELECT doc_a, doc_b FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+        SELECT doc_a, doc_b FROM ({_ngram_jaccard_oracle(0.5)})
     ),
     cand AS ({_OR["minhash_lsh_pairs"]}),
     hit AS (SELECT c.doc_a FROM cand c
@@ -2682,7 +2691,7 @@ def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OR["text_embedding_dup_agreement"] = f"""
     WITH pairs AS (
-        SELECT * FROM ({_OR["ngram_jaccard_pairs"].replace(">= 0.2", ">= 0.5")})
+        SELECT * FROM ({_ngram_jaccard_oracle(0.5)})
     ),
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings),

@@ -808,3 +808,86 @@ def test_importance_sample_partitioning_invariant(spark, docs, n_parts):
         ).collect()
     }
     assert a == b
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.sampled_from([0, 1, 2, 3, 7, 9_999, 10_000]),
+        min_size=1,
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_twopass_percentiles_point_mass_refinement(spark, vals, probs):
+    """Degenerate distributions — heavy ties plus outliers that
+    concentrate nearly every row into ONE grid bucket — must still be
+    bit-exact. refine_rows=2 forces the recursive-refinement path
+    (VERDICT r3 item 2) on almost every input; the per-VALUE frequency
+    ranking collapses point-mass buckets to one row either way."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_twopass,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = exact_percentiles_twopass(
+        df, "x", tuple(probs), grid=4, depth=4, refine_rows=2
+    )
+    plist = ", ".join(f"{p}D" for p in probs)
+    want = df.agg(
+        F.expr(f"percentile(x, array({plist}))").alias("bs")
+    ).collect()[0]["bs"]
+    assert got == list(want), (vals, probs)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-(1 << 20), max_value=1 << 20),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_by_value_percentiles_equal_exact_percentile(spark, rows, probs):
+    """The lazy hierarchical counting-sort percentiles
+    (stats.exact_percentiles_by_value) must equal Spark's exact
+    `percentile` bit-for-bit per group on ANY integer multiset —
+    point masses, negatives, missing groups, single elements. block=16
+    keeps many blocks in play so the candidate-block broadcast path is
+    exercised, not just the single-block fast case."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_by_value,
+    )
+
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r["g"]: (r["n"], list(r["bs"]))
+        for r in exact_percentiles_by_value(
+            df, "x", tuple(probs), group_cols=("g",), block=16
+        ).collect()
+    }
+    plist = ", ".join(f"{p}D" for p in probs)
+    want = {
+        r["g"]: (r["n"], list(r["bs"]))
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"percentile(x, array({plist}))").alias("bs"),
+        )
+        .collect()
+    }
+    assert got == want, (rows, probs)

@@ -133,9 +133,11 @@ def main():
             print(f"  !  {line}")
         sys.exit(2)
     failures = []
+    attempted = 0
     for name, fn in registry.QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         sql = registry.ORACLE.get(name)
         if sql is None:
             try:
@@ -166,7 +168,7 @@ def main():
         print(f"  {tag}  {name}: {msg} {ex}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(registry.QUERIES) - len(failures)}/{len(registry.QUERIES)} pass")
+    print(f"\n{attempted - len(failures)}/{attempted} pass")
     if failures:
         print("FAILURES:", ", ".join(failures))
         sys.exit(1)
