@@ -32,11 +32,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
+# Queries whose implementation was REWIRED this round (round 5: the
+# percentile family moved onto stats._by_value_frames — block-level
+# counting sort + straddle-complete histogram). Front-loaded ahead of
+# the never-sampled backlog so the external driver gate re-verifies the
+# new code path once (ADVICE r4 item 4), at the cost of 3 backlog
+# slots.
+_REWIRED = [
+    "lineitem_percentiles",
+    "lineitem_equidepth_hist",
+    "lineitem_2d_density_grid",
+]
+
+# Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
+# all 50 green).
+_R4_SAMPLED = {
+    "acctbal_full_outer", "asset_dup_pairs", "brand_revenue_pipe_syntax",
+    "customer_null_handling", "customers_exists_subquery",
+    "documents_checksum", "embedding_elements", "events_autocorr_lag1",
+    "events_key_skew", "events_trend_regression", "lateral_best_order",
+    "lineitem_2d_density_grid", "lineitem_equidepth_hist",
+    "multimodal_features", "nation_trade_balance", "orders_cohort_ltv",
+    "orders_date_arith", "orders_filtered_aggs",
+    "orders_salted_status_join", "orders_sla_breach_by_priority",
+    "part_name_fuzzy_pairs", "part_pareto_frontier",
+    "parts_single_sourced", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_predicate_bands", "q20_promotable_suppliers",
+    "q21_last_shipper", "q22_idle_rich_customers",
+    "q2_max_acctbal_supplier", "q3_shipping_priority",
+    "q4_order_priority_waiting", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "region_cross_pairs", "region_nation_list",
+    "returns_rate_by_brand", "salted_event_type_counts",
+    "stateful_running_totals", "streaming_user_totals",
+    "user_value_ewma",
+}
+
 # Queries the round-3 driver gate sampled (CORRECTNESS_r03.json keys —
-# all 50 green). Round 4 front-loads NOTHING: every changed query this
-# round (lineitem_percentiles + the equidepth/2d-grid boundary rewiring)
-# is exact in the local differential gate, so all 50 driver sample
-# slots go to draining the never-sampled backlog (VERDICT r3 item 1).
+# all 50 green).
 _R3_SAMPLED = {
     "cluster_best_representative", "corpus_build_summary",
     "corpus_dedup_final", "corpus_token_budget_plan",
@@ -110,13 +145,18 @@ _R1_SAMPLED = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, ordered for a prefix-sampling driver: (1) never-
-    driver-sampled oracle queries (so each round's 50-sample prefix
-    retires ~50 more of the external-verification backlog), (2) already
-    driver-green queries, (3) rows-only entries last (no oracle — a
-    sample slot spent on one yields only the weak rows-check)."""
-    covered = _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED
+    """Registry, ordered for a prefix-sampling driver: (1) queries
+    whose implementation was rewired this round (one round of external
+    re-verification for the new code path), (2) never-driver-sampled
+    oracle queries (so each round's 50-sample prefix retires ~47 more
+    of the external-verification backlog), (3) already driver-green
+    queries, (4) rows-only entries last (no oracle — a sample slot
+    spent on one yields only the weak rows-check)."""
+    covered = _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for k in _REWIRED:
+        if k in registry.QUERIES:
+            ordered[k] = registry.QUERIES[k]
     for tier in (
         lambda k: k in registry.ORACLE and k not in covered,
         lambda k: k in registry.ORACLE,

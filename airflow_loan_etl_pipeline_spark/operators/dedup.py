@@ -779,7 +779,7 @@ def dup_span_stats(
     dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     hashed = hashed.join(dfs, "sh")
     is_dup = F.col("df") >= min_df
-    return (
+    out = (
         hashed
         .groupBy(id_col, "n_pos")
         .agg(
@@ -798,6 +798,11 @@ def dup_span_stats(
             ).alias("dup_share"),
         )
     )
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    return release_on_gc(out, hashed)
 
 
 def kmv_sketch(
@@ -1094,12 +1099,17 @@ def minhash_estimate_quality(
         est.alias("_est"), true_j.alias("_true")
     )
     err = F.abs(F.col("_est") - F.col("_true"))
-    return scored.agg(
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    out = scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg(err), 4).alias("mean_abs_err"),
         F.round(F.max(err), 4).alias("max_abs_err"),
         F.round(F.corr("_est", "_true"), 4).alias("est_corr"),
     )
+    return release_on_gc(out, hsets, sigs)
 
 
 def substring_cut(
@@ -1171,7 +1181,11 @@ def substring_cut(
             )
         ).alias("clean_md5"),
     )
-    return (
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    out = (
         totals.join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
@@ -1189,3 +1203,4 @@ def substring_cut(
             ).alias("clean_md5"),
         )
     )
+    return release_on_gc(out, hashed)

@@ -217,9 +217,12 @@ def ivf_topk(
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     if centroids is not None:
-        # externally trained index (e.g. kmeans_train output as
-        # (cid, cv)) — same broadcast assignment path as the seeds
-        cents = centroids.select("cid", "cv")
+        # externally trained index — accepts either (cid, cv) or
+        # kmeans_train's (cid, n_members, centroid) directly, so
+        # ivf_topk(centroids=kmeans_train(...)) composes without a
+        # rename shim (VERDICT r4 item 3b)
+        cvec = "cv" if "cv" in centroids.columns else "centroid"
+        cents = centroids.select("cid", F.col(cvec).alias("cv"))
     else:
         cents = seed_centroids(base, n_centroids, id_col)
     # One row: the sorted array of all centroids. Broadcast-cross-joined

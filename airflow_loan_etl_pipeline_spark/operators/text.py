@@ -1268,7 +1268,11 @@ def bigram_logprob(
             ).alias("lp"),
         )
     )
-    return (
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    out = (
         pairs.join(prob, "bg")
         .groupBy(id_col)
         .agg(
@@ -1276,6 +1280,7 @@ def bigram_logprob(
             F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
         )
     )
+    return release_on_gc(out, pairs)
 
 
 def quality_importance_sample(

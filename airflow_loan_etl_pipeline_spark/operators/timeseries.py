@@ -143,7 +143,12 @@ def funnel(
         )
         for i in range(1, len(steps))
     ]
-    return row.select(*cols, *rates)
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    # stage caches release when the result frame is dropped
+    return release_on_gc(row.select(*cols, *rates), *reached)
 
 
 def collapse_state_runs(

@@ -61,6 +61,10 @@ def global_rank(
     (training-order permutation) and stats.revenue_concentration
     (Gini ranks).
     """
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
     n = df.sparkSession.sparkContext.defaultParallelism
     ranked = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
@@ -74,11 +78,14 @@ def global_rank(
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrk", "_off")
     )
+    # cache blocks are released when the result frame is dropped —
+    # long-lived sessions don't accumulate them (VERDICT r4 item 3a)
+    return release_on_gc(out, ranked)
 
 
 def global_prefix_sum(
@@ -115,11 +122,16 @@ def global_prefix_sum(
         "_pid",
         F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off"),
     )
-    return (
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        release_on_gc,
+    )
+
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_ls") + F.col("_off"))
         .drop("_pid", "_ls", "_off")
     )
+    return release_on_gc(out, ranged)
 
 
 def pareto_frontier(

@@ -195,7 +195,12 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles. At 100 TB with a truly unbounded domain swap
     for `percentile_approx` (t-digest, mergeable partial aggregation;
     benchmarked via event_type_stats_approx). Gate shape is exploded to
-    one row per (l_returnflag, quartile) — driver-safe scalar rows."""
+    one row per (l_returnflag, quartile) — driver-safe scalar rows.
+    ``n_items`` counts NON-NULL measure values (percentile semantics,
+    matching DuckDB's count over the quantile input), not raw group
+    rows — identical on TPC-H where l_extendedprice is NOT NULL, but
+    the distinction matters if reused on nullable columns (ADVICE r4
+    item 3)."""
     from airflow_loan_etl_pipeline_spark.operators.stats import (
         exact_percentiles_by_value,
     )
@@ -414,45 +419,35 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (decile) histogram the scale-correct way: compute the
-    9 boundary values with one aggregate, broadcast the single boundary
-    row, bucket with 9 codegen'd comparisons, and count per bucket —
-    two scans, ZERO global sort. The naive `ntile(10) OVER (ORDER BY
-    price)` formulation is a total sort through one partition at 100 TB.
+    """Equi-depth (decile) histogram the scale-correct way: exact
+    interpolated boundary values from the hierarchical counting sort
+    (stats._by_value_frames -- LAZY, no collect() at plan-construction
+    time, no single-buffer exact `percentile`), and the per-bucket
+    count/min/max assembled from the SAME two level frames
+    (stats.equidepth_histogram): non-candidate blocks land whole in one
+    bucket (provably -- a straddling block must hold the boundary's
+    adjacent order statistics, which makes it a candidate), candidate
+    blocks split per exact value. Exchange reuse shares the two
+    column-pruned lineitem scans across the boundary and histogram
+    branches, so the WHOLE query is two scans, zero sorts, zero
+    collect()s. The naive `ntile(10) OVER (ORDER BY price)`
+    formulation is a total sort through one partition at 100 TB.
     Interpolation runs over integer cents so boundaries are bit-exact
-    across engines. The boundary aggregate is LAZY
-    (stats.exact_percentiles_by_value): a counting-sort reduction whose
-    one-row result broadcast-joins onto the fact scan — no collect() at
-    plan-construction time, so boundaries can never go stale between
-    build and execution, and the single-buffer exact `percentile` it
-    replaces (every value merged into one task's buffer — the straggler
-    BASELINE.md flags at scale) never runs.
+    across engines.
     """
     from airflow_loan_etl_pipeline_spark.operators.stats import (
-        exact_percentiles_by_value,
+        equidepth_histogram,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).alias("cents")
     )
-    b = exact_percentiles_by_value(
-        li, "cents", tuple(i / 10 for i in range(1, 10))
-    ).select("bs")
-    bucket = None
-    for i in range(1, 10):
-        term = F.when(
-            F.col("cents") >= F.element_at("bs", i), 1
-        ).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return (
-        li.crossJoin(F.broadcast(b))
-        .select(bucket.alias("bucket"), "cents")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.min("cents") / F.lit(1e2)).alias("bucket_min"),
-            (F.max("cents") / F.lit(1e2)).alias("bucket_max"),
-        )
+    h = equidepth_histogram(li, "cents", tuple(i / 10 for i in range(1, 10)))
+    return h.select(
+        "bucket",
+        "n_rows",
+        (F.col("v_min") / F.lit(1e2)).alias("bucket_min"),
+        (F.col("v_max") / F.lit(1e2)).alias("bucket_max"),
     )
 
 
@@ -569,13 +564,20 @@ def audio_energy_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D equi-depth density grid (price quartile x quantity
-    quartile) — the joint-distribution view behind z-order layout
+    quartile) -- the joint-distribution view behind z-order layout
     choices and the scatter-density dashboards. Same scale shape as the
     1-D equi-depth histogram: LAZY counting-sort boundary frames
-    (stats.exact_percentiles_by_value — no single-buffer exact
+    (stats.exact_percentiles_by_value -- no single-buffer exact
     percentile, no collect() at plan-construction time) broadcast onto
-    the fact scan, codegen bucketing, a 16-cell count — never an ntile
-    sort."""
+    the fact scan, codegen bucketing, a 16-cell count -- never an ntile
+    sort. BOTH axes' boundary sets come from ONE melted
+    (axis, value) frequency reduction -- exact_percentiles_by_value
+    with group_cols=("_axis",) computes the price and quantity
+    quartiles in a single scan + domain-bounded shuffle, pivoted to a
+    one-row (pbs, qbs) broadcast -- so the whole query is two scans
+    (melted boundary scan + joint bucketing scan), down from four
+    independent ones.
+    """
     from airflow_loan_etl_pipeline_spark.operators.stats import (
         exact_percentiles_by_value,
     )
@@ -585,11 +587,26 @@ def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("q"),
     )
     probs = (0.25, 0.5, 0.75)
-    pb = exact_percentiles_by_value(li, "pc", probs).select(
-        F.col("bs").alias("pbs")
+    melted = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pc").alias("_axis"),
+                    F.col("pc").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("q").alias("_axis"),
+                    F.col("q").cast("double").alias("v"),
+                ),
+            )
+        ).alias("s")
+    ).select("s._axis", "s.v")
+    both = exact_percentiles_by_value(
+        melted, "v", probs, group_cols=("_axis",)
     )
-    qb = exact_percentiles_by_value(li, "q", probs).select(
-        F.col("bs").alias("qbs")
+    bp = both.groupBy().agg(
+        F.max(F.when(F.col("_axis") == "pc", F.col("bs"))).alias("pbs"),
+        F.max(F.when(F.col("_axis") == "q", F.col("bs"))).alias("qbs"),
     )
     pband = sum(
         (
@@ -606,8 +623,7 @@ def lineitem_2d_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     return (
-        li.crossJoin(F.broadcast(pb))
-        .crossJoin(F.broadcast(qb))
+        li.crossJoin(F.broadcast(bp))
         .select(pband.alias("price_band"), qband.alias("qty_band"), "pc")
         .groupBy("price_band", "qty_band")
         .agg(

@@ -65,6 +65,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split size. The harness fixtures are single ~20 MB
+        # parquet files whose 3-4 row groups all land in ONE task at
+        # the 128 MB default — serializing every scan. 8 MB splits them
+        # to row-group granularity (a parquet split can't go below a
+        # row group), measured -0.3..0.4 s per scan-bound query at
+        # sf0.1 on local[32]. This is a LOCAL-parallelism knob: on a
+        # real cluster with 100 TB of normally-sized files keep the
+        # 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES=128m) —
+        # 8 MB there would explode the task count.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -156,24 +156,37 @@ def main() -> None:
         # growth from distorting later timings
         spark.catalog.clearCache()
 
-    # Second pass over the same headline queries: first-execution
+    # Three more passes over the same headline queries: first-execution
     # numbers carry JIT/shuffle-file-creation cold costs that spread
     # 2-3x run-to-run (q21 measured 6.4 s cold vs 2.1 s immediately
-    # after); the warm pass is the stable plan cost to compare across
-    # rounds. Both are reported.
-    warm: dict[str, float] = {}
-    total_warm = 0.0
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        warm[name] = round(dt, 3)
-        total_warm += dt
-        spark.catalog.clearCache()
+    # after). `warm` is the first re-run (comparable to prior rounds'
+    # single warm pass); `warm_median` is the per-query MEDIAN of the
+    # three re-runs — the stable number for round-over-round
+    # comparison, insulating the ±20% host-noise band (VERDICT r3
+    # item 9 / r4 item 10).
+    warm_runs: list[dict[str, float]] = []
+    for _ in range(3):
+        run: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            run[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        warm_runs.append(run)
+    warm = warm_runs[0]
+    total_warm = sum(warm.values())
+    warm_median = {
+        name: sorted(r[name] for r in warm_runs)[1] for name in warm
+    }
+    total_warm_median = sum(warm_median.values())
     print(f"# warm pass total: {total_warm:.3f}s", file=sys.stderr)
+    print(
+        f"# warm median-of-3 total: {total_warm_median:.3f}s",
+        file=sys.stderr,
+    )
 
     # Round-2 additions timed SEPARATELY so the headline total stays
     # comparable to the recorded baseline suite.
@@ -362,6 +375,7 @@ def main() -> None:
     detail = {
         "metric": "headline_suite_wall_clock_detail",
         "queries_warm": warm,
+        "queries_warm_median": warm_median,
         "streaming_e2e": stream_metrics,
         "extra_queries": extra,
     }
@@ -373,6 +387,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "value_warm": round(total_warm, 3),
+        "value_warm_median": round(total_warm_median, 3),
         "n_extra_queries": len(extra),
         "extra_total_sec": round(sum(extra.values()), 3),
     }

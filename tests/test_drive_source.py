@@ -110,3 +110,116 @@ def test_streaming_listing_exactly_once(spark, tmp_path):
     run_once()
     assert sorted(r.name for r in got) == ["loan_a.csv", "loan_b.csv"]
     assert len(got) == 2  # exactly once: loan_a not re-served
+
+
+def _write_drive_fixture(root) -> None:
+    """Record the Drive v3 responses the reference client would see:
+    two files().list pages chained by nextPageToken + media bodies."""
+    import json
+
+    (root / "pages").mkdir(parents=True)
+    (root / "media").mkdir()
+    page1 = {
+        "files": [
+            {
+                "id": "f1",
+                "name": "loan_a.csv",
+                "size": "10",
+                "modifiedTime": "2024-03-01T10:00:00.000Z",
+                "mimeType": "text/csv",
+            },
+            {
+                "id": "f2",
+                "name": "loan_b.csv",
+                "size": "11",
+                "modifiedTime": "2024-03-01T11:00:00.000Z",
+                "mimeType": "text/csv",
+            },
+            {
+                "id": "f3",
+                "name": "notes.txt",
+                "size": "5",
+                "modifiedTime": "2024-03-01T12:00:00.000Z",
+                "mimeType": "text/plain",
+            },
+        ],
+        "nextPageToken": "tok2",
+    }
+    page2 = {
+        "files": [
+            {
+                "id": "f4",
+                "name": "loan_c.csv",
+                "size": "12",
+                "modifiedTime": "2024-03-02T09:30:00.000Z",
+                "mimeType": "text/csv",
+            }
+        ]
+    }
+    (root / "pages" / "_start.json").write_text(json.dumps(page1))
+    (root / "pages" / "tok2.json").write_text(json.dumps(page2))
+    (root / "media" / "f1").write_bytes(b"id,amt\n1,100\n")
+    (root / "media" / "f2").write_bytes(b"id,amt\n2,200\n")
+    (root / "media" / "f3").write_bytes(b"hello")
+    (root / "media" / "f4").write_bytes(b"id,amt\n4,400\n" * 100)
+
+
+def test_drive_api_replay_listing(spark, tmp_path):
+    """api=drive: files().list pagination with the reference's pushed
+    prefix/MIME filters (google_drive_download.py:84-97), replayed
+    from recorded fixtures — no network."""
+    _register(spark)
+    rec = tmp_path / "drive_rec"
+    _write_drive_fixture(rec)
+    rows = (
+        spark.read.format("file_listing")
+        .option("api", "drive")
+        .option("replay_dir", str(rec))
+        .option("prefix", "loan_")
+        .option("mime", "text/csv")
+        .load()
+        .orderBy("name")
+        .collect()
+    )
+    assert [r.name for r in rows] == ["loan_a.csv", "loan_b.csv", "loan_c.csv"]
+    assert [r.path for r in rows] == ["drive://f1", "drive://f2", "drive://f4"]
+    assert rows[0].mime == "text/csv"
+    # RFC3339 modifiedTime surfaced as epoch seconds
+    assert rows[1].modified > rows[0].modified
+
+
+def test_drive_api_replay_download_and_paging(spark, tmp_path):
+    """api=drive with content: chunked media download per file inside
+    the partition reader (MediaIoBaseDownload loop,
+    google_drive_download.py:125-147); page_size=1 re-pages the
+    recorded listing into one partition per file."""
+    _register(spark)
+    rec = tmp_path / "drive_rec2"
+    _write_drive_fixture(rec)
+    df = (
+        spark.read.format("file_listing")
+        .option("api", "drive")
+        .option("replay_dir", str(rec))
+        .option("prefix", "loan_")
+        .option("page_size", "1")
+        .option("with_content", "true")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = {r.name: bytes(r.content) for r in df.collect()}
+    assert got["loan_a.csv"] == b"id,amt\n1,100\n"
+    assert got["loan_c.csv"] == b"id,amt\n4,400\n" * 100
+
+
+def test_drive_api_requires_replay_dir(spark):
+    _register(spark)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="replay_dir|PYTHON_DATA_SOURCE"):
+        (
+            spark.read.format("file_listing")
+            .option("api", "drive")
+            .load()
+            .collect()
+        )

@@ -1,0 +1,102 @@
+"""K5 live object-store integration (VERDICT r4 item 5): write + read
+parquet through the s3a connector against a real MinIO/S3 endpoint.
+
+The reference uploads through a driver-side MinIO client
+(/root/reference/airflow/dags/drive_auto_compress_email.py:119-159 —
+bucket ensure, raw/compressed puts); the engine's path is executor-
+parallel s3a I/O configured by session.object_store_conf. This test
+exercises that path END TO END when the environment provides:
+
+* ``SPARK_GRAFT_MINIO_ENDPOINT`` (e.g. http://localhost:9000) plus
+  ``SPARK_GRAFT_MINIO_ACCESS_KEY`` / ``SPARK_GRAFT_MINIO_SECRET_KEY``
+  (default minioadmin/minioadmin), and
+* the ``hadoop-aws`` + ``aws-java-sdk-bundle`` jars on the Spark
+  classpath (S3AFileSystem).
+
+Where either is missing it SKIPS with the exact reason — this sandbox
+ships neither a MinIO binary nor the hadoop-aws jar and has no
+network, so the live leg is environment-bound; the conf-plumbing leg
+is covered unconditionally by tests/test_scale_layout.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from airflow_loan_etl_pipeline_spark.session import object_store_conf
+
+ENDPOINT = os.environ.get("SPARK_GRAFT_MINIO_ENDPOINT")
+ACCESS = os.environ.get("SPARK_GRAFT_MINIO_ACCESS_KEY", "minioadmin")
+SECRET = os.environ.get("SPARK_GRAFT_MINIO_SECRET_KEY", "minioadmin")
+BUCKET = os.environ.get("SPARK_GRAFT_MINIO_BUCKET", "spark-graft-it")
+
+
+def _s3a_jar_present() -> bool:
+    spark_home = os.environ.get("SPARK_HOME") or ""
+    candidates = glob.glob(os.path.join(spark_home, "jars", "hadoop-aws-*.jar"))
+    if candidates:
+        return True
+    try:
+        import pyspark
+
+        pyspark_jars = os.path.join(
+            os.path.dirname(pyspark.__file__), "jars", "hadoop-aws-*.jar"
+        )
+        return bool(glob.glob(pyspark_jars))
+    except Exception:
+        return False
+
+
+def _endpoint_alive(url: str) -> bool:
+    try:
+        # MinIO answers /minio/health/live with 200 and no auth
+        urllib.request.urlopen(f"{url}/minio/health/live", timeout=3)
+        return True
+    except urllib.error.HTTPError:
+        return True  # reachable, just not a health endpoint
+    except Exception:
+        return False
+
+
+def test_s3a_parquet_roundtrip_via_minio(spark):
+    if not ENDPOINT:
+        pytest.skip(
+            "no SPARK_GRAFT_MINIO_ENDPOINT configured "
+            "(sandbox has no MinIO binary and no network)"
+        )
+    if not _s3a_jar_present():
+        pytest.skip("hadoop-aws jar not on the Spark classpath")
+    if not _endpoint_alive(ENDPOINT):
+        pytest.skip(f"MinIO endpoint {ENDPOINT} not reachable")
+
+    conf = object_store_conf(
+        endpoint=ENDPOINT, access_key=ACCESS, secret_key=SECRET
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+    # v2 committer semantics: directory commit without rename storms —
+    # the right committer family for object stores
+    hconf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+
+    # bucket ensure, the honest way: let the filesystem surface 404s;
+    # create through the Hadoop FS API (MinIO maps mkdirs on the root
+    # to bucket creation via the s3a connector's createBucket hook is
+    # NOT standard, so create the bucket via the S3 API directly)
+    jvm = spark.sparkContext._jvm
+    juri = jvm.java.net.URI(f"s3a://{BUCKET}/")
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, hconf)
+    path = jvm.org.apache.hadoop.fs.Path(f"s3a://{BUCKET}/it/roundtrip")
+
+    df = spark.range(1000).selectExpr("id", "id * 2 as twice")
+    df.write.mode("overwrite").parquet(f"s3a://{BUCKET}/it/roundtrip")
+    back = spark.read.parquet(f"s3a://{BUCKET}/it/roundtrip")
+    assert back.count() == 1000
+    assert back.selectExpr("sum(twice)").first()[0] == 999 * 1000
+    fs.delete(path, True)

@@ -453,15 +453,26 @@ def test_median_bootstrap_no_weight_expansion_or_exact_percentile(
     assert "windowspecdefinition(b" in plan
 
 
-def test_equidepth_hist_main_plan_is_scan_plus_hash_agg(spark, sf_dir):
-    """After the two-pass boundary computation collapses to literals,
-    the returned plan must be a single lineitem scan + hash aggregate:
-    no exact `percentile`, no window, no join."""
+def test_equidepth_hist_plan_scale_shape(spark, sf_dir):
+    """The lazy counting-sort equi-depth plan (stats._by_value_frames +
+    equidepth_histogram) must keep its 100 TB-safe shape: no
+    single-buffer exact `percentile` (every group in one task's
+    memory), no global range sort, no cartesian product over data, and
+    every join broadcast (candidate list / one-row boundary array).
+    Windows ARE allowed — they run over the level-1/level-2 frames,
+    which are bounded by the value DOMAIN (<= domain/block and <= block
+    rows per partition), never by the fact row count."""
     from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
 
     plan = _plan(registry.QUERIES["lineitem_equidepth_hist"](spark, sf_dir))
     assert "percentile" not in plan
-    assert "Window" not in plan
-    assert "Join" not in plan
-    # formatted explain prints the one scan twice (tree + detail)
-    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # a global sort over the fact would plan as range partitioning
+    assert "rangepartitioning" not in plan
+    # the one-row boundary broadcast is the only nested-loop join
+    # (formatted explain prints each node in tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # candidate-block filtering reaches the fact scan as a broadcast
+    # HASH join, not a shuffle
+    assert "BroadcastHashJoin" in plan

@@ -86,10 +86,16 @@ QUERIES = [
     "embeddings_cosine_topk",        # brute-force ANN
     "embeddings_ivf_topk",           # IVF map-side assignment
     "embeddings_batch_topk",         # batched multi-query topk
-    "lineitem_equidepth_hist",       # two-pass percentiles
+    "lineitem_equidepth_hist",       # counting-sort boundaries + straddle hist
+    "lineitem_percentiles",          # grouped by-value counting sort
     "orders_median_bootstrap_ci",    # bootstrap via weighted median
     "orders_rfm_segments",           # window + ntile-style buckets
     "docs_heavy_tokens",             # Misra-Gries two-phase
+    # round-3/4 additions (VERDICT r4 item 6)
+    "kmeans_train_k16",              # 3 Lloyd iterations, broadcast argmax
+    "embeddings_ivf_trained_topk",   # trained-IVF probe
+    "dedup_incremental_neardup",     # batch-vs-corpus admission
+    "corpus_build_summary",          # capstone pipeline
 ]
 
 
