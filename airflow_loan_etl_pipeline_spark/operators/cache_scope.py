@@ -44,3 +44,22 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for c in cached:
         weakref.finalize(result, _safe_unpersist, c)
     return result
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage for an iterative/replay-sensitive frame,
+    cluster-survivably when the session allows it.
+
+    ``localCheckpoint`` pins blocks on executors — fast, but an
+    executor loss loses the blocks AND the lineage to rebuild them
+    (fatal mid-iteration on a real cluster). When the session has a
+    RELIABLE checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir(...)`` — durable storage in
+    production), iterative operators use ``checkpoint()`` there
+    instead; without one they keep localCheckpoint, the right local
+    default. One switch, every Lloyd/pointer-jumping/PageRank round
+    (VERDICT r3 item 8)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+
 # MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
 # a*h < 2^50 never overflows int64.
 MINHASH_P = 4_294_967_311
@@ -571,7 +573,8 @@ def dup_clusters(
     saves a full pass at the cost of at most ``check_every - 1`` extra
     (cheap, already-converged) rounds.
 
-    Lineage is truncated every round: localCheckpoint (executor-pinned)
+    Lineage is truncated every round: cache_scope.pin (localCheckpoint
+    locally; reliable checkpoint() when a checkpoint dir is set)
     here in local mode; at cluster scale prefer RELIABLE checkpoints
     (``spark.sparkContext.setCheckpointDir`` on durable storage +
     ``df.checkpoint()``) so an executor loss mid-iteration doesn't
@@ -588,13 +591,13 @@ def dup_clusters(
     )
     ue = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
 
     labels = (
         ue.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
+        .transform(pin)
     )
 
     for it in range(max_iter):
@@ -620,7 +623,7 @@ def dup_clusters(
                 "node",
                 F.coalesce("plbl", F.col("lbl")).alias("lbl"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
         last_round = it == max_iter - 1
         if (it + 1) % check_every == 0 or last_round:

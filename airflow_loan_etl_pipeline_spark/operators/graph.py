@@ -6,7 +6,9 @@ together, centrality says which node is the most-linked representative.
 Scale shape per iteration: one equi-join of the edge list against the
 current rank vector (both keyed on the node id — the join reuses one
 hash partitioning across iterations) + one map-side-combinable sum
-aggregate. Lineage is truncated per iteration (localCheckpoint; use
+aggregate. Lineage is truncated per iteration (cache_scope.pin:
+localCheckpoint locally, reliable checkpoint() when a checkpoint dir
+is set; use
 reliable checkpoints on durable storage at cluster scale, same note as
 dup_clusters).
 """
@@ -15,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
 
 
 def pagerank(
@@ -36,11 +40,11 @@ def pagerank(
     # Pin the edge list and degrees ONCE: edges usually arrive as an
     # expensive pipeline (LSH pair generation) that must not re-execute
     # on every iteration's lazy re-evaluation.
-    edges = edges.localCheckpoint()
+    edges = edges.transform(pin)
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     base = nodes.select(F.col(id_col).alias("v")).crossJoin(F.broadcast(n1))
     ranks = base.select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).transform(pin)
 
     for _ in range(iterations):
         contrib = (
@@ -59,7 +63,7 @@ def pagerank(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     return ranks.select(F.col("v").alias(id_col), F.round("r", 6).alias("rank"))
 
@@ -79,12 +83,12 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     Per-node counts come from exploding each triangle's three corners —
     a constant 3x of the (small) triangle set, not of the edges.
 
-    The edge list is pinned once (localCheckpoint, same note as
+    The edge list is pinned once (cache_scope.pin, same note as
     pagerank): it is referenced three times by the closure joins, and
     edges usually arrive as an expensive LSH pipeline that must not
     re-execute per reference (measured 12 redundant scans otherwise).
     """
-    edges = edges.localCheckpoint()
+    edges = edges.transform(pin)
     e = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (

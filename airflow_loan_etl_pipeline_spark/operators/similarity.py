@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+
 N_PLANES = 8
 DIM = 64
 
@@ -343,14 +345,14 @@ def kmeans_train(
     Scale shape: the corpus is re-scanned once per iteration and NEVER
     shuffled — assignment is a broadcast argmax, the mean is a hash
     aggregate emitting centroids×dims rows. The tiny centroid frame is
-    localCheckpoint'ed every round (the dup_clusters lineage-truncation
-    pattern) so the plan does not grow with iterations; at cluster
-    scale prefer reliable ``checkpoint()``. Means round to 6 dp per
+    lineage-pinned every round (cache_scope.pin: localCheckpoint
+    locally, reliable ``checkpoint()`` when the session has a
+    checkpoint dir — the cluster knob). Means round to 6 dp per
     round — the same edge-rounding as kmeans_refine, which also keeps
     the fixed-iteration replay bit-identical across engines."""
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cents = seed_centroids(base, n_centroids, id_col).localCheckpoint(
-        eager=False
+    cents = seed_centroids(base, n_centroids, id_col).transform(
+        lambda d: pin(d, eager=False)
     )
     scores = (
         "transform(cents, c -> named_struct("
@@ -380,7 +382,7 @@ def kmeans_train(
                     " s -> s.m)"
                 ).alias("cv")
             )
-            .localCheckpoint()
+            .transform(pin)
         )
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")

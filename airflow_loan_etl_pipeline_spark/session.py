@@ -65,15 +65,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Scan-split size. The harness fixtures are single ~20 MB
-        # parquet files whose 3-4 row groups all land in ONE task at
-        # the 128 MB default — serializing every scan. 8 MB splits them
-        # to row-group granularity (a parquet split can't go below a
-        # row group), measured -0.3..0.4 s per scan-bound query at
-        # sf0.1 on local[32]. This is a LOCAL-parallelism knob: on a
-        # real cluster with 100 TB of normally-sized files keep the
-        # 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES=128m) —
-        # 8 MB there would explode the task count.
+        # Scan-split size, env-tunable. The fixtures are single ~20 MB
+        # parquet files whose 3-4 row groups land in ONE 128 MB-default
+        # split, serializing scans. A/B at sf0.1: in a FRESH session 8m
+        # rows-group-splits the scans and saves ~0.3-0.4 s on
+        # scan-bound queries (percentiles 1.35->1.00 s, 5-run
+        # medians); across the long-lived full-bench session the two
+        # settings tie (no query's warm median moved >0.15 s). 8m is
+        # the local-harness default; on a real cluster with full-sized
+        # files set SPARK_GRAFT_MAX_PARTITION_BYTES=128m — small
+        # splits there explode the task count.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),

@@ -65,3 +65,33 @@ def test_kmeans_train_composes_with_ivf_topk(spark, sf_dir):
     assert 0 < len(rows) <= 5
     assert {"neighbor_id" if "neighbor_id" in rows[0].asDict() else c
             for c in rows[0].asDict()}  # schema materialized
+
+
+def test_pin_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """cache_scope.pin: localCheckpoint by default; RELIABLE
+    checkpoint() files under the configured checkpoint dir when the
+    session has one (the cluster-survivability knob for iterative
+    operators — kmeans_train, dup_clusters, PageRank)."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+
+    sc = spark.sparkContext
+    df = spark.range(100)
+    assert pin(df).count() == 100  # local path runs
+
+    ckdir = str(tmp_path / "reliable_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        out = pin(spark.range(50).selectExpr("id * 2 as x"))
+        assert out.count() == 50
+        found = []
+        for root, _dirs, files in os.walk(ckdir):
+            found.extend(files)
+        assert found, "reliable checkpoint wrote no files"
+    finally:
+        # restore the no-checkpoint-dir default for the rest of the
+        # session (checkpointDir is a plain scala var; None unsets it;
+        # the $-named setter needs getattr — $ is not valid Python)
+        unset = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        unset(sc._jvm.scala.Option.apply(None))
