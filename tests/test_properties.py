@@ -891,3 +891,67 @@ def test_by_value_percentiles_equal_exact_percentile(spark, rows, probs):
         .collect()
     }
     assert got == want, (rows, probs)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(1 << 20), max_value=1 << 20),
+            # point masses + near-block-edge values stress the
+            # straddle/whole-block split
+            st.sampled_from([0, 1, 4095, 4096, 4097, 8191, 8192, -4096]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_equidepth_histogram_matches_bruteforce(spark, vals, probs):
+    """stats.equidepth_histogram assembles per-bucket count/min/max
+    from the level frames WITHOUT re-scanning the data, relying on the
+    straddle-completeness argument (a block straddling a boundary must
+    contain the boundary's adjacent order statistics, hence is a
+    candidate block). This pins the whole construction — boundaries,
+    whole-block assignment, per-value splits — against a sequential
+    brute force on arbitrary integer multisets, including point masses
+    and values on block edges (block=16 keeps many blocks in play)."""
+    import math
+
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        equidepth_histogram,
+    )
+
+    probs = sorted(probs)
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["bucket"]: (r["n_rows"], r["v_min"], r["v_max"])
+        for r in equidepth_histogram(df, "x", tuple(probs), block=16)
+        .collect()
+    }
+
+    s = sorted(float(v) for v in vals)
+    n = len(s)
+    bounds = []
+    for p in probs:
+        pos = p * (n - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        if pos == lo:
+            bounds.append(s[lo])
+        else:
+            bounds.append((lo + 1 - pos) * s[lo] + (pos - lo) * s[hi])
+    want: dict[int, tuple[int, float, float]] = {}
+    for v in s:
+        b = sum(1 for bd in bounds if v >= bd)
+        if b in want:
+            c, mn, mx = want[b]
+            want[b] = (c + 1, min(mn, v), max(mx, v))
+        else:
+            want[b] = (1, v, v)
+    assert got == want, (vals, probs, bounds)
