@@ -23,9 +23,11 @@ accumulation (VERDICT r4 "what's wrong" 3a).
 
 from __future__ import annotations
 
+import uuid
 import weakref
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _safe_unpersist(df: DataFrame) -> None:
@@ -35,12 +37,33 @@ def _safe_unpersist(df: DataFrame) -> None:
         pass
 
 
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """persist() with an INSTANCE-UNIQUE plan, so releasing one
+    instance can never evict an identical-plan sibling.
+
+    Spark's CacheManager registers and evicts cache entries by
+    CANONICALIZED plan: two builds of the same operator produce
+    canonically equal persisted subtrees, share ONE cache entry, and
+    ``unpersist()`` on either (for example release_on_gc firing for a
+    dropped earlier build) silently evicts the entry the LIVE build
+    depends on — a measured perf cliff and, for the
+    nondeterministic-under-re-evaluation frames (range-sampled
+    repartitions + spark_partition_id), a branch-desync correctness
+    hazard. The marker is a no-op filter on a uuid literal: schema
+    unchanged, analysis keeps it (so cache lookup keys on it),
+    constant-folded away at optimization time."""
+    tag = f"cache-scope-{uuid.uuid4().hex}"
+    return df.filter(F.lit(tag) == F.lit(tag)).persist()
+
+
 def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Unpersist ``cached`` frames when ``result`` is garbage-collected.
 
     The finalizer closure holds the only extra reference to the cached
     frames, so their blocks live exactly as long as some caller can
-    still run an action on ``result``."""
+    still run an action on ``result``. Frames passed here should come
+    from scoped_persist — a bare ``.persist()`` would make the
+    eventual unpersist evict canonically-equal siblings."""
     for c in cached:
         weakref.finalize(result, _safe_unpersist, c)
     return result

@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    pin,
+    scoped_persist as _scoped_persist,
+)
 
 # MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
 # a*h < 2^50 never overflows int64.
@@ -778,7 +781,7 @@ def dup_span_stats(
         "n_pos",
         "pos",
         F.expr(HASH60.format(x="s_str")).alias("sh"),
-    ).persist()
+    ).transform(_scoped_persist)
     dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     hashed = hashed.join(dfs, "sh")
     is_dup = F.col("df") >= min_df
@@ -1062,9 +1065,9 @@ def minhash_estimate_quality(
     # evaluates once per reference (measured 2.1 s -> ~1.4 s fresh at
     # sf0.1).
     hsets = (
-        hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh")).persist()
+        hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh")).transform(_scoped_persist)
     )
-    sigs = minhash_signatures(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n).transform(_scoped_persist)
     cand = minhash_lsh_pairs(df, id_col, text_col, n, sigs=sigs)
     j = (
         cand.join(
@@ -1144,7 +1147,7 @@ def substring_cut(
     # boilerplate n-grams at scale).
     hashed = rows.select(
         F.col(id_col), "pos", F.expr(HASH60.format(x="s_str")).alias("sh")
-    ).persist()
+    ).transform(_scoped_persist)
     dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     dup = (
         hashed.join(dfs.filter(F.col("df") >= min_df), "sh", "left_semi")

@@ -17,6 +17,9 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    scoped_persist as _scoped_persist,
+)
 
 # Fixture epoch: x is measured in days since this instant so the OLS
 # normal equations stay well-conditioned (raw epoch-seconds puts the
@@ -878,7 +881,7 @@ def exact_percentiles_distributed(
         .filter(F.col("_v").isNotNull())
         .repartitionByRange(num_ranges, "_v")
     )
-    part = vals.withColumn("_pid", F.spark_partition_id()).persist()
+    part = vals.withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
     cnts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     woff = (
         Window.orderBy("_pid")

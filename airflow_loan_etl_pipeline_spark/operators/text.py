@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    scoped_persist as _scoped_persist,
+)
 
 # Tiny English function-word lexicon for the n-gram/stopword heuristic.
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -1248,7 +1251,7 @@ def bigram_logprob(
         .selectExpr(id_col, f"{bi} AS _bis")
         .select(F.col(id_col), F.explode("_bis").alias("bg"))
         .filter(F.col("bg").isNotNull())
-        .persist()
+        .transform(_scoped_persist)
     )
     w1 = F.split(F.col("bg"), " ").getItem(0)
     bcnt = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))

@@ -15,6 +15,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    scoped_persist as _scoped_persist,
+)
 
 EWMA_ALPHA = 0.3
 
@@ -107,7 +110,7 @@ def funnel(
         ev.filter(F.col(type_col) == steps[0])
         .groupBy(key)
         .agg(F.min(ts_col).alias("t0"))
-        .persist()
+        .transform(_scoped_persist)
     )
     reached = [stage]
     for i, step in enumerate(steps[1:], start=1):
@@ -124,7 +127,7 @@ def funnel(
             .filter(cond)
             .groupBy(key)
             .agg(F.min(ts_col).alias(f"t{i}"))
-            .persist()
+            .transform(_scoped_persist)
         )
         reached.append(nxt)
 

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    scoped_persist as _scoped_persist,
+)
 
 
 def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
@@ -68,7 +71,7 @@ def global_rank(
     n = df.sparkSession.sparkContext.defaultParallelism
     ranked = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id()).persist()
+    ).withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -111,7 +114,7 @@ def global_prefix_sum(
     # global_rank above
     ranged = df.repartitionByRange(
         n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id()).persist()
+    ).withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     ).rowsBetween(Window.unboundedPreceding, 0)

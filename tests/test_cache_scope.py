@@ -95,3 +95,56 @@ def test_pin_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
         # the $-named setter needs getattr — $ is not valid Python)
         unset = getattr(sc._jsc.sc(), "checkpointDir_$eq")
         unset(sc._jvm.scala.Option.apply(None))
+
+
+def test_scoped_persist_isolates_identical_plans(spark):
+    """Two builds of the SAME operator produce canonically equal
+    persisted subtrees; with bare persist() Spark's CacheManager gives
+    them ONE shared entry and unpersisting either evicts the other's
+    cache (a perf cliff, and a branch-desync hazard for the
+    nondeterministic ranked frames). scoped_persist keys each instance
+    uniquely, so releasing one leaves the sibling cached."""
+    import gc
+
+    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+        scoped_persist,
+    )
+
+    spark.catalog.clearCache()
+    gc.collect()
+    base = _n_cached(spark)
+    mk = lambda: spark.range(1000).selectExpr("id", "id % 7 as k")  # noqa: E731
+    a = scoped_persist(mk())
+    b = scoped_persist(mk())
+    a.count()
+    b.count()
+    assert _n_cached(spark) == base + 2  # two DISTINCT entries
+    a.unpersist()
+    assert _n_cached(spark) == base + 1  # sibling survives
+    b.unpersist()
+    assert _n_cached(spark) == base
+
+
+def test_global_rank_deterministic_across_rebuilds(spark, sf_dir):
+    """Rebuilding global_rank while an earlier build is being released
+    (the bench/iteration pattern that triggered the canonical-plan
+    eviction) must keep ranks exact — the ranked frame's cache may not
+    be evicted out from under the live instance."""
+    import gc
+
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.operators import topk
+
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = None
+    for _ in range(3):
+        out = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
+        gc.collect()  # fire any pending release finalizers mid-build
+        rows = out.orderBy("rank").limit(5).collect()
+        ranks = [r["rank"] for r in rows]
+        assert ranks == [1, 2, 3, 4, 5]
+    n = df.count()
+    got = out.agg({"rank": "max"}).first()[0]
+    assert got == n
