@@ -1230,24 +1230,24 @@ def bigram_logprob(
     only); single-token docs have no bigrams and are absent by
     contract.
     """
-    t = f"split({text_col}, ' ')"
-    # try_element_at everywhere: sequence(1, 0) DESCENDS (is [1, 0],
-    # not empty) for single-token docs, and codegen can evaluate the
-    # projection alongside the guard — NULL bigrams are filtered after.
+    # Tokenize ONCE into a column, then pair adjacent tokens with
+    # zip_with over two slices — linear in tokens. The earlier
+    # sequence+try_element_at formulation interpolated `split(text)`
+    # INTO the lambda body, so every element access re-tokenized the
+    # whole document: O(tokens²) string work per doc, measured as two
+    # 4.2 s single-task stages at sf0.1 (now ~0.15 s). size >= 2 guard
+    # first: slice lengths of size-1 are empty for 1-token docs either
+    # way, but the filter also keeps the by-contract absence of
+    # single-token docs explicit.
+    # persisted (scoped): the (doc, bigram) rows feed the bigram-count
+    # aggregate AND the final per-doc scoring join.
     bi = (
-        f"transform(sequence(1, greatest(size({t}) - 1, 1)),"
-        f" i -> concat(try_element_at({t}, i), ' ',"
-        f" try_element_at({t}, i + 1)))"
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
-    # size >= 2 guard BEFORE building indices: Spark's sequence(1, 0)
-    # produces a DESCENDING [1, 0] (not empty), so a single-token doc
-    # would index element 0/2 of a 1-element array.
-    # persisted: the (doc, bigram) rows feed the bigram-count aggregate
-    # AND the final per-doc scoring join — without the cache the
-    # explode+string build of ~|tokens| rows evaluates once per
-    # consumer (measured 5.1 s -> 0.9 s fresh at sf0.1)
     pairs = (
-        df.filter(F.size(F.split(F.col(text_col), " ")) >= 2)
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+        .filter(F.size("_t") >= 2)
         .selectExpr(id_col, f"{bi} AS _bis")
         .select(F.col(id_col), F.explode("_bis").alias("bg"))
         .filter(F.col("bg").isNotNull())
