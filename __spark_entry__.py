@@ -32,16 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 5: the
-# percentile family moved onto stats._by_value_frames — block-level
-# counting sort + straddle-complete histogram). Front-loaded ahead of
-# the never-sampled backlog so the external driver gate re-verifies the
-# new code path once (ADVICE r4 item 4), at the cost of 3 backlog
-# slots.
+# Queries whose implementation was REWIRED this round (round 6: every
+# operator that fanned a shared mid-plan frame into multiple branches
+# moved from persist()+GC-finalizer lifetime to eager checkpoint
+# materialization — cache_scope.materialize_consistent — closing the
+# derive-then-drop premature-unpersist hazard, ADVICE r5 high).
+# Front-loaded so the external driver gate re-verifies the new code
+# path same-round (VERDICT r5 item 2); together with the 21-query
+# never-sampled backlog these fill 35 of the 50 sample slots.
 _REWIRED = [
-    "lineitem_percentiles",
-    "lineitem_equidepth_hist",
-    "lineitem_2d_density_grid",
+    "corpus_shuffle_order",
+    "docs_rank_rbo",
+    "docs_rrf_fusion",
+    "docs_zipf_fit",
+    "orders_revenue_gini",
+    "orders_abc_classes",
+    "part_pareto_frontier",
+    "events_funnel",
+    "events_funnel_windowed",
+    "dedup_funnel_summary",
+    "docs_bigram_logprob",
+    "docs_dup_spans",
+    "minhash_estimate_quality",
+    "docs_substring_cut",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -97,6 +110,32 @@ _R3_SAMPLED = {
     "text_embedding_dup_agreement",
 }
 
+# Queries the round-5 driver gate sampled (CORRECTNESS_r05.json keys —
+# all 50 green).
+_R5_SAMPLED = {
+    "basket_brand_lift", "benchmark_contamination_report",
+    "corpus_length_rebalance", "corpus_release_diff",
+    "corpus_weighted_sample", "discount_elasticity_by_type",
+    "docs_bm25_scores", "docs_dup_rate_by_source", "docs_lang_confusion",
+    "docs_lang_source_chi2", "docs_length_pct_rank", "docs_novelty",
+    "docs_rrf_fusion", "docs_source_divergence", "docs_source_entropy",
+    "docs_unigram_logprob", "docs_zipf_fit", "dup_triangles",
+    "events_ab_test", "events_active_users_7d", "events_changepoint",
+    "events_crosscorr_lags", "events_dow_hour_heatmap",
+    "events_funnel_windowed", "events_latest_state", "events_ohlc_hourly",
+    "events_psi_drift", "events_seasonal_anomalies",
+    "events_session_paths", "events_tier_temporal_join",
+    "events_transition_matrix", "events_user_twap",
+    "events_value_bands_daily", "events_winsorized_stats",
+    "lineitem_2d_density_grid", "lineitem_equidepth_hist",
+    "lineitem_percentiles", "loan_agg_incremental", "orders_abc_classes",
+    "orders_benford_digits", "orders_bootstrap_ci", "orders_revenue_gini",
+    "orders_rfm_segments", "orders_schema_profile",
+    "referential_integrity_audit", "source_overlap_matrix",
+    "supplier_lead_times", "user_interarrival_stats", "user_tier_scd2",
+    "users_d7_retention",
+}
+
 # Queries the round-2 driver gate sampled (CORRECTNESS_r02.json keys).
 # Disjoint from _R1_SAMPLED; union = cumulative driver coverage.
 _R2_SAMPLED = {
@@ -144,27 +183,46 @@ _R1_SAMPLED = {
 }
 
 
+# Oldest r1-verified queries whose underlying operators have since
+# been refactored (mode/topk/agg/window/dedup families) — VERDICT r5
+# item 2: spend spare sample slots re-confirming the oldest green rows
+# still hold on today's code.
+_RECHECK_OLDEST = [
+    "mode_per_column", "date_split", "loan_agg", "loan_agg_global",
+    "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
+    "window_topk_per_priority", "window_running_spend",
+    "event_type_stats", "orders_pivot_status", "docs_token_stats",
+    "dedup_exact", "minhash_lsh_pairs", "docs_fingerprint",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for a prefix-sampling driver: (1) queries
-    whose implementation was rewired this round (one round of external
-    re-verification for the new code path), (2) never-driver-sampled
-    oracle queries (so each round's 50-sample prefix retires ~47 more
-    of the external-verification backlog), (3) already driver-green
-    queries, (4) rows-only entries last (no oracle — a sample slot
-    spent on one yields only the weak rows-check)."""
-    covered = _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED
+    whose implementation was rewired this round (same-round external
+    re-verification of the new code path), (2) never-driver-sampled
+    queries — oracle-backed first, then the rows-only stragglers (the
+    weak check is still the only external row these will ever get, and
+    they are the last holes in the coverage ledger), (3) the oldest
+    r1-green queries whose operators were since refactored, (4) other
+    already driver-green oracle queries, (5) remaining rows-only
+    entries last."""
+    covered = (
+        _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED | _R5_SAMPLED
+    )
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in _REWIRED:
-        if k in registry.QUERIES:
-            ordered[k] = registry.QUERIES[k]
-    for tier in (
-        lambda k: k in registry.ORACLE and k not in covered,
-        lambda k: k in registry.ORACLE,
-        lambda k: True,
-    ):
-        for k, v in registry.QUERIES.items():
-            if k not in ordered and tier(k):
-                ordered[k] = v
+
+    def _take(names):
+        for k in names:
+            if k in registry.QUERIES and k not in ordered:
+                ordered[k] = registry.QUERIES[k]
+
+    _take(_REWIRED)
+    _take(k for k in registry.QUERIES
+          if k in registry.ORACLE and k not in covered)
+    _take(k for k in registry.QUERIES if k not in covered)
+    _take(_RECHECK_OLDEST)
+    _take(k for k in registry.QUERIES if k in registry.ORACLE)
+    _take(registry.QUERIES)
     return ordered
 
 

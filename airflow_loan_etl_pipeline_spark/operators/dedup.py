@@ -28,7 +28,7 @@ from pyspark.sql.functions import pandas_udf
 
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     pin,
-    scoped_persist as _scoped_persist,
+    materialize_consistent as _consistent,
 )
 
 # MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
@@ -776,12 +776,12 @@ def dup_span_stats(
     # combines df map-side and AQE skew-join splits the hot join
     # partitions; at cluster scale use DISK_ONLY persist (rows are
     # 8-byte hashes + positions, never text).
-    hashed = rows.select(
+    hashed = _consistent(rows.select(
         id_col,
         "n_pos",
         "pos",
         F.expr(HASH60.format(x="s_str")).alias("sh"),
-    ).transform(_scoped_persist)
+    ))
     dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     hashed = hashed.join(dfs, "sh")
     is_dup = F.col("df") >= min_df
@@ -804,11 +804,7 @@ def dup_span_stats(
             ).alias("dup_share"),
         )
     )
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
-    return release_on_gc(out, hashed)
+    return out
 
 
 def kmv_sketch(
@@ -1064,10 +1060,10 @@ def minhash_estimate_quality(
     # agreement joins — without the caches the Python shingle stage
     # evaluates once per reference (measured 2.1 s -> ~1.4 s fresh at
     # sf0.1).
-    hsets = (
-        hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh")).transform(_scoped_persist)
+    hsets = _consistent(
+        hashed.groupBy(id_col).agg(F.collect_list("h").alias("hh"))
     )
-    sigs = minhash_signatures(df, id_col, text_col, n).transform(_scoped_persist)
+    sigs = _consistent(minhash_signatures(df, id_col, text_col, n))
     cand = minhash_lsh_pairs(df, id_col, text_col, n, sigs=sigs)
     j = (
         cand.join(
@@ -1105,17 +1101,13 @@ def minhash_estimate_quality(
         est.alias("_est"), true_j.alias("_true")
     )
     err = F.abs(F.col("_est") - F.col("_true"))
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
     out = scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg(err), 4).alias("mean_abs_err"),
         F.round(F.max(err), 4).alias("max_abs_err"),
         F.round(F.corr("_est", "_true"), 4).alias("est_corr"),
     )
-    return release_on_gc(out, hsets, sigs)
+    return out
 
 
 def substring_cut(
@@ -1145,9 +1137,9 @@ def substring_cut(
     # same hot-shingle skew reasoning as dup_span_stats (a window
     # partitioned on the hash key is a single-task straggler for
     # boilerplate n-grams at scale).
-    hashed = rows.select(
+    hashed = _consistent(rows.select(
         F.col(id_col), "pos", F.expr(HASH60.format(x="s_str")).alias("sh")
-    ).transform(_scoped_persist)
+    ))
     dfs = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     dup = (
         hashed.join(dfs.filter(F.col("df") >= min_df), "sh", "left_semi")
@@ -1187,10 +1179,6 @@ def substring_cut(
             )
         ).alias("clean_md5"),
     )
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
     out = (
         totals.join(rebuilt, id_col, "left")
         .select(
@@ -1209,4 +1197,4 @@ def substring_cut(
             ).alias("clean_md5"),
         )
     )
-    return release_on_gc(out, hashed)
+    return out

@@ -18,7 +18,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-    scoped_persist as _scoped_persist,
+    materialize_consistent as _consistent,
 )
 
 # Fixture epoch: x is measured in days since this instant so the OLS
@@ -872,16 +872,16 @@ def exact_percentiles_distributed(
     the 100 TB straggler this replaces (reference point: BASELINE.md's
     equidepth note)."""
     # NULLs are excluded like Spark's percentile; the ranged frame is
-    # PERSISTED because the offsets branch re-derives it otherwise (the
-    # spark_partition_id marker blocks exchange reuse, and a re-derived
-    # repartitionByRange may even sample DIFFERENT range boundaries,
-    # desynchronizing _pid between the rank and offset branches)
+    # MATERIALIZED ONCE because the offsets branch re-derives it
+    # otherwise, and a re-derived repartitionByRange may sample
+    # DIFFERENT range boundaries, desynchronizing _pid between the
+    # rank and offset branches
     vals = (
         df.select(F.col(col).alias("_v"))
         .filter(F.col("_v").isNotNull())
         .repartitionByRange(num_ranges, "_v")
     )
-    part = vals.withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
+    part = _consistent(vals.withColumn("_pid", F.spark_partition_id()))
     cnts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     woff = (
         Window.orderBy("_pid")
@@ -944,15 +944,10 @@ def exact_percentiles_distributed(
             .alias("_b"),
         )
     )
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
-    out = bounds.agg(
+    return bounds.agg(
         F.expr("transform(array_sort(collect_list(struct(_i, _b))),"
                " s -> s._b)").alias("bs")
     )
-    return release_on_gc(out, part)
 
 
 def _quote(cols):

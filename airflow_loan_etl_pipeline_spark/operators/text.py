@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-    scoped_persist as _scoped_persist,
+    materialize_consistent as _consistent,
 )
 
 # Tiny English function-word lexicon for the n-gram/stopword heuristic.
@@ -1239,19 +1239,18 @@ def bigram_logprob(
     # first: slice lengths of size-1 are empty for 1-token docs either
     # way, but the filter also keeps the by-contract absence of
     # single-token docs explicit.
-    # persisted (scoped): the (doc, bigram) rows feed the bigram-count
+    # materialized once: the (doc, bigram) rows feed the bigram-count
     # aggregate AND the final per-doc scoring join.
     bi = (
         "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
         " (a, b) -> concat(a, ' ', b))"
     )
-    pairs = (
+    pairs = _consistent(
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
         .filter(F.size("_t") >= 2)
         .selectExpr(id_col, f"{bi} AS _bis")
         .select(F.col(id_col), F.explode("_bis").alias("bg"))
         .filter(F.col("bg").isNotNull())
-        .transform(_scoped_persist)
     )
     w1 = F.split(F.col("bg"), " ").getItem(0)
     bcnt = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
@@ -1271,11 +1270,7 @@ def bigram_logprob(
             ).alias("lp"),
         )
     )
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
-    out = (
+    return (
         pairs.join(prob, "bg")
         .groupBy(id_col)
         .agg(
@@ -1283,7 +1278,6 @@ def bigram_logprob(
             F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
         )
     )
-    return release_on_gc(out, pairs)
 
 
 def quality_importance_sample(

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-    scoped_persist as _scoped_persist,
+    materialize_consistent as _consistent,
 )
 
 EWMA_ALPHA = 0.3
@@ -102,15 +102,14 @@ def funnel(
     from pyspark.sql import functions as F
 
     ev = events.select(key, ts_col, type_col)
-    # each stage frame (|users who reached it| rows) is persisted: it
-    # feeds BOTH the next stage's join and its own count aggregate, and
-    # counts re-evaluate the whole predecessor chain otherwise (stage 0
-    # was scanned 3x in the 3-step funnel)
-    stage = (
+    # each stage frame (|users who reached it| rows) is materialized
+    # once: it feeds BOTH the next stage's join and its own count
+    # aggregate, and counts re-evaluate the whole predecessor chain
+    # otherwise (stage 0 was scanned 3x in the 3-step funnel)
+    stage = _consistent(
         ev.filter(F.col(type_col) == steps[0])
         .groupBy(key)
         .agg(F.min(ts_col).alias("t0"))
-        .transform(_scoped_persist)
     )
     reached = [stage]
     for i, step in enumerate(steps[1:], start=1):
@@ -121,13 +120,12 @@ def funnel(
                 F.unix_micros(F.col(ts_col))
                 <= F.unix_micros(F.col(f"t{i-1}")) + max_gap_s * 1_000_000
             )
-        nxt = (
+        nxt = _consistent(
             ev.filter(F.col(type_col) == step)
             .join(prev, key)
             .filter(cond)
             .groupBy(key)
             .agg(F.min(ts_col).alias(f"t{i}"))
-            .transform(_scoped_persist)
         )
         reached.append(nxt)
 
@@ -146,12 +144,7 @@ def funnel(
         )
         for i in range(1, len(steps))
     ]
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
-    # stage caches release when the result frame is dropped
-    return release_on_gc(row.select(*cols, *rates), *reached)
+    return row.select(*cols, *rates)
 
 
 def collapse_state_runs(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-    scoped_persist as _scoped_persist,
+    materialize_consistent as _consistent,
 )
 
 
@@ -56,22 +56,20 @@ def global_rank(
     ordered and local ranking is dense. ``order_cols`` must be a total
     order (append a unique id as tie-break).
 
-    The offsets branch re-derives the ranked subtree (the
-    ``spark_partition_id`` marker blocks exchange reuse), so the ranged
-    frame is PERSISTED here — (key, id)-width rows, spill-safe; every
-    caller (rrf_fuse, text.shuffle_order, revenue_concentration) was
-    paying the double evaluation. Used by text.shuffle_order
-    (training-order permutation) and stats.revenue_concentration
-    (Gini ranks).
+    The offsets branch re-derives the ranked subtree, and a re-derived
+    ``repartitionByRange`` may sample DIFFERENT range bounds, so the
+    ranged frame is MATERIALIZED ONCE (cache_scope.materialize_consistent
+    — eager checkpoint, lifetime owned by the JVM plan graph) before
+    both branches read it — (key, id)-width rows, spill-safe. Used by
+    text.shuffle_order (training-order permutation),
+    text.rrf_fuse/rank_rbo, and stats.revenue_concentration/zipf_fit
+    (Gini/Zipf ranks).
     """
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
     n = df.sparkSession.sparkContext.defaultParallelism
-    ranked = df.repartitionByRange(
-        n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
+    ranked = _consistent(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+    )
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -81,14 +79,11 @@ def global_rank(
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    out = (
+    return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrk", "_off")
     )
-    # cache blocks are released when the result frame is dropped —
-    # long-lived sessions don't accumulate them (VERDICT r4 item 3a)
-    return release_on_gc(out, ranked)
 
 
 def global_prefix_sum(
@@ -110,11 +105,12 @@ def global_prefix_sum(
     oracle).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    # persisted for the same totals-branch re-derivation reason as
-    # global_rank above
-    ranged = df.repartitionByRange(
-        n, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id()).transform(_scoped_persist)
+    # materialized once for the same totals-branch re-derivation
+    # reason as global_rank above
+    ranged = _consistent(
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+    )
     w_local = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc() for c in order_cols]
     ).rowsBetween(Window.unboundedPreceding, 0)
@@ -125,16 +121,11 @@ def global_prefix_sum(
         "_pid",
         F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off"),
     )
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        release_on_gc,
-    )
-
-    out = (
+    return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_ls") + F.col("_off"))
         .drop("_pid", "_ls", "_off")
     )
-    return release_on_gc(out, ranged)
 
 
 def pareto_frontier(
@@ -164,8 +155,14 @@ def pareto_frontier(
     """
     cand = df.groupBy(min_col).agg(F.max(max_col).alias(max_col))
     n = df.sparkSession.sparkContext.defaultParallelism
-    ranged = cand.repartitionByRange(n, F.col(min_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized once: the offsets branch re-derives this subtree,
+    # and a re-derived repartitionByRange may sample different range
+    # bounds — the same _pid-desync hazard as global_rank (this site
+    # previously fanned the nondeterministic frame out unprotected)
+    ranged = _consistent(
+        cand.repartitionByRange(n, F.col(min_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = (
         Window.partitionBy("_pid")

@@ -62,6 +62,13 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reliable-checkpoint files (cache_scope.pin /
+        # materialize_consistent when a checkpoint dir is configured)
+        # are deleted by the ContextCleaner once their RDD is
+        # unreferenced — without this, every Lloyd/PageRank/
+        # pointer-jumping round leaks a checkpoint directory on
+        # durable storage for the life of the application.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

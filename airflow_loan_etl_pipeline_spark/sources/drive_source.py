@@ -117,10 +117,18 @@ class _ReplayDriveTransport:
 
 
 def _rfc3339_epoch(ts: str) -> float:
+    """Parse any RFC3339 timestamp the Drive API may emit. The API
+    documents millisecond precision ('...T10:00:00.000Z'), but valid
+    RFC3339 also allows no fractional seconds and numeric offsets —
+    ``fromisoformat`` (py>=3.11) handles all of these; a hardcoded
+    '%.fZ' strptime raised ValueError inside the executor read path
+    for the no-fraction form, failing the whole partition."""
     from datetime import datetime, timezone
 
-    dt = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%fZ")
-    return dt.replace(tzinfo=timezone.utc).timestamp()
+    dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
 
 
 class FileListingDataSource(DataSource):

@@ -388,6 +388,13 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "value_warm": round(total_warm, 3),
         "value_warm_median": round(total_warm_median, 3),
+        # per-query warm medians in the PARSED json (VERDICT r5 item
+        # 9) — round-over-round per-query comparison without
+        # re-deriving from the stderr detail line. Two 39-entry maps
+        # keep the line ~3 KB, well inside the driver's stdout-tail
+        # capture (the r2 overflow needed the 150-entry extras map
+        # inlined too — that stays on stderr).
+        "queries_warm_median": warm_median,
         "n_extra_queries": len(extra),
         "extra_total_sec": round(sum(extra.values()), 3),
     }

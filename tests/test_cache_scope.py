@@ -1,7 +1,10 @@
-"""Cache-lifetime scoping (VERDICT r4 item 3a): operators that persist
-a mid-plan frame must release its blocks when the RESULT frame is
-dropped — a long-lived session building the same query repeatedly (the
-bench loop) may not accumulate CacheManager entries forever."""
+"""Consistency-materialization contract (VERDICT r5 item 3 / ADVICE r5
+high): operators that fan a nondeterministic mid-plan frame (range-
+sampled repartition + spark_partition_id) into multiple plan branches
+must read ONE materialization of it — and that must hold even when the
+caller keeps only frames DERIVED from the operator's result (the
+derive-then-drop pattern that silently broke the round-4/5
+weakref-finalizer design by unpersisting before the first action)."""
 
 from __future__ import annotations
 
@@ -13,38 +16,100 @@ from airflow_loan_etl_pipeline_spark.catalog import load_table
 from airflow_loan_etl_pipeline_spark.operators import topk
 
 
-def _n_cached(spark) -> int:
+def _n_stored_rdds(spark) -> int:
     jsc = spark.sparkContext._jsc.sc()
     return jsc.getRDDStorageInfo().__len__()
 
 
-def test_global_rank_cache_released_on_gc(spark, sf_dir):
-    spark.catalog.clearCache()
-    gc.collect()
-    before = _n_cached(spark)
+def test_global_rank_derive_then_drop_branch_consistency(spark, sf_dir):
+    """THE regression test for ADVICE r5 (high): keep only a frame
+    derived from global_rank's result, drop the result wrapper, force
+    Python GC, then act twice. Under the old weakref-finalizer design
+    the backing cache was unpersisted before the first action, and the
+    rank/offset branches could re-evaluate a repartitionByRange with
+    DIFFERENT sampled bounds — producing duplicate/missing ranks. With
+    eager checkpoint materialization the ranks must be an exact
+    permutation 1..n on every action."""
     df = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    out = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
-    assert out.count() > 0
-    assert _n_cached(spark) > before  # the ranged frame is cached
-    del out
+    n = df.count()
+    result = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
+    derived = result.select("rank")  # no Python ref to `result` kept
+    del result
     gc.collect()
-    assert _n_cached(spark) == before  # finalizer released the blocks
+    for _ in range(2):  # two actions: desync shows as non-permutation
+        ranks = [r["rank"] for r in derived.collect()]
+        assert sorted(ranks) == list(range(1, n + 1))
 
 
-def test_funnel_caches_released_on_gc(spark, sf_dir):
+def test_consistent_blocks_survive_wrapper_gc(spark, sf_dir):
+    """The materialized frame's blocks are owned by the JVM plan graph
+    (every derived plan references the checkpointed RDD), so Python-GC
+    of the result wrapper must NOT free them while a derived frame is
+    still live — the inverse of the round-4/5 premature-free bug."""
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    result = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
+    derived = result.agg(F.max("rank").alias("mx"))
+    del result
+    gc.collect()
+    stored = _n_stored_rdds(spark)
+    assert stored > 0  # checkpoint blocks still present post-GC
+    assert derived.first()["mx"] == df.count()  # and still readable
+
+
+def test_global_prefix_sum_derive_then_drop(spark, sf_dir):
+    """Same derive-then-drop contract for the prefix-sum twin: the
+    cumulative sum over the total order must equal the running total
+    an oracle computes, on the second action as much as the first."""
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cents = df.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    result = topk.global_prefix_sum(cents, ["o_orderkey"], "c", "ps")
+    derived = result.agg(F.max("ps").alias("mx"))
+    del result
+    gc.collect()
+    total = cents.agg(F.sum("c")).first()[0]
+    assert derived.first()["mx"] == total
+    assert derived.first()["mx"] == total  # second action
+
+
+def test_funnel_derive_then_drop(spark, sf_dir):
     from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
 
-    spark.catalog.clearCache()
-    gc.collect()
-    before = _n_cached(spark)
     ev = load_table(spark, sf_dir, "events")
     out = funnel(ev, ["view", "click", "purchase"], key="user_id")
-    assert out.count() == 1
+    derived = out.select("users_view", "users_click", "users_purchase")
     del out
     gc.collect()
-    assert _n_cached(spark) == before
+    a = derived.first()
+    b = derived.first()
+    assert a == b
+    assert a["users_view"] >= a["users_click"] >= a["users_purchase"]
+
+
+def test_two_builds_are_independent(spark, sf_dir):
+    """Two builds of the same operator materialize independent frames:
+    releasing (dropping) one may never corrupt the other — the
+    CacheManager canonical-plan collision class of bugs (round 5's
+    scoped_persist fix) cannot exist for checkpointed RDDs, which are
+    keyed by identity, not by canonicalized plan."""
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = df.count()
+    a = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
+    b = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
+    del a
+    gc.collect()
+    ranks = [r["rank"] for r in b.select("rank").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
 
 
 def test_kmeans_train_composes_with_ivf_topk(spark, sf_dir):
@@ -97,51 +162,16 @@ def test_pin_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
         unset(sc._jvm.scala.Option.apply(None))
 
 
-def test_scoped_persist_isolates_identical_plans(spark):
-    """Two builds of the SAME operator produce canonically equal
-    persisted subtrees; with bare persist() Spark's CacheManager gives
-    them ONE shared entry and unpersisting either evicts the other's
-    cache (a perf cliff, and a branch-desync hazard for the
-    nondeterministic ranked frames). scoped_persist keys each instance
-    uniquely, so releasing one leaves the sibling cached."""
-    import gc
-
-    from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-        scoped_persist,
-    )
-
-    spark.catalog.clearCache()
-    gc.collect()
-    base = _n_cached(spark)
-    mk = lambda: spark.range(1000).selectExpr("id", "id % 7 as k")  # noqa: E731
-    a = scoped_persist(mk())
-    b = scoped_persist(mk())
-    a.count()
-    b.count()
-    assert _n_cached(spark) == base + 2  # two DISTINCT entries
-    a.unpersist()
-    assert _n_cached(spark) == base + 1  # sibling survives
-    b.unpersist()
-    assert _n_cached(spark) == base
-
-
 def test_global_rank_deterministic_across_rebuilds(spark, sf_dir):
-    """Rebuilding global_rank while an earlier build is being released
-    (the bench/iteration pattern that triggered the canonical-plan
-    eviction) must keep ranks exact — the ranked frame's cache may not
-    be evicted out from under the live instance."""
-    import gc
-
-    from airflow_loan_etl_pipeline_spark.catalog import load_table
-    from airflow_loan_etl_pipeline_spark.operators import topk
-
+    """Rebuilding global_rank while an earlier build is dropped (the
+    bench/iteration pattern) must keep ranks exact on every build."""
     df = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     out = None
     for _ in range(3):
         out = topk.global_rank(df, ["o_totalprice", "o_orderkey"])
-        gc.collect()  # fire any pending release finalizers mid-build
+        gc.collect()  # drop the previous build mid-loop
         rows = out.orderBy("rank").limit(5).collect()
         ranks = [r["rank"] for r in rows]
         assert ranks == [1, 2, 3, 4, 5]
