@@ -28,15 +28,23 @@ Usage::
 Drive-API mode (``option("api", "drive")``): the reader speaks the
 Drive v3 *protocol shapes* — ``files().list`` JSON pages with
 ``nextPageToken`` chaining and per-file media downloads — against a
-pluggable transport. The in-repo transport is RECORDED-FIXTURE REPLAY
-(``option("replay_dir", ...)``): a directory holding the JSON pages a
-real ``files().list`` returned (``pages/<token>.json``, first page
-``pages/_start.json``) plus the media bodies keyed by file id
-(``media/<id>``). That reproduces the reference client's pagination,
-name-prefix/MIME ``q`` filtering, and chunked ``MediaIoBaseDownload``
-loop (google_drive_download.py:62-147) byte-for-byte with no network;
-a live deployment swaps ``_ReplayDriveTransport`` for an HTTP
-transport with the same two methods and nothing else changes.
+pluggable two-method transport with two implementations:
+
+- RECORDED-FIXTURE REPLAY (``option("replay_dir", ...)``): a directory
+  holding the JSON pages a real ``files().list`` returned
+  (``pages/<token>.json``, first page ``pages/_start.json``) plus the
+  media bodies keyed by file id (``media/<id>``). Reproduces the
+  reference client's pagination, name-prefix/MIME ``q`` filtering,
+  and chunked ``MediaIoBaseDownload`` loop
+  (google_drive_download.py:62-147) byte-for-byte with no network —
+  the mode every offline test uses.
+- LIVE HTTP (``option("folder_id", ...)`` + service-account
+  credentials via ``option("credentials", ...)`` or
+  ``$GOOGLE_APPLICATION_CREDENTIALS``): the reference's authenticated
+  ``googleapiclient`` path (google_drive_download.py:37-147) —
+  constructed only when that configuration is present, imported
+  lazily, and exercised by an env-gated test that skips without
+  credentials/network (the MinIO green-or-skip pattern).
 """
 
 from __future__ import annotations
@@ -114,6 +122,112 @@ class _ReplayDriveTransport:
                 if not c:
                     break
                 yield c
+
+
+class _HttpDriveTransport:
+    """LIVE Drive v3 transport: the reference's authenticated
+    ``files().list`` pagination + ``MediaIoBaseDownload`` chunk loop
+    (google_drive_download.py:37-147) behind the same two-method
+    interface as :class:`_ReplayDriveTransport` — a drop-in swap, so
+    the Spark integration (page partitions, pushed-down prefix/MIME
+    filters, in-partition chunked reads) is identical in replay and
+    live modes.
+
+    Constructed only when a live configuration is present
+    (``folder_id`` + service-account credentials); imports
+    ``googleapiclient`` lazily because the live client libraries are
+    an OPTIONAL dependency — absent in offline environments, where
+    the replay transport carries all tests.
+    """
+
+    # Drive list fields the readers consume — mirrors the reference's
+    # fields= projection (google_drive_download.py:100-104)
+    _FIELDS = "nextPageToken, files(id, name, size, modifiedTime, mimeType)"
+
+    def __init__(
+        self,
+        folder_id: str,
+        credentials_path: str,
+        prefix: str = "",
+        mime: str | None = None,
+        page_size: int = 100,
+    ):
+        self.folder_id = folder_id
+        self.credentials_path = credentials_path
+        self.prefix = prefix
+        self.mime = mime
+        self.page_size = page_size
+
+    def _service(self):
+        try:
+            from google.oauth2 import service_account
+            from googleapiclient.discovery import build
+        except ImportError as e:  # optional live-only dependency
+            raise RuntimeError(
+                "live Drive transport needs google-api-python-client + "
+                "google-auth (pip install google-api-python-client "
+                "google-auth); offline environments use replay_dir"
+            ) from e
+        creds = service_account.Credentials.from_service_account_file(
+            self.credentials_path,
+            scopes=["https://www.googleapis.com/auth/drive.readonly"],
+        )
+        return build("drive", "v3", credentials=creds, cache_discovery=False)
+
+    def _query(self) -> str:
+        # push the filters INTO the Drive query string, exactly the
+        # reference's predicate pushdown (google_drive_download.py:84-97)
+        terms = [f"'{self.folder_id}' in parents", "trashed = false"]
+        if self.prefix:
+            safe = self.prefix.replace("\\", "\\\\").replace("'", "\\'")
+            terms.append(f"name contains '{safe}'")
+        if self.mime:
+            terms.append(f"mimeType = '{self.mime}'")
+        return " and ".join(terms)
+
+    def list_pages(self):
+        svc = self._service()
+        token = None
+        while True:
+            page = (
+                svc.files()
+                .list(
+                    q=self._query(),
+                    pageSize=self.page_size,
+                    fields=self._FIELDS,
+                    pageToken=token,
+                    orderBy="name",
+                )
+                .execute()
+            )
+            # 'name contains' is a substring match server-side; keep
+            # the exact-prefix contract client-side like the reference
+            yield [
+                f
+                for f in page.get("files", [])
+                if f["name"].startswith(self.prefix)
+            ]
+            token = page.get("nextPageToken")
+            if token is None:
+                return
+
+    def download(self, file_id: str):
+        import io
+
+        from googleapiclient.http import MediaIoBaseDownload
+
+        svc = self._service()
+        req = svc.files().get_media(fileId=file_id)
+        buf = io.BytesIO()
+        dl = MediaIoBaseDownload(buf, req, chunksize=_CHUNK)
+        done = False
+        while not done:
+            _status, done = dl.next_chunk()
+            chunk = buf.getvalue()
+            if chunk:
+                yield chunk
+                buf.seek(0)
+                buf.truncate(0)
 
 
 def _rfc3339_epoch(ts: str) -> float:
@@ -213,16 +327,23 @@ class _DriveListingReader(DataSourceReader):
     partition per page, prefix/MIME filters applied the way the
     reference pushes them into the Drive ``q`` string
     (google_drive_download.py:84-97), chunked media download inside
-    the partition reader. Requires ``replay_dir`` (recorded fixtures);
-    a live HTTP transport drops in behind the same interface."""
+    the partition reader. Transport: ``replay_dir`` (recorded
+    fixtures, offline) or ``folder_id`` + credentials (live
+    googleapiclient HTTP)."""
 
     def __init__(self, options):
         self.replay_dir = options.get("replay_dir")
-        if not self.replay_dir:
+        self.folder_id = options.get("folder_id")
+        self.credentials = options.get("credentials") or os.environ.get(
+            "GOOGLE_APPLICATION_CREDENTIALS"
+        )
+        if not self.replay_dir and not (self.folder_id and self.credentials):
             raise ValueError(
-                "api=drive requires option 'replay_dir' (recorded "
-                "files().list pages + media bodies; no live HTTP "
-                "transport is bundled)"
+                "api=drive needs either option 'replay_dir' (recorded "
+                "files().list pages + media bodies — the offline mode "
+                "every test uses) or a LIVE configuration: option "
+                "'folder_id' plus service-account credentials (option "
+                "'credentials' or $GOOGLE_APPLICATION_CREDENTIALS)"
             )
         self.prefix = options.get("prefix", "")
         self.mime = options.get("mime")
@@ -231,8 +352,21 @@ class _DriveListingReader(DataSourceReader):
             options.get("with_content", "false").lower() == "true"
         )
 
+    def _transport(self):
+        # replay wins when both are configured: deterministic fixtures
+        # must never silently fall through to the network
+        if self.replay_dir:
+            return _ReplayDriveTransport(self.replay_dir)
+        return _HttpDriveTransport(
+            self.folder_id,
+            self.credentials,
+            prefix=self.prefix,
+            mime=self.mime,
+            page_size=self.page_size,
+        )
+
     def partitions(self) -> list[_DrivePage]:
-        transport = _ReplayDriveTransport(self.replay_dir)
+        transport = self._transport()
         pages = []
         for files in transport.list_pages():
             kept = [
@@ -249,7 +383,7 @@ class _DriveListingReader(DataSourceReader):
         return pages or [_DrivePage([])]
 
     def read(self, partition: _DrivePage):
-        transport = _ReplayDriveTransport(self.replay_dir)
+        transport = self._transport()
         for f in partition.files:
             row = [
                 f"drive://{f['id']}",

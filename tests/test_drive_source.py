@@ -223,3 +223,98 @@ def test_drive_api_requires_replay_dir(spark):
             .load()
             .collect()
         )
+
+
+def test_rfc3339_epoch_variants():
+    """ADVICE r5: valid RFC3339 modifiedTime values without fractional
+    seconds, or with a numeric offset, must parse — a hardcoded
+    '%.fZ' strptime raised ValueError inside the executor read path
+    and failed the whole partition."""
+    from airflow_loan_etl_pipeline_spark.sources.drive_source import (
+        _rfc3339_epoch,
+    )
+
+    base = _rfc3339_epoch("2024-03-01T10:00:00.000Z")
+    assert _rfc3339_epoch("2024-03-01T10:00:00Z") == base
+    assert _rfc3339_epoch("2024-03-01T11:00:00+01:00") == base
+    assert _rfc3339_epoch("2024-03-01T10:00:00.500Z") == base + 0.5
+
+
+def test_drive_live_config_reaches_http_transport_offline():
+    """The live configuration (folder_id + credentials) must pass
+    option validation and route to the HTTP transport; offline (no
+    google-api-python-client installed) that transport raises its
+    documented RuntimeError pointing at the optional dependency —
+    proving the seam is wired without needing network."""
+    import pytest
+
+    from airflow_loan_etl_pipeline_spark.sources.drive_source import (
+        _DriveListingReader,
+    )
+
+    reader = _DriveListingReader(
+        {"folder_id": "folder123", "credentials": "/tmp/nonexistent.json"}
+    )
+    try:
+        import googleapiclient  # noqa: F401
+
+        pytest.skip("google-api-python-client installed; live path covered"
+                    " by test_drive_api_live_listing")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="google-api-python-client"):
+        list(reader.partitions())
+
+
+def test_drive_replay_wins_over_live_config(spark, tmp_path):
+    """When both replay_dir and a live configuration are set, replay
+    must win — deterministic fixtures never silently fall through to
+    the network."""
+    _register(spark)
+    rec = tmp_path / "drive_rec3"
+    _write_drive_fixture(rec)
+    rows = (
+        spark.read.format("file_listing")
+        .option("api", "drive")
+        .option("replay_dir", str(rec))
+        .option("folder_id", "would-hit-network")
+        .option("credentials", "/tmp/nonexistent.json")
+        .option("prefix", "loan_")
+        .option("mime", "text/csv")
+        .load()
+        .collect()
+    )
+    assert len(rows) == 3
+
+
+def test_drive_api_live_listing(spark):
+    """LIVE Drive leg (green-or-skip, the MinIO pattern): runs only
+    when the environment provides a real folder + service-account
+    credentials + the google client libraries + network. Skips with
+    the exact missing piece otherwise."""
+    import pytest
+
+    folder = os.environ.get("SPARK_GRAFT_DRIVE_FOLDER_ID")
+    creds = os.environ.get("SPARK_GRAFT_DRIVE_CREDENTIALS") or os.environ.get(
+        "GOOGLE_APPLICATION_CREDENTIALS"
+    )
+    if not folder:
+        pytest.skip("no SPARK_GRAFT_DRIVE_FOLDER_ID in environment")
+    if not creds or not os.path.exists(creds):
+        pytest.skip("no Drive service-account credentials in environment")
+    try:
+        import googleapiclient  # noqa: F401
+    except ImportError:
+        pytest.skip("google-api-python-client not installed")
+    _register(spark)
+    df = (
+        spark.read.format("file_listing")
+        .option("api", "drive")
+        .option("folder_id", folder)
+        .option("credentials", creds)
+        .load()
+    )
+    rows = df.collect()
+    assert df.columns == ["path", "name", "size", "modified", "mime"]
+    for r in rows:
+        assert r.path.startswith("drive://")
