@@ -55,6 +55,10 @@ _REWIRED = [
     "docs_dup_spans",
     "minhash_estimate_quality",
     "docs_substring_cut",
+    # round 6 also materialized the equi-depth histogram's shared
+    # level-1/level-2 frames (exchange reuse measurably failed to
+    # fire; now exactly two fact scans)
+    "lineitem_equidepth_hist",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -192,7 +196,7 @@ _RECHECK_OLDEST = [
     "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
     "window_topk_per_priority", "window_running_spend",
     "event_type_stats", "orders_pivot_status", "docs_token_stats",
-    "dedup_exact", "minhash_lsh_pairs", "docs_fingerprint",
+    "dedup_exact", "minhash_lsh_pairs",
 ]
 
 

@@ -965,6 +965,7 @@ def _by_value_frames(
     probs: tuple[float, ...],
     group_cols: tuple[str, ...] = (),
     block: int = 4096,
+    share: bool = False,
 ) -> dict[str, DataFrame]:
     """Shared plan fragments of the hierarchical counting sort — TWO
     column-pruned fact scans total, every later frame bounded by the
@@ -987,12 +988,19 @@ def _by_value_frames(
       ``percentile(col, probs)`` / DuckDB ``quantile_cont`` for
       integer-valued columns (exactly-representable doubles).
 
-    Consumers that use several frames in one query share the
-    underlying scans through Spark's exchange reuse: the frames hang
-    off identical aggregation subtrees, so each scan materializes once
-    (ReusedExchange / AQE stage cache). Expressions are assembled as
-    single SQL strings — plan-construction cost stays flat in |probs|
-    instead of paying hundreds of per-Column driver round-trips.
+    ``share=False`` (percentiles: each frame consumed ONCE) keeps the
+    whole thing one lazy plan. Consumers that reference SEVERAL of the
+    returned frames in one query (equi-depth histogram: blocks + lvl2f
+    + bounds) pass ``share=True``, which materializes the two
+    domain-bounded reductions once (cache_scope.materialize_consistent)
+    — exchange reuse was measured NOT to fire across those consumers
+    (AQE final plan: 5 fact scans, 2 ReusedExchange), because the
+    branches wrap the common subtree in differing projections/windows.
+    With sharing the query costs exactly its two materialization
+    scans; every remaining frame is bounded by the value domain.
+    Expressions are assembled as single SQL strings —
+    plan-construction cost stays flat in |probs| instead of paying
+    hundreds of per-Column driver round-trips.
     """
     g = list(group_cols)
     gq = _quote(g)
@@ -1005,6 +1013,10 @@ def _by_value_frames(
         F.min("_v").alias("_bmin"),
         F.max("_v").alias("_bmax"),
     )
+    if share:
+        # <= |groups|*domain/block rows — the first fact scan runs
+        # here, once, regardless of how many frames the caller fans out
+        lvl1 = _consistent(lvl1)
     over = f"partition by {', '.join(gq)} " if g else ""
     run = f"sum(_bc) over ({over}order by _blk)"
     terms = []
@@ -1046,6 +1058,10 @@ def _by_value_frames(
         .groupBy(*g, "_blk", "_bs", "_n", "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    if share:
+        # <= 2*|probs|*block rows (candidate blocks only) — the second
+        # fact scan runs here, once
+        lvl2f = _consistent(lvl2f)
     over2 = f"partition by {', '.join(gq + ['_blk'])} order by _v"
     j = lvl2f.selectExpr(
         *gq,
@@ -1136,9 +1152,13 @@ def equidepth_histogram(
 
     Union + a <= (|probs|+1)-group aggregate finishes the histogram.
     The two underlying scans are shared with the boundary computation
-    via exchange reuse — the whole query costs exactly two fact scans,
-    zero sorts, zero collect()s."""
-    fr = _by_value_frames(df, col, probs, group_cols=(), block=block)
+    by MATERIALIZING the level-1/level-2 reductions once (share=True;
+    exchange reuse was measured not to fire across these branches) —
+    the whole query costs exactly two fact scans, zero sorts, zero
+    collect()s."""
+    fr = _by_value_frames(
+        df, col, probs, group_cols=(), block=block, share=True
+    )
     b = fr["bounds"].select("bs")
 
     def bucket_sql(v: str) -> str:

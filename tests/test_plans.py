@@ -477,8 +477,26 @@ def test_equidepth_hist_plan_scale_shape(spark, sf_dir):
     which are bounded by the value DOMAIN (<= domain/block and <= block
     rows per partition), never by the fact row count."""
     from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
+    from airflow_loan_etl_pipeline_spark.operators import cache_scope
 
     plan = _plan(registry.QUERIES["lineitem_equidepth_hist"](spark, sf_dir))
+    # the level-1/level-2 reductions are materialized once (share=True)
+    # — exchange reuse measurably did NOT fire across the histogram's
+    # branches (5 fact scans in the AQE final plan before the share);
+    # now the two materializations hold the only fact scans and the
+    # final plan reads stored frames exclusively
+    mats = cache_scope.recent_materialization_plans()[-2:]
+    assert len(mats) == 2
+    for m in mats:
+        assert m.count("Location: InMemoryFileIndex") == 1
+        assert "percentile" not in m
+        assert "rangepartitioning" not in m
+        assert "CartesianProduct" not in m
+        assert "SortMergeJoin" not in m
+    # candidate-block filtering reaches the level-2 fact scan as a
+    # broadcast HASH join, not a shuffle
+    assert "BroadcastHashJoin" in mats[1]
+    assert "Location: InMemoryFileIndex" not in plan  # no third scan
     assert "percentile" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
@@ -487,6 +505,3 @@ def test_equidepth_hist_plan_scale_shape(spark, sf_dir):
     # the one-row boundary broadcast is the only nested-loop join
     # (formatted explain prints each node in tree + detail)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
-    # candidate-block filtering reaches the fact scan as a broadcast
-    # HASH join, not a shuffle
-    assert "BroadcastHashJoin" in plan
