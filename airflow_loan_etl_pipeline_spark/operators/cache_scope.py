@@ -55,18 +55,24 @@ from collections import deque
 
 from pyspark.sql import DataFrame
 
-# Formatted explain strings of the most recent materialized frames —
+# Explain strings of the most recent materialized frames —
 # checkpointing truncates lineage, so the work a materialization does
-# (its shuffles, its partitioning) is invisible in the RESULT plan's
-# explain; this ring keeps it observable for plan-contract tests and
-# the PLANS.md dump. Strings only: holding the frames themselves would
-# keep their RDDs referenced and delay ContextCleaner block cleanup.
-_MATERIALIZATION_PLANS: deque[str] = deque(maxlen=64)
+# (its shuffles, its partitioning, its scans) is invisible in the
+# RESULT plan's explain; this ring keeps it observable for
+# plan-contract tests and the PLANS.md dump. Strings only: holding the
+# frames themselves would keep their RDDs referenced and delay
+# ContextCleaner block cleanup.
+_MATERIALIZATION_PLANS: deque[dict] = deque(maxlen=64)
 
 
-def recent_materialization_plans() -> list[str]:
-    """Formatted plans of recently materialized frames, oldest first."""
-    return list(_MATERIALIZATION_PLANS)
+def recent_materialization_plans(mode: str = "formatted") -> list[str]:
+    """Plans of recently materialized frames, oldest first.
+
+    ``mode="formatted"`` (default): `explain("formatted")` text —
+    node tree + per-node detail, what the plan-contract tests match
+    on. ``mode="simple"``: `executedPlan().toString()` — the
+    single-string style tools/plan_report.py counts markers on."""
+    return [p[mode] for p in _MATERIALIZATION_PLANS]
 
 
 def materialize_consistent(df: DataFrame) -> DataFrame:
@@ -81,12 +87,14 @@ def materialize_consistent(df: DataFrame) -> DataFrame:
     operator's result; there is no Python-side reference to hold.
     """
     try:
-        _MATERIALIZATION_PLANS.append(
-            df._jdf.queryExecution().explainString(
+        qe = df._jdf.queryExecution()
+        _MATERIALIZATION_PLANS.append({
+            "formatted": qe.explainString(
                 df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted")
-            )
-        )
+            ),
+            "simple": qe.executedPlan().toString(),
+        })
     except Exception:  # Connect / API drift — diagnostics only
         pass
     return pin(df, eager=True)

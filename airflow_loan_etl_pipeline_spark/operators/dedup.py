@@ -765,17 +765,17 @@ def dup_span_stats(
     minhash_lsh_pairs).
     """
     rows = positional_shingle_rows(docs, id_col, text_col, n)
-    # persist: the hashed rows feed BOTH the df aggregate and the
-    # join-back; without it the Python shingling subtree evaluates once
-    # per consumer (measured — a broadcast join leaves the probe side
-    # exchange-free, so nothing is reused). The earlier WINDOW-count
-    # formulation evaluated once by construction but put EVERY
-    # occurrence of one shingle into a single task with no partial
-    # aggregation — a hot boilerplate n-gram (df in the billions at
-    # 100 TB) is an unbounded single-task straggler. The agg+join form
-    # combines df map-side and AQE skew-join splits the hot join
-    # partitions; at cluster scale use DISK_ONLY persist (rows are
-    # 8-byte hashes + positions, never text).
+    # materialized once: the hashed rows feed BOTH the df aggregate
+    # and the join-back; without it the Python shingling subtree
+    # evaluates once per consumer (measured — a broadcast join leaves
+    # the probe side exchange-free, so nothing is reused). The earlier
+    # WINDOW-count formulation evaluated once by construction but put
+    # EVERY occurrence of one shingle into a single task with no
+    # partial aggregation — a hot boilerplate n-gram (df in the
+    # billions at 100 TB) is an unbounded single-task straggler. The
+    # agg+join form combines df map-side and AQE skew-join splits the
+    # hot join partitions; rows are 8-byte hashes + positions, never
+    # text, so the checkpointed frame stays small and spill-safe.
     hashed = _consistent(rows.select(
         id_col,
         "n_pos",
