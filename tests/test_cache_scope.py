@@ -178,3 +178,32 @@ def test_global_rank_deterministic_across_rebuilds(spark, sf_dir):
     n = df.count()
     got = out.agg({"rank": "max"}).first()[0]
     assert got == n
+
+
+def test_checkpoint_operators_accept_empty_input(spark):
+    """Eager checkpoint at construction must handle EMPTY frames: a
+    materialization job over zero rows is legal and every consuming
+    branch sees a consistent empty result (regression guard for the
+    round-6 persist->checkpoint migration)."""
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        exact_percentiles_by_value,
+    )
+    from airflow_loan_etl_pipeline_spark.operators.timeseries import funnel
+
+    empty = spark.createDataFrame([], "id long, v double")
+    assert topk.global_rank(empty, ["v", "id"]).count() == 0
+    assert topk.global_prefix_sum(empty, ["id"], "v").count() == 0
+    assert topk.pareto_frontier(empty, "v", "id").count() == 0
+    # percentiles: GROUPED empty input -> no groups, empty result;
+    # UNGROUPED empty input -> one row of NULLs (standard SQL global-
+    # aggregate semantics, like `SELECT percentile(v) FROM empty`)
+    assert exact_percentiles_by_value(
+        empty, "v", (0.5,), group_cols=("id",)
+    ).count() == 0
+    row = exact_percentiles_by_value(empty, "v", (0.5,)).first()
+    assert row["bs"] == [None]
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    row = funnel(ev, ["view", "click"], key="user_id").first()
+    assert row["users_view"] == 0 and row["users_click"] == 0
