@@ -387,3 +387,71 @@ def test_drive_pipeline_full_dag_equivalent(spark, tmp_path):
     )
     assert [s["filename"] for s in summaries3] == ["loan_c.csv"]
     assert sum(r["loan_count"] for r in aggs3.collect()) == 7
+
+
+def test_airflow_dag_task_bodies_equivalent_to_single_plan(spark, tmp_path):
+    """The Airflow binding's three task bodies (plans/airflow_dag.py —
+    reference task_ids poll_and_process_drive_files / run_spark_etl /
+    send_summary_email), driven in sequence WITHOUT Airflow, must
+    produce the same aggregates and report as the engine's single-plan
+    run_drive_pipeline, and keep the ledger idempotent across ticks."""
+    from airflow_loan_etl_pipeline_spark.plans import airflow_dag as ad
+    from airflow_loan_etl_pipeline_spark.plans.drive_pipeline import (
+        run_drive_pipeline,
+    )
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for name, rows in (("loan_a.csv", FILE_A), ("loan_b.csv", FILE_B)):
+        (watch / name).write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+
+    # task-split form
+    work_t = str(tmp_path / "work_tasks")
+    s1 = ad.poll_and_process_drive_files(spark, str(watch), work_t)
+    assert sorted(s["filename"] for s in s1) == ["loan_a.csv", "loan_b.csv"]
+    n = ad.run_spark_etl(spark, str(watch), work_t)
+    assert n > 0
+    html_t = ad.send_summary_email(spark, work_t)
+    assert "<table>" in html_t and "loan_a.csv" in html_t
+
+    # single-plan form on identical input
+    work_s = str(tmp_path / "work_single")
+    _s, aggs, html_s = run_drive_pipeline(spark, str(watch), work_s)
+    task_aggs = spark.read.parquet(
+        ad._work_paths(work_t)["aggregates"]
+    )
+    cols = sorted(task_aggs.columns)
+    assert sorted(aggs.columns) == cols
+    assert sorted(map(tuple, task_aggs.select(*cols).collect())) == sorted(
+        map(tuple, aggs.select(*cols).collect())
+    )
+    # identical reports modulo the work-dir embedded in compressed
+    # file paths
+    assert html_t.replace(work_t, "WORK") == html_s.replace(work_s, "WORK")
+
+    # tick 2: no new files -> task 1 returns [], ETL still idempotent
+    assert ad.poll_and_process_drive_files(spark, str(watch), work_t) == []
+    assert ad.run_spark_etl(spark, str(watch), work_t) == n
+
+
+def test_airflow_dag_builder_gated_on_airflow(tmp_path):
+    """build_dag needs Airflow only at call time: importing the module
+    never does, and without Airflow installed the call raises the
+    documented RuntimeError (skips if Airflow IS present — then the
+    builder must return a DAG with the reference's task ids)."""
+    import pytest
+
+    from airflow_loan_etl_pipeline_spark.plans import airflow_dag as ad
+
+    try:
+        import airflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="apache-airflow"):
+            ad.build_dag(str(tmp_path / "w"), str(tmp_path / "k"))
+        return
+    dag = ad.build_dag(str(tmp_path / "w"), str(tmp_path / "k"))
+    assert dag.dag_id == "drive_auto_compress_email"
+    assert {t.task_id for t in dag.tasks} == {
+        "poll_and_process_drive_files", "run_spark_etl",
+        "send_summary_email",
+    }
