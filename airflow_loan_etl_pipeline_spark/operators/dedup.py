@@ -30,6 +30,9 @@ from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     pin,
     materialize_consistent as _consistent,
 )
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 # MinHash parameters. P is a prime > 2^32; multipliers stay < 2^18 so
 # a*h < 2^50 never overflows int64.
@@ -70,8 +73,7 @@ def shingles(
     disabled.
     """
     if repartition:
-        sc = df.sparkSession.sparkContext
-        df = df.repartition(sc.defaultParallelism)
+        df = df.repartition(_parallelism(df.sparkSession))
 
     # Arrow-batched Pandas UDF, NOT a Catalyst higher-order function:
     # `transform(sequence(...), i -> concat_ws(...))` runs as an
@@ -127,8 +129,7 @@ def shingle_rows(
     a self-join over it can reuse one shuffle exchange for both sides.
     """
     if repartition:
-        sc = df.sparkSession.sparkContext
-        df = df.repartition(sc.defaultParallelism)
+        df = df.repartition(_parallelism(df.sparkSession))
 
     def op(batches):
         for pdf in batches:
@@ -245,7 +246,7 @@ def minhash_lsh_pairs(
     # both join sides reuse. Bucket size bounds the join fan-out (at
     # 100 TB: cap/drop mega-buckets first — they're stop-shingle noise).
     exploded = exploded.repartition(
-        exploded.sparkSession.sparkContext.defaultParallelism,
+        _parallelism(exploded.sparkSession),
         "band_id", "band_key",
     )
     if max_bucket is not None:
@@ -302,7 +303,7 @@ def ngram_jaccard_pairs(
     # and serialize the expansion. REPARTITION_BY_NUM is exempt from AQE
     # coalescing, and it satisfies the self-join's required hash
     # distribution, so the join adds no exchange of its own.
-    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    ex = ex.repartition(_parallelism(ex.sparkSession), "s")
     if max_df is not None:
         # df-count + semi-filter ride the repartition exchange above
         # (both group/join on s) — one pre-aggregated pass, no new data
@@ -369,7 +370,7 @@ def ngram_containment_pairs(
     ex = sh.select(
         F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
     )
-    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    ex = ex.repartition(_parallelism(ex.sparkSession), "s")
     if max_df is not None:
         keep = (
             ex.groupBy("s")
@@ -478,7 +479,7 @@ def hamming_pairs(
         F.explode(F.expr(f"array({bands})")).alias("b"),
     ).select(id_col, "simhash", "b.band_id", "b.band_key")
     exploded = exploded.repartition(
-        exploded.sparkSession.sparkContext.defaultParallelism, "band_id", "band_key"
+        _parallelism(exploded.sparkSession), "band_id", "band_key"
     )
     buckets = exploded.groupBy("band_id", "band_key").agg(
         F.array_sort(
@@ -717,8 +718,7 @@ def positional_shingle_rows(
     ``pos`` is 1-based; ``n_pos = len(tokens) - n + 1``.
     """
     if repartition:
-        sc = df.sparkSession.sparkContext
-        df = df.repartition(sc.defaultParallelism)
+        df = df.repartition(_parallelism(df.sparkSession))
 
     def op(batches):
         for pdf in batches:
@@ -966,7 +966,7 @@ def prefix_filter_jaccard_pairs(
     ex = sh.select(
         F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
     )
-    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, "s")
+    ex = ex.repartition(_parallelism(ex.sparkSession), "s")
     # ONE doc-keyed aggregate builds both artifacts: the (df, hash)-
     # sorted array gives the prefix by slice, and its hash projection is
     # the verification set — replacing the earlier window + separate

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 N_PLANES = 8
 DIM = 64
@@ -450,7 +453,7 @@ def cosine_dup_pairs(
         "bucket", F.expr(bucket_expr("v"))
     )
     base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism, "bucket"
+        _parallelism(base.sparkSession), "bucket"
     )
     buckets = base.groupBy("bucket").agg(
         F.array_sort(

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     materialize_consistent as _consistent,
 )
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 # Tiny English function-word lexicon for the n-gram/stopword heuristic.
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -900,7 +903,7 @@ def vocab_coverage(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n = docs.sparkSession.sparkContext.defaultParallelism
+    n = _parallelism(docs.sparkSession)
     ranged = (
         freq.withColumn("_negc", -F.col("c"))
         .repartitionByRange(n, F.col("_negc"), F.col("tok"))

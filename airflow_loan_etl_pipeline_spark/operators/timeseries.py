@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     materialize_consistent as _consistent,
 )
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 EWMA_ALPHA = 0.3
 
@@ -67,7 +70,7 @@ def user_value_ewma(
 
     return (
         events.select(key, ts_col, val_col)
-        .repartition(sc.defaultParallelism, key)
+        .repartition(_parallelism(events.sparkSession), key)
         .mapInPandas(op, schema=f"{key} bigint, n_events bigint, ewma double")
     )
 

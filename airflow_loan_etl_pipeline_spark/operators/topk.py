@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     materialize_consistent as _consistent,
 )
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 
 def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
@@ -65,7 +68,7 @@ def global_rank(
     text.rrf_fuse/rank_rbo, and stats.revenue_concentration/zipf_fit
     (Gini/Zipf ranks).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    n = _parallelism(df.sparkSession)
     ranked = _consistent(
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -104,7 +107,7 @@ def global_prefix_sum(
     prefix sums are order-defined here, matching any sequential
     oracle).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    n = _parallelism(df.sparkSession)
     # materialized once for the same totals-branch re-derivation
     # reason as global_rank above
     ranged = _consistent(
@@ -154,7 +157,7 @@ def pareto_frontier(
        equal pairs don't dominate each other).
     """
     cand = df.groupBy(min_col).agg(F.max(max_col).alias(max_col))
-    n = df.sparkSession.sparkContext.defaultParallelism
+    n = _parallelism(df.sparkSession)
     # materialized once: the offsets branch re-derives this subtree,
     # and a re-derived repartitionByRange may sample different range
     # bounds — the same _pid-desync hazard as global_rank (this site

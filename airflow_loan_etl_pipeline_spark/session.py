@@ -94,6 +94,29 @@ def get_spark(
     return spark
 
 
+def engine_parallelism(spark: SparkSession) -> int:
+    """Partition count for the engine's NUMBERED repartitions (the
+    AQE-exempt ``repartition(n, ...)`` / ``repartitionByRange(n, ...)``
+    calls that pin a minimum parallel width for rank/offset recipes
+    and interpreted pair-expansion stages).
+
+    ``max(defaultParallelism, spark.sql.shuffle.partitions)``:
+    defaultParallelism tracks the cores actually online (the right
+    floor locally and on static clusters), while shuffle.partitions is
+    the knob users tune for cluster scale (e.g. 2048 on a
+    1000-executor job) — under dynamic allocation defaultParallelism
+    can reflect only the executors alive at call time, so taking the
+    max keeps the numbered exchanges as wide as the tuned shuffle
+    width. On local[32] with the session default both are 32, so local
+    plans are unchanged."""
+    sc = spark.sparkContext
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # "auto" or unset on some vendors' runtimes
+        shuffle = 0
+    return max(sc.defaultParallelism, shuffle)
+
+
 def object_store_conf(
     endpoint: str | None = None,
     access_key: str | None = None,

@@ -32,6 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from airflow_loan_etl_pipeline_spark.session import (
+    engine_parallelism as _parallelism,
+)
 
 
 def read_csv_dir(
@@ -368,7 +371,7 @@ def write_sorted(
     produces, made explicit: the point is what it AVOIDS — a
     ``coalesce(1)``-style single-task sort of the full dataset.
     """
-    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    n = num_files or _parallelism(df.sparkSession)
     (
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)
