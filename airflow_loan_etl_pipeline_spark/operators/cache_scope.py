@@ -61,12 +61,33 @@ from pyspark.sql import DataFrame
 # RESULT plan's explain; this ring keeps it observable for
 # plan-contract tests and the PLANS.md dump. Strings only: holding the
 # frames themselves would keep their RDDs referenced and delay
-# ContextCleaner block cleanup.
+# ContextCleaner block cleanup. Capture is OPT-IN: rendering two full
+# explain strings per materialization is pure driver-side diagnostics
+# overhead in production paths, so only the consumers that read the
+# ring (tests/test_plans.py, tools/plan_report.py) switch it on.
 _MATERIALIZATION_PLANS: deque[dict] = deque(maxlen=64)
+_CAPTURE_PLANS = False
+
+
+def set_plan_capture(on: bool = True) -> None:
+    """Enable/disable materialization-plan capture; clears the ring on
+    every transition so readers never see entries from a previous
+    capture scope."""
+    global _CAPTURE_PLANS
+    _CAPTURE_PLANS = on
+    _MATERIALIZATION_PLANS.clear()
+
+
+def clear_materialization_plans() -> None:
+    """Empty the ring — call before building a query whose
+    materialization plans you are about to assert on, so a stale entry
+    from an earlier build can never satisfy the assertion."""
+    _MATERIALIZATION_PLANS.clear()
 
 
 def recent_materialization_plans(mode: str = "formatted") -> list[str]:
-    """Plans of recently materialized frames, oldest first.
+    """Plans of recently materialized frames, oldest first (empty
+    unless :func:`set_plan_capture` enabled capture).
 
     ``mode="formatted"`` (default): `explain("formatted")` text —
     node tree + per-node detail, what the plan-contract tests match
@@ -86,17 +107,18 @@ def materialize_consistent(df: DataFrame) -> DataFrame:
     docstring), so callers may freely keep only frames DERIVED from an
     operator's result; there is no Python-side reference to hold.
     """
-    try:
-        qe = df._jdf.queryExecution()
-        _MATERIALIZATION_PLANS.append({
-            "formatted": qe.explainString(
-                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
-                .fromString("formatted")
-            ),
-            "simple": qe.executedPlan().toString(),
-        })
-    except Exception:  # Connect / API drift — diagnostics only
-        pass
+    if _CAPTURE_PLANS:
+        try:
+            qe = df._jdf.queryExecution()
+            _MATERIALIZATION_PLANS.append({
+                "formatted": qe.explainString(
+                    df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")
+                ),
+                "simple": qe.executedPlan().toString(),
+            })
+        except Exception:  # Connect / API drift — diagnostics only
+            pass
     return pin(df, eager=True)
 
 

@@ -46,7 +46,6 @@ def user_value_ewma(
     partition in memory — bounded by the repartition width, same
     contract as any grouped-map.
     """
-    sc = events.sparkSession.sparkContext
 
     def op(batches):
         pdfs = list(batches)

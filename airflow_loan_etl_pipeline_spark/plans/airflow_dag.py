@@ -110,9 +110,13 @@ def poll_and_process_drive_files(
             compress_new_files(fresh, os.path.join(work_dir, "compressed"))
         ).collect()
     ]
-    update_ledger(spark, ledger_path, fresh.select("file_id"))
+    # land the handoff BEFORE committing the ledger: a crash between
+    # the two then re-processes the files on retry (commit-last replay
+    # safety, same ordering as run_drive_pipeline) — the reverse order
+    # would permanently drop this tick's files from the report
     with open(paths["summaries"], "w", encoding="utf-8") as f:
         json.dump(summaries, f)
+    update_ledger(spark, ledger_path, fresh.select("file_id"))
     return summaries
 
 
@@ -237,9 +241,15 @@ def build_dag(
         max_active_runs=1,
         tags=["drive", "compression", "email", "spark"],
     )
+    # do_xcom_push=False: the bodies return their results for DIRECT
+    # callers; letting Airflow push the compression summaries / HTML
+    # report to XCom would round-trip them through the scheduler DB on
+    # every tick — exactly the handoff cost the work_dir artifacts
+    # exist to avoid.
     with dag:
         t1 = PythonOperator(
             task_id="poll_and_process_drive_files",
+            do_xcom_push=False,
             python_callable=lambda: poll_and_process_drive_files(
                 factory(), watch_dir, work_dir,
                 prefix=prefix, min_age_s=min_age_s,
@@ -247,12 +257,14 @@ def build_dag(
         )
         t2 = PythonOperator(
             task_id="run_spark_etl",
+            do_xcom_push=False,
             python_callable=lambda: run_spark_etl(
                 factory(), watch_dir, work_dir
             ),
         )
         t3 = PythonOperator(
             task_id="send_summary_email",
+            do_xcom_push=False,
             python_callable=lambda: send_summary_email(
                 factory(), work_dir, smtp=smtp
             ),

@@ -157,8 +157,15 @@ class _HttpDriveTransport:
         self.prefix = prefix
         self.mime = mime
         self.page_size = page_size
+        self._svc = None  # built once per transport (per task), reused
 
     def _service(self):
+        # cached: a with_content partition calls download() once per
+        # file — rebuilding the discovery client + credential load +
+        # token fetch per file would add an auth round-trip for every
+        # row in the read loop
+        if self._svc is not None:
+            return self._svc
         try:
             from google.oauth2 import service_account
             from googleapiclient.discovery import build
@@ -172,7 +179,10 @@ class _HttpDriveTransport:
             self.credentials_path,
             scopes=["https://www.googleapis.com/auth/drive.readonly"],
         )
-        return build("drive", "v3", credentials=creds, cache_discovery=False)
+        self._svc = build(
+            "drive", "v3", credentials=creds, cache_discovery=False
+        )
+        return self._svc
 
     def _query(self) -> str:
         # push the filters INTO the Drive query string, exactly the

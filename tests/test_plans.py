@@ -25,6 +25,20 @@ from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 from airflow_loan_etl_pipeline_spark.catalog import load_table
 
 
+import pytest
+
+from airflow_loan_etl_pipeline_spark.operators import cache_scope
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _capture_materialization_plans():
+    """Materialization-plan capture is opt-in (production paths skip
+    the explain rendering); the plan-contract tests need it on."""
+    cache_scope.set_plan_capture(True)
+    yield
+    cache_scope.set_plan_capture(False)
+
+
 def _plan(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -241,13 +255,16 @@ def test_shuffle_order_never_single_partitions_the_corpus(spark, sf_dir):
     The documents table must NEVER pass through Exchange
     SinglePartition — the only SinglePartition allowed is the
     parallelism-sized offset aggregate."""
-    from airflow_loan_etl_pipeline_spark.operators import cache_scope
-
+    # clear first: a stale ring entry from an earlier test must never
+    # satisfy these assertions
+    cache_scope.clear_materialization_plans()
     plan = _plan(registry.QUERIES["corpus_shuffle_order"](spark, sf_dir))
     # the ranked frame is checkpoint-materialized, so the range
     # partitioning + partition-id stamp live in the MATERIALIZATION
     # plan (cache_scope ring), not the truncated result plan
-    mat = cache_scope.recent_materialization_plans()[-1]
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    mat = mats[-1]
     assert "Arguments: rangepartitioning" in mat
     assert "spark_partition_id" in mat.lower()
     assert "Arguments: SinglePartition" not in mat  # corpus never funnels
@@ -304,12 +321,13 @@ def test_referential_audit_probes_are_broadcast_anti_joins(spark, sf_dir):
 def test_abc_classes_no_single_partition_over_customers(spark, sf_dir):
     """The prefix-sum recipe: any SinglePartition exchange may only sit
     over pre-aggregated partition totals, never a table scan."""
-    from airflow_loan_etl_pipeline_spark.operators import cache_scope
-
+    cache_scope.clear_materialization_plans()
     plan = _plan(registry.QUERIES["orders_abc_classes"](spark, sf_dir))
     # the ranged frame is checkpoint-materialized; its range exchange
     # lives in the materialization plan (see corpus_shuffle_order test)
-    mat = cache_scope.recent_materialization_plans()[-1]
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    mat = mats[-1]
     assert "Arguments: rangepartitioning" in mat
     assert "Arguments: SinglePartition" not in mat
     lines = plan.splitlines()
@@ -477,15 +495,15 @@ def test_equidepth_hist_plan_scale_shape(spark, sf_dir):
     which are bounded by the value DOMAIN (<= domain/block and <= block
     rows per partition), never by the fact row count."""
     from airflow_loan_etl_pipeline_spark import registry_mm  # noqa: F401
-    from airflow_loan_etl_pipeline_spark.operators import cache_scope
 
+    cache_scope.clear_materialization_plans()
     plan = _plan(registry.QUERIES["lineitem_equidepth_hist"](spark, sf_dir))
     # the level-1/level-2 reductions are materialized once (share=True)
     # — exchange reuse measurably did NOT fire across the histogram's
     # branches (5 fact scans in the AQE final plan before the share);
     # now the two materializations hold the only fact scans and the
     # final plan reads stored frames exclusively
-    mats = cache_scope.recent_materialization_plans()[-2:]
+    mats = cache_scope.recent_materialization_plans()
     assert len(mats) == 2
     for m in mats:
         assert m.count("Location: InMemoryFileIndex") == 1
