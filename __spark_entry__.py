@@ -57,8 +57,13 @@ _REWIRED = [
     "docs_substring_cut",
     # round 6 also materialized the equi-depth histogram's shared
     # level-1/level-2 frames (exchange reuse measurably failed to
-    # fire; now exactly two fact scans)
+    # fire; now exactly two fact scans), and added the equal-endpoints
+    # short-circuit to the by-value interpolation (Spark Percentile
+    # returns the value directly when the adjacent order statistics
+    # are equal; the weighted form was off by an ulp for point masses)
     "lineitem_equidepth_hist",
+    "lineitem_percentiles",
+    "lineitem_2d_density_grid",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -195,8 +200,7 @@ _RECHECK_OLDEST = [
     "mode_per_column", "date_split", "loan_agg", "loan_agg_global",
     "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
     "window_topk_per_priority", "window_running_spend",
-    "event_type_stats", "orders_pivot_status", "docs_token_stats",
-    "dedup_exact", "minhash_lsh_pairs",
+    "docs_token_stats", "dedup_exact", "minhash_lsh_pairs",
 ]
 
 

@@ -936,6 +936,10 @@ def exact_percentiles_distributed(
             # Spark Percentile's exact form: (hi−pos)·vlo + (pos−lo)·vhi
             # (NOT vlo + frac·(vhi−vlo), which differs in the last ulp)
             F.when(F.col("_mpos") == F.col("_mlo"), F.col("_vlo"))
+            # equal adjacent order statistics return the value itself
+            # (Spark Percentile's own short-circuit) — the weighted
+            # form is off by an ulp when the weights are inexact
+            .when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo"))
             .otherwise(
                 (F.col("_mlo") + 1 - F.col("_mpos")) * F.col("_vlo")
                 + (F.col("_mpos") - F.col("_mlo")) * F.col("_vhi")
@@ -1085,8 +1089,13 @@ def _by_value_frames(
     for i, p in enumerate(probs):
         pos = _pos_sql(p)
         cases.append(
+            # the extra equal-endpoints arm mirrors Spark Percentile:
+            # equal adjacent order statistics return the value itself,
+            # never the weighted form (off by an ulp when the weights
+            # don't sum to exactly 1)
             f"cast(case when {pos} = cast(floor({pos}) as double)"
             f" then _vlo{i}"
+            f" when _vlo{i} = _vhi{i} then _vlo{i}"
             f" else (cast(floor({pos}) + 1 as double) - {pos}) * _vlo{i}"
             f" + ({pos} - cast(floor({pos}) as double)) * _vhi{i}"
             f" end as double)"
@@ -1362,7 +1371,11 @@ def exact_percentiles_twopass(
     out = []
     for pos, lo, hi in plan:
         vlo, vhi = val_at[lo], val_at[hi]
-        if pos == lo:
+        if pos == lo or vlo == vhi:
+            # Spark Percentile returns the value DIRECTLY when the two
+            # adjacent order statistics are equal — the weighted form
+            # (lo+1-pos)*v + (pos-lo)*v is off by an ulp whenever the
+            # weights don't sum to exactly 1.0 (pos = 0.1*(n-1) etc.)
             out.append(float(vlo))
         else:
             # Spark Percentile's exact interpolation:
