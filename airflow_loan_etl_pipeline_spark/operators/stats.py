@@ -86,8 +86,18 @@ def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
     ``floor(count * 1e4 / total)`` so both engines floor the SAME
     IEEE double (count*1e4 is exact below 2^53).
     """
-    tot = df.filter(F.col(amount_col) > 0).count()
-    digit = F.substring(F.floor(F.col(amount_col)).cast("string"), 1, 1).cast("int")
+    # First SIGNIFICANT digit: first [1-9] of the fixed-point decimal
+    # rendering — correct for sub-unit amounts too (floor(0.75) = 0
+    # extracted digit 0, which is not a significant digit and divides
+    # by zero in the Benford share). The decimal cast guarantees a
+    # plain (never scientific) notation to extract from.
+    digit = F.regexp_extract(
+        F.col(amount_col).cast("decimal(38,6)").cast("string"), "[1-9]", 0
+    ).cast("int")
+    # total via a 9-row window instead of an eager count(): no second
+    # fact scan, and the total can never go stale between plan build
+    # and execution (the file's lazy-plan discipline)
+    w_all = Window.partitionBy()
     benford = F.floor(F.log10(1 + 1 / F.col("digit").cast("double")) * 1e4) / 1e4
     return (
         df.filter(F.col(amount_col) > 0)
@@ -97,9 +107,14 @@ def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
         .select(
             "digit",
             "n_rows",
-            (F.floor(F.col("n_rows") * 1e4 / F.lit(float(tot))) / 1e4).alias(
-                "observed_share"
-            ),
+            (
+                F.floor(
+                    F.col("n_rows")
+                    * 1e4
+                    / F.sum("n_rows").over(w_all).cast("double")
+                )
+                / 1e4
+            ).alias("observed_share"),
             benford.alias("benford_share"),
         )
         .withColumn(
@@ -169,13 +184,18 @@ def basket_lift(
     (items per order choose 2) — 7 lineitems max in TPC-H — never by
     table size, so the plan survives 100x data unchanged.
     """
-    baskets = (
+    baskets = _consistent(
         lineitem.select("l_orderkey", "l_partkey")
         .join(F.broadcast(part.select("p_partkey", item_col)), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col(item_col).alias("item"))
         .distinct()
     )
-    n_orders = baskets.select("okey").distinct().count()
+    # order count as a 1-row broadcast, not an eager count(): the
+    # basket subtree evaluates once (materialized above) instead of
+    # once for the count and twice more in the self-join
+    no = baskets.agg(
+        F.count_distinct("okey").cast("double").alias("_no")
+    )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a, b = baskets.alias("a"), baskets.alias("b")
     pair_counts = (
@@ -188,17 +208,18 @@ def basket_lift(
     cb = F.broadcast(item_counts).alias("cb")
     lift = (
         F.col("pair_orders")
-        * F.lit(float(n_orders))
+        * F.col("_no")
         / (F.col("ca.c") * F.col("cb.c").cast("double"))
     )
     return (
-        pair_counts.join(ca, F.col("item_a") == F.col("ca.item"))
+        pair_counts.crossJoin(F.broadcast(no))
+        .join(ca, F.col("item_a") == F.col("ca.item"))
         .join(cb, F.col("item_b") == F.col("cb.item"))
         .select(
             "item_a",
             "item_b",
             "pair_orders",
-            (F.floor(F.col("pair_orders") * 1e4 / F.lit(float(n_orders))) / 1e4).alias(
+            (F.floor(F.col("pair_orders") * 1e4 / F.col("_no")) / 1e4).alias(
                 "support"
             ),
             F.round(lift, 6).alias("lift"),
@@ -514,13 +535,18 @@ def mad_anomaly_counts(
     mad = dev.groupBy(key_col).agg(
         F.expr("percentile(_d2, 0.5)").alias("_mad2")
     )
-    z = (F.col("_c") - F.col("_m")) / (1.4826 * F.col("_mad2") / 2)
+    # try_divide: a key where >= 50% of values equal the median has
+    # MAD = 0 — the modified z is undefined there (NULL, counted as
+    # not-anomalous), never an ANSI DIVIDE_BY_ZERO job abort
+    z = F.try_divide(
+        F.col("_c") - F.col("_m"), 1.4826 * F.col("_mad2") / 2
+    )
     return (
         dev.join(F.broadcast(mad), key_col)
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.abs(z) > z_threshold).cast("int")).alias("n_anomalies"),
+            F.count(F.when(F.abs(z) > z_threshold, 1)).alias("n_anomalies"),
             F.round(F.first("_m") / 100, 4).alias("median_value"),
             F.round(F.first("_mad2") / 200, 4).alias("mad"),
         )
@@ -560,9 +586,13 @@ def ab_welch_test(
     )
     se0 = F.col("_v0") / F.col("n0")
     se1 = F.col("_v1") / F.col("n1")
-    t = (F.col("_m0") - F.col("_m1")) / F.sqrt(se0 + se1)
-    dof = (se0 + se1) * (se0 + se1) / (
-        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    # try_divide: a key whose value is CONSTANT in both arms has zero
+    # pooled variance — t and the Satterthwaite df are undefined
+    # (NULL), never an ANSI DIVIDE_BY_ZERO job abort
+    t = F.try_divide(F.col("_m0") - F.col("_m1"), F.sqrt(se0 + se1))
+    dof = F.try_divide(
+        (se0 + se1) * (se0 + se1),
+        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1),
     )
     return agg.select(
         F.col(key_col),
@@ -751,8 +781,11 @@ def cusum_changepoint(
         F.col(ts_col),
         "_k",
         "_n",
+        # decimal(38,0): n*S_k is long*long and passes 2^63 for any
+        # realistic corpus (same overflow note as revenue_concentration)
         F.abs(
-            F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
+            F.col("_n").cast("decimal(38,0)") * F.col("_sk")
+            - F.col("_k").cast("decimal(38,0)") * F.col("_sn")
         ).alias("_stat"),
     )
     best = scored.groupBy(key_col).agg(
@@ -765,9 +798,9 @@ def cusum_changepoint(
         ).alias("_best"),
         F.max("_n").alias("n_events"),
         # scale back: stat/(n*100) = |S_k - (k/n)S_n| in value units
-        F.round(F.max("_stat") / (F.max("_n") * 100.0), 4).alias(
-            "cusum_stat"
-        ),
+        F.round(
+            (F.max("_stat") / (F.max("_n") * 100.0)).cast("double"), 4
+        ).alias("cusum_stat"),
     )
     return best.select(
         F.col(key_col),
@@ -826,11 +859,17 @@ def poisson_bootstrap_ci(
     w = F.lit(5)
     for mult, cum in reversed(POISSON1_CDF):
         w = F.when(F.col("_u") < cum, F.lit(mult)).otherwise(w)
+    # try_divide: a replica whose every row drew weight 0 (probability
+    # 0.368^n — near-certain for tiny inputs) has sum(w) = 0; its mean
+    # is undefined (NULL, dropped by collect_list), never an ANSI
+    # DIVIDE_BY_ZERO job abort
     per_b = (
         ex.select("b", "_v", w.alias("_w"))
         .groupBy("b")
         .agg(
-            (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("_mean_b")
+            F.try_divide(
+                F.sum(F.col("_w") * F.col("_v")), F.sum("_w")
+            ).alias("_mean_b")
         )
     )
     means = per_b.agg(
@@ -843,8 +882,13 @@ def poisson_bootstrap_ci(
     return grand.crossJoin(F.broadcast(means)).select(
         "n_rows",
         "mean_val",
-        F.round(F.element_at("_ms", 2), 4).alias("boot_lo"),
-        F.round(F.element_at("_ms", n_replicas - 1), 4).alias("boot_hi"),
+        # try_element_at: degenerate replicas shrink the means list
+        # below n_replicas (and an empty input empties it) — the CI is
+        # NULL then, not an INVALID_ARRAY_INDEX error
+        F.round(F.try_element_at("_ms", F.lit(2)), 4).alias("boot_lo"),
+        F.round(
+            F.try_element_at("_ms", F.lit(n_replicas - 1)), 4
+        ).alias("boot_hi"),
         F.lit(n_replicas).alias("n_replicas"),
     )
 

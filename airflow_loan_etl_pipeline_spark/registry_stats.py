@@ -77,7 +77,7 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
          tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM f),
-         d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         d AS (SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0) AS INT) AS digit,
                       count(*) AS n_rows
                FROM f GROUP BY 1),
          s AS (SELECT digit, n_rows,
@@ -959,7 +959,8 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad AS (SELECT event_type, quantile_cont(d2, 0.5) AS mad2
             FROM dev GROUP BY 1)
     SELECT event_type, count(*) AS n_events,
-           CAST(sum(CASE WHEN abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
+           CAST(sum(CASE WHEN mad2 > 0
+                         AND abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            round(any_value(m) / 100, 4) AS median_value,
            round(any_value(mad2) / 200, 4) AS mad
@@ -1592,10 +1593,10 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT event_type, n0, n1,
            round(m0, 6) AS mean0, round(m1, 6) AS mean1,
-           round((m0 - m1) / sqrt(v0/n0 + v1/n1), 4) AS t_stat,
+           round((m0 - m1) / NULLIF(sqrt(v0/n0 + v1/n1), 0), 4) AS t_stat,
            round((v0/n0 + v1/n1) * (v0/n0 + v1/n1) /
-                 ((v0/n0) * (v0/n0) / (n0 - 1)
-                  + (v1/n1) * (v1/n1) / (n1 - 1)), 2) AS welch_df
+                 NULLIF((v0/n0) * (v0/n0) / (n0 - 1)
+                        + (v1/n1) * (v1/n1) / (n1 - 1), 0), 2) AS welch_df
     FROM g
     """,
 )
@@ -1941,8 +1942,10 @@ def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHEN u < 0.9963401531726563 THEN 4
                            ELSE 5 END AS wt
                FROM uw),
-         pb AS (SELECT b, sum(wt * v) / sum(wt) AS mean_b FROM w GROUP BY b),
-         ms AS (SELECT list_sort(list(mean_b)) AS l FROM pb),
+         pb AS (SELECT b, sum(wt * v) / NULLIF(sum(wt), 0) AS mean_b
+                FROM w GROUP BY b),
+         ms AS (SELECT list_sort(list(mean_b)) AS l FROM pb
+                WHERE mean_b IS NOT NULL),
          g AS (SELECT count(*) AS n_rows,
                       round(avg(o_totalprice), 4) AS mean_val
                FROM orders)

@@ -782,3 +782,48 @@ def test_percentile_primitives_ignore_nulls(spark):
         "bs"
     ]
     assert list(got) == list(want)
+
+
+def test_mad_anomalies_zero_mad_key_does_not_crash(spark):
+    """ANSI-mode regression (review r6): a key where >=50% of values
+    equal the median has MAD = 0; the modified z is undefined there —
+    NULL, counted as not-anomalous — never a DIVIDE_BY_ZERO abort."""
+    rows = [("flat", 5.0)] * 10 + [("flat", 9.0)] * 2
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r.asDict() for r in ST.mad_anomaly_counts(df).collect()}
+    assert out["flat"]["n_events"] == 12
+    assert out["flat"]["n_anomalies"] == 0  # undefined z -> not counted
+    assert out["flat"]["mad"] == 0.0
+
+
+def test_welch_zero_variance_arms_yield_null_t(spark):
+    """Both arms constant -> zero pooled variance -> t and df are NULL
+    (undefined), not an ANSI DIVIDE_BY_ZERO abort."""
+    rows = [("k", uid, 4.0) for uid in range(8)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = ST.ab_welch_test(df).collect()[0]
+    assert r["n0"] == 4 and r["n1"] == 4
+    assert r["t_stat"] is None and r["welch_df"] is None
+
+
+def test_poisson_bootstrap_tiny_and_empty_inputs(spark):
+    """Degenerate replicas (all weights 0) and empty inputs must yield
+    NULL CI bounds, not DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX."""
+    one = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    r = ST.poisson_bootstrap_ci(one, "k", "v").collect()[0]
+    assert r["n_rows"] == 1  # runs; bounds may be NULL or 10.0
+    empty = spark.createDataFrame([], "k long, v double")
+    r = ST.poisson_bootstrap_ci(empty, "k", "v").collect()[0]
+    assert r["n_rows"] == 0
+    assert r["boot_lo"] is None and r["boot_hi"] is None
+
+
+def test_benford_first_significant_digit_subunit_amounts(spark):
+    """Benford must use the first SIGNIFICANT digit: 0.75 -> 7 (the old
+    floor+substr form extracted 0 and divided by zero in the share)."""
+    df = spark.createDataFrame(
+        [(0.75,), (0.075,), (7.5,), (750.0,), (0.2,)], "amt double"
+    )
+    got = {r["digit"]: r["n_rows"] for r in
+           ST.benford_first_digit(df, "amt").collect()}
+    assert got == {7: 4, 2: 1}
