@@ -64,6 +64,21 @@ _REWIRED = [
     "lineitem_equidepth_hist",
     "lineitem_percentiles",
     "lineitem_2d_density_grid",
+    # round-6 statistical-operator hardening (ANSI crash guards,
+    # first-significant-digit Benford, full JS/PSI key universes,
+    # NULL-category chi2, null-safe threshold joins) — every touched
+    # query re-verified same-round
+    "orders_benford_digits",
+    "docs_source_divergence",
+    "basket_brand_lift",
+    "docs_lang_source_chi2",
+    "events_winsorized_stats",
+    "events_mad_anomalies",
+    "events_ab_test",
+    "events_seasonal_anomalies",
+    "events_psi_drift",
+    "events_changepoint",
+    "orders_bootstrap_ci",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —

@@ -150,7 +150,7 @@ def js_divergence_by_key(
     a, b = dist.alias("a"), dist.alias("b")
     ln2 = math.log(2.0)
     pa, pb = F.col("a.p"), F.col("b.p")
-    pairs = (
+    shared = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.k") < F.col("b.k")))
         .groupBy(F.col("a.k").alias("source_a"), F.col("b.k").alias("source_b"))
         .agg(
@@ -161,13 +161,37 @@ def js_divergence_by_key(
             F.sum(pb).alias("_cq"),
         )
     )
+    # the pair UNIVERSE is every key pair, not just pairs that share a
+    # token: two sources with DISJOINT vocabularies are maximally
+    # divergent (js = ln 2, the closed form with zero shared mass) —
+    # omitting them made the most-drifted pair vanish from the gauge.
+    # K keys -> K(K-1)/2 rows, trivially broadcastable.
+    keys = dist.select(F.col("k")).distinct()
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    pairs = (
+        ka.join(kb, F.col("ka.k") < F.col("kb.k"))
+        .select(
+            F.col("ka.k").alias("source_a"), F.col("kb.k").alias("source_b")
+        )
+        .join(shared, ["source_a", "source_b"], "left")
+    )
     js = (
-        F.col("_sp")
-        + F.col("_sq")
-        + (2 - F.col("_cp") - F.col("_cq")) * F.lit(ln2)
+        F.coalesce(F.col("_sp"), F.lit(0.0))
+        + F.coalesce(F.col("_sq"), F.lit(0.0))
+        + (
+            2
+            - F.coalesce(F.col("_cp"), F.lit(0.0))
+            - F.coalesce(F.col("_cq"), F.lit(0.0))
+        )
+        * F.lit(ln2)
     ) / 2
     return pairs.select(
-        "source_a", "source_b", "n_shared_tokens", F.round(js, 6).alias("js_divergence")
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias(
+            "n_shared_tokens"
+        ),
+        F.round(js, 6).alias("js_divergence"),
     )
 
 
@@ -244,17 +268,30 @@ def chi_square_independence(
     )
     rt = ct.groupBy("r").agg(F.sum("c").alias("rtot"))
     cl = ct.groupBy("s").agg(F.sum("c").alias("stot"))
+    # NULL is a real category here (groupBy keeps a NULL group, and its
+    # counts are in n): count it into the table dimensions and join the
+    # marginals back NULL-SAFELY — a plain join would drop the NULL
+    # cells while their mass stayed in n, inflating chi2.
     n = ct.agg(
         F.sum("c").cast("double").alias("n"),
-        F.count_distinct("r").alias("nr"),
-        F.count_distinct("s").alias("ns"),
+        (
+            F.count_distinct("r")
+            + F.max(F.when(F.col("r").isNull(), 1).otherwise(0))
+        ).alias("nr"),
+        (
+            F.count_distinct("s")
+            + F.max(F.when(F.col("s").isNull(), 1).otherwise(0))
+        ).alias("ns"),
     )
     # Marginal product in DOUBLE: rtot*stot in int64 overflows once row
     # and column totals pass ~3e9 rows (trivially true at 100 TB).
     e = F.col("rtot").cast("double") * F.col("stot") / F.col("n")
+    rt_a = F.broadcast(rt).alias("_rt")
+    cl_a = F.broadcast(cl).alias("_cl")
     return (
-        ct.join(F.broadcast(rt), "r")
-        .join(F.broadcast(cl), "s")
+        ct.alias("_ct")
+        .join(rt_a, F.col("_ct.r").eqNullSafe(F.col("_rt.r")))
+        .join(cl_a, F.col("_ct.s").eqNullSafe(F.col("_cl.s")))
         .crossJoin(F.broadcast(n))
         .agg(
             F.count(F.lit(1)).alias("n_observed_cells"),
@@ -462,12 +499,19 @@ def winsorized_stats(
             (F.expr(f"percentile(_c, {hi_p})") / 100).alias("_hi"),
         )
     )
-    clipped = events.join(F.broadcast(th), key_col).select(
-        F.col(key_col),
-        F.col(value_col).alias("_v"),
-        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")).alias(
-            "_w"
-        ),
+    # null-safe join-back: a NULL key is a real group (the groupBy
+    # above keeps it); a plain join would drop its rows from the output
+    ev_a = events.alias("_e")
+    th_a = F.broadcast(th).alias("_t")
+    clipped = ev_a.join(
+        th_a, F.col(f"_e.`{key_col}`").eqNullSafe(F.col(f"_t.`{key_col}`"))
+    ).select(
+        F.col(f"_e.`{key_col}`").alias(key_col),
+        F.col(f"_e.`{value_col}`").alias("_v"),
+        F.least(
+            F.greatest(F.col(f"_e.`{value_col}`"), F.col("_lo")),
+            F.col("_hi"),
+        ).alias("_w"),
     )
     return clipped.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -528,7 +572,14 @@ def mad_anomaly_counts(
         F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
     )
     med = c.groupBy(key_col).agg(F.expr("percentile(_c, 0.5)").alias("_m"))
-    dev = c.join(F.broadcast(med), key_col).withColumn(
+    # null-safe join-backs: NULL keys are real groups and must not be
+    # dropped between the threshold frames and the counting pass
+    c_a, med_a = c.alias("_c0"), F.broadcast(med).alias("_md")
+    dev = c_a.join(
+        med_a, F.col(f"_c0.`{key_col}`").eqNullSafe(F.col(f"_md.`{key_col}`"))
+    ).select(
+        F.col(f"_c0.`{key_col}`").alias(key_col), "_c", "_m"
+    ).withColumn(
         "_d2",
         F.abs(2 * F.col("_c") - (2 * F.col("_m")).cast("bigint")),
     )
@@ -541,8 +592,13 @@ def mad_anomaly_counts(
     z = F.try_divide(
         F.col("_c") - F.col("_m"), 1.4826 * F.col("_mad2") / 2
     )
+    dev_a, mad_a = dev.alias("_dv"), F.broadcast(mad).alias("_ma")
     return (
-        dev.join(F.broadcast(mad), key_col)
+        dev_a.join(
+            mad_a,
+            F.col(f"_dv.`{key_col}`").eqNullSafe(F.col(f"_ma.`{key_col}`")),
+        )
+        .select(F.col(f"_dv.`{key_col}`").alias(key_col), "_c", "_m", "_mad2")
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -635,12 +691,20 @@ def seasonal_anomaly_counts(
         F.avg(val_col).alias("_mu"),
         F.stddev_samp(val_col).alias("_sigma"),
     )
-    z = (F.col(val_col) - F.col("_mu")) / F.col("_sigma")
-    scored = facts.join(
-        F.broadcast(grid), [key_col, "_dow", "_hr"], "inner"
-    ).select(
-        F.col(key_col),
-        F.when(F.col("_sigma") > 0, z).alias("_z"),
+    # null-safe cell join: a NULL key (or NULL ts -> NULL dow/hr) is a
+    # real seasonal cell in the grid; a plain join would drop its rows
+    f_a, g_a = facts.alias("_f"), F.broadcast(grid).alias("_g")
+    cond = (
+        F.col(f"_f.`{key_col}`").eqNullSafe(F.col(f"_g.`{key_col}`"))
+        & F.col("_f._dow").eqNullSafe(F.col("_g._dow"))
+        & F.col("_f._hr").eqNullSafe(F.col("_g._hr"))
+    )
+    scored = f_a.join(g_a, cond).select(
+        F.col(f"_f.`{key_col}`").alias(key_col),
+        F.when(
+            F.col("_sigma") > 0,
+            (F.col(f"_f.`{val_col}`") - F.col("_mu")) / F.col("_sigma"),
+        ).alias("_z"),
     )
     return scored.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -696,14 +760,28 @@ def psi_drift(
         .groupBy(key_col)
         .agg(F.expr(f"percentile(_vc, array({deciles}))").alias("_thr"))
     )
-    scored = ev.join(F.broadcast(thr), key_col).withColumn(
+    # the key universe comes from BOTH periods: a key whose events all
+    # fall in the current half (a metric that first appears after the
+    # midpoint — the most-drifted case a drift gauge exists to catch)
+    # has no reference thresholds; it keeps an empty threshold array
+    # (all its current mass lands in bucket 0) and surfaces with
+    # n_ref = 0 and the floored-reference maximal PSI, instead of
+    # silently vanishing through an inner threshold join.
+    keys = ev.select(F.col(key_col)).distinct()
+    thr_all = keys.join(thr, key_col, "left").select(
+        F.col(key_col),
+        F.expr("coalesce(_thr, cast(array() as array<double>))").alias(
+            "_thr"
+        ),
+    )
+    scored = ev.join(F.broadcast(thr_all), key_col).withColumn(
         "_b", F.expr("size(filter(_thr, t -> _vc > t))")
     )
     counts = scored.groupBy(key_col, "_b").agg(
         F.count(F.when(F.col("_per") == 0, 1)).alias("nr"),
         F.count(F.when(F.col("_per") == 1, 1)).alias("nc"),
     )
-    grid = thr.select(
+    grid = keys.select(
         F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_b")
     )
     full = (

@@ -103,14 +103,24 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
          counts AS (SELECT k, w, count(*) AS c FROM tok GROUP BY 1, 2),
          tots AS (SELECT k, sum(c) AS tot FROM counts GROUP BY 1),
          dist AS (SELECT counts.k, w, c / tot AS p
-                  FROM counts JOIN tots ON counts.k = tots.k)
-    SELECT a.k AS source_a, b.k AS source_b,
-           count(*) AS n_shared_tokens,
-           round((sum(a.p * ln(2 * a.p / (a.p + b.p)))
-                  + sum(b.p * ln(2 * b.p / (a.p + b.p)))
-                  + (2 - sum(a.p) - sum(b.p)) * ln(2)) / 2, 6) AS js_divergence
-    FROM dist a JOIN dist b ON a.w = b.w AND a.k < b.k
-    GROUP BY 1, 2
+                  FROM counts JOIN tots ON counts.k = tots.k),
+         shared AS (SELECT a.k AS source_a, b.k AS source_b,
+                           count(*) AS n_shared_tokens,
+                           sum(a.p * ln(2 * a.p / (a.p + b.p))) AS sp,
+                           sum(b.p * ln(2 * b.p / (a.p + b.p))) AS sq,
+                           sum(a.p) AS cp, sum(b.p) AS cq
+                    FROM dist a JOIN dist b ON a.w = b.w AND a.k < b.k
+                    GROUP BY 1, 2),
+         pairs AS (SELECT ka.k AS source_a, kb.k AS source_b
+                   FROM (SELECT DISTINCT k FROM dist) ka
+                   JOIN (SELECT DISTINCT k FROM dist) kb ON ka.k < kb.k)
+    SELECT p.source_a, p.source_b,
+           coalesce(n_shared_tokens, 0) AS n_shared_tokens,
+           round((coalesce(sp, 0) + coalesce(sq, 0)
+                  + (2 - coalesce(cp, 0) - coalesce(cq, 0)) * ln(2)) / 2, 6)
+             AS js_divergence
+    FROM pairs p LEFT JOIN shared s
+      ON p.source_a = s.source_a AND p.source_b = s.source_b
     """,
 )
 def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,8 +273,10 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
          rt AS (SELECT r, sum(c) AS rtot FROM ct GROUP BY 1),
          cl AS (SELECT s, sum(c) AS stot FROM ct GROUP BY 1),
          n AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
-                      count(DISTINCT r) AS nr,
-                      count(DISTINCT s) AS ns
+                      count(DISTINCT r)
+                        + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS nr,
+                      count(DISTINCT s)
+                        + max(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS ns
                FROM ct)
     SELECT count(*) AS n_observed_cells,
            (first(nr) - 1) * (first(ns) - 1) AS dof,
@@ -273,7 +285,9 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (CAST(rtot AS DOUBLE) * stot / n))
                  + first(n)
                  - sum(CAST(rtot AS DOUBLE) * stot / n), 4) AS chi2
-    FROM ct JOIN rt USING (r) JOIN cl USING (s) CROSS JOIN n
+    FROM ct JOIN rt ON ct.r IS NOT DISTINCT FROM rt.r
+            JOIN cl ON ct.s IS NOT DISTINCT FROM cl.s
+            CROSS JOIN n
     """,
 )
 def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,11 +745,11 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS hi
         FROM events GROUP BY 1
     )
-    SELECT event_type, count(*) AS n_events,
+    SELECT events.event_type AS event_type, count(*) AS n_events,
            round(avg(value), 6) AS mean_raw,
            round(avg(least(greatest(value, lo), hi)), 6) AS mean_winsorized
-    FROM events JOIN th USING (event_type)
-    GROUP BY event_type
+    FROM events JOIN th ON events.event_type IS NOT DISTINCT FROM th.event_type
+    GROUP BY events.event_type
     """,
 )
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,17 +969,18 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     med AS (SELECT event_type, quantile_cont(c, 0.5) AS m FROM c GROUP BY 1),
     dev AS (SELECT c.event_type, c.c, m,
                    abs(2 * c.c - CAST(2 * m AS BIGINT)) AS d2
-            FROM c JOIN med USING (event_type)),
+            FROM c JOIN med
+              ON c.event_type IS NOT DISTINCT FROM med.event_type),
     mad AS (SELECT event_type, quantile_cont(d2, 0.5) AS mad2
             FROM dev GROUP BY 1)
-    SELECT event_type, count(*) AS n_events,
+    SELECT dev.event_type AS event_type, count(*) AS n_events,
            CAST(sum(CASE WHEN mad2 > 0
                          AND abs((c - m) / (1.4826 * mad2 / 2)) > 3.5
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            round(any_value(m) / 100, 4) AS median_value,
            round(any_value(mad2) / 200, 4) AS mad
-    FROM dev JOIN mad USING (event_type)
-    GROUP BY event_type
+    FROM dev JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.event_type
+    GROUP BY dev.event_type
     """,
 )
 def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,7 +1638,9 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(CASE WHEN sigma > 0
                           THEN abs((value - mu) / sigma) END), 4)
              AS max_abs_z
-    FROM f JOIN g USING (event_type, dow, hr)
+    FROM f JOIN g ON f.event_type IS NOT DISTINCT FROM g.event_type
+               AND f.dow IS NOT DISTINCT FROM g.dow
+               AND f.hr IS NOT DISTINCT FROM g.hr
     GROUP BY f.event_type
     """,
 )
@@ -1649,15 +1666,19 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quantile_cont(vc, [0.1, 0.2, 0.3, 0.4, 0.5,
                                            0.6, 0.7, 0.8, 0.9]) AS t
                  FROM ev WHERE per = 0 GROUP BY event_type),
+         ks AS (SELECT DISTINCT event_type FROM ev),
+         thr_all AS (SELECT ks.event_type,
+                            coalesce(t.t, []) AS t
+                     FROM ks LEFT JOIN thr t USING (event_type)),
          scored AS (SELECT ev.event_type, per,
                            len(list_filter(t.t, x -> vc > x)) AS bkt
-                    FROM ev JOIN thr t USING (event_type)),
+                    FROM ev JOIN thr_all t USING (event_type)),
          counts AS (SELECT event_type, bkt,
                            count(CASE WHEN per = 0 THEN 1 END) AS nr,
                            count(CASE WHEN per = 1 THEN 1 END) AS nc
                     FROM scored GROUP BY 1, 2),
          grid AS (SELECT event_type, unnest(generate_series(0, 9)) AS bkt
-                  FROM thr),
+                  FROM ks),
          fl AS (SELECT g.event_type, g.bkt,
                        coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
                 FROM grid g LEFT JOIN counts c
@@ -2860,8 +2881,10 @@ def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
          rt AS (SELECT r, sum(c) AS rtot FROM ct GROUP BY 1),
          cl AS (SELECT s, sum(c) AS stot FROM ct GROUP BY 1),
          n AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
-                      count(DISTINCT r) AS nr,
-                      count(DISTINCT s) AS ns
+                      count(DISTINCT r)
+                        + max(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS nr,
+                      count(DISTINCT s)
+                        + max(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS ns
                FROM ct)
     SELECT count(*) AS n_observed_cells,
            (first(nr) - 1) * (first(ns) - 1) AS dof,
@@ -2870,7 +2893,9 @@ def orders_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (CAST(rtot AS DOUBLE) * stot / n))
                  + first(n)
                  - sum(CAST(rtot AS DOUBLE) * stot / n), 4) AS chi2
-    FROM ct JOIN rt USING (r) JOIN cl USING (s) CROSS JOIN n
+    FROM ct JOIN rt ON ct.r IS NOT DISTINCT FROM rt.r
+            JOIN cl ON ct.s IS NOT DISTINCT FROM cl.s
+            CROSS JOIN n
     """,
 )
 def nation_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:

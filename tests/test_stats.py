@@ -78,13 +78,18 @@ def test_js_divergence_zero_for_identical_distributions(spark):
 
 
 def test_js_divergence_ln2_for_disjoint_distributions(spark):
-    # Disjoint vocabularies share no tokens -> the pair never appears
-    # in the inner-join output (documented contract: fully disjoint
-    # pairs are absent; their JS is the ln(2) maximum by definition).
+    # Disjoint vocabularies share no tokens -> the pair appears with
+    # the ln(2) maximum (round-6 contract: the pair universe is every
+    # key pair; previously these most-divergent pairs were absent).
+    import math
+
     df = spark.createDataFrame(
         [("s1", "a a b"), ("s2", "x y z")], ["source", "text"]
     )
-    assert ST.js_divergence_by_key(df).count() == 0
+    rows = ST.js_divergence_by_key(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_shared_tokens"] == 0
+    assert abs(rows[0]["js_divergence"] - round(math.log(2.0), 6)) < 1e-9
 
 
 def test_collapse_state_runs_gaps_and_islands(spark):
@@ -827,3 +832,71 @@ def test_benford_first_significant_digit_subunit_amounts(spark):
     got = {r["digit"]: r["n_rows"] for r in
            ST.benford_first_digit(df, "amt").collect()}
     assert got == {7: 4, 2: 1}
+
+
+def test_js_divergence_disjoint_vocabularies_emit_ln2(spark):
+    """Two sources sharing zero tokens are MAXIMALLY divergent — the
+    pair must appear with js = ln(2), not vanish from the gauge
+    (review r6: the shared-token inner join omitted exactly the
+    most-drifted pairs)."""
+    import math
+
+    df = spark.createDataFrame(
+        [("s1", 1, "aa bb aa"), ("s2", 2, "cc dd ee")],
+        "source string, doc_id long, text string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r.asDict()
+            for r in ST.js_divergence_by_key(df).collect()}
+    r = rows[("s1", "s2")]
+    assert r["n_shared_tokens"] == 0
+    assert abs(r["js_divergence"] - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_psi_drift_all_in_current_key_surfaces_with_max_drift(spark):
+    """A metric that first appears AFTER the midpoint (no reference
+    events) must surface with n_ref = 0 and a large floored-reference
+    PSI — not silently vanish through the threshold join."""
+    from datetime import datetime
+
+    rows = [
+        ("old", datetime(2024, 1, 1, h), 1.0 + h) for h in range(10)
+    ] + [
+        ("new", datetime(2024, 1, 1, 9, 30), 5.0),
+        ("new", datetime(2024, 1, 1, 9, 45), 6.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["event_type"]: r.asDict() for r in ST.psi_drift(df).collect()}
+    assert "new" in out, "all-in-current key must not vanish"
+    assert out["new"]["n_ref"] == 0 and out["new"]["n_cur"] == 2
+    assert out["new"]["psi"] > 1.0  # floored reference -> maximal drift
+
+
+def test_chi2_null_categories_are_real_categories(spark):
+    """NULL metadata is a category: its cells must survive the marginal
+    joins (null-safe) and count toward the table dimensions — a plain
+    join dropped the cells while their mass stayed in n, inflating
+    chi2 (review r6)."""
+    rows = [("en", "web")] * 4 + [("en", None)] * 3 + [(None, "web")] * 2
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = ST.chi_square_independence(df, "lang", "source").collect()[0]
+    assert r["n_observed_cells"] == 3
+    assert r["dof"] == 1  # 2 langs (en, NULL) x 2 sources (web, NULL)
+    # all mass accounted: chi2 finite and non-negative
+    assert r["chi2"] is not None and r["chi2"] >= 0
+
+
+def test_null_key_groups_survive_threshold_joins(spark):
+    """winsorized / MAD / seasonal operators: a NULL key is a real
+    group — it must appear in the output, not be dropped by the
+    threshold join-back (repo null-safe group-key rule)."""
+    from datetime import datetime
+
+    rows = [(None, datetime(2024, 1, 1, 1), float(v)) for v in range(10)]
+    rows += [("k", datetime(2024, 1, 1, 2), 1.0)] * 3
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    w = {r["event_type"]: r for r in ST.winsorized_stats(df).collect()}
+    assert None in w and w[None]["n_events"] == 10
+    m = {r["event_type"]: r for r in ST.mad_anomaly_counts(df).collect()}
+    assert None in m and m[None]["n_events"] == 10
+    s = {r["event_type"]: r for r in ST.seasonal_anomaly_counts(df).collect()}
+    assert None in s and s[None]["n_events"] == 10
