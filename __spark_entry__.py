@@ -79,6 +79,10 @@ _REWIRED = [
     "events_psi_drift",
     "events_changepoint",
     "orders_bootstrap_ci",
+    # round-6 text review: vocab_coverage's ranked frame is now
+    # checkpoint-materialized (plan change; docs_chunks/bm25 fixes
+    # leave the registry calls' plans and values unchanged)
+    "vocab_coverage_curve",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -212,7 +216,7 @@ _R1_SAMPLED = {
 # item 2: spend spare sample slots re-confirming the oldest green rows
 # still hold on today's code.
 _RECHECK_OLDEST = [
-    "mode_per_column", "date_split", "loan_agg", "loan_agg_global",
+    "date_split", "loan_agg", "loan_agg_global",
     "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
     "window_topk_per_priority", "window_running_spend",
     "docs_token_stats", "dedup_exact", "minhash_lsh_pairs",

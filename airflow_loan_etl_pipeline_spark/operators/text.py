@@ -155,8 +155,6 @@ def tfidf_top_terms(
     partitions over doc_id on rows already collapsed to distinct
     (doc, term) — bounded by vocabulary size per doc, not corpus size.
     """
-    from pyspark.sql import Window
-
     tf = (
         df.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
@@ -318,8 +316,6 @@ def pack_sequences(
     the window input is one int per doc, not the text. Output is one
     row per (source, bin): doc count + token fill.
     """
-    from pyspark.sql import Window
-
     sized = df.select(
         F.col(part_col), F.col(id_col), F.size(tokens(text_col)).alias("n_tok")
     )
@@ -361,9 +357,14 @@ def chunk_documents(
     tokenized array.
     """
     t = tokens(text_col)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)), F.lit(stride)
-    )
+    # Upper bound for chunk starts: with window > stride the previous
+    # chunk always reaches at least n - stride + window - 1 >= n, so
+    # capping at n-1 skips only fully-covered suffix starts. With
+    # window <= stride that cap LOSES the tail (an 8/8 chunking of a
+    # 9-token doc covered only tokens 1-8) — the final start must be
+    # allowed to reach n so the partial tail chunk is emitted.
+    cap = F.size(t) - 1 if window > stride else F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(cap, F.lit(1)), F.lit(stride))
     ex = df.select(
         F.col(id_col), t.alias("_toks"), F.posexplode(starts)
     ).withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_start")
@@ -425,8 +426,6 @@ def quota_select(
     ranks (score, id) pairs, not documents: the text never enters the
     exchange. Ties break on doc_id so the selection is deterministic.
     """
-    from pyspark.sql import Window
-
     scored = quality_score(df, id_col, text_col).select(id_col, "quality_score")
     strata = df.select(id_col, stratum_col)
     j = strata.join(scored, id_col)
@@ -683,7 +682,9 @@ def bm25_scores(
     """
     terms = tuple(terms)
     docs = df.select(
-        F.col(id_col).alias("doc_id"),
+        # internal frame keys on the CALLER'S id column name so the
+        # output id column honors id_col (previously hardcoded doc_id)
+        F.col(id_col).alias(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.split(F.col(text_col), " ").alias("_toks"),
     )
@@ -692,9 +693,9 @@ def bm25_scores(
         F.avg("dl").alias("avgdl"),
     )
     tf = (
-        docs.select("doc_id", "dl", F.explode("_toks").alias("w"))
+        docs.select(id_col, "dl", F.explode("_toks").alias("w"))
         .filter(F.col("w").isin(*terms))
-        .groupBy("doc_id", "dl", "w")
+        .groupBy(id_col, "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
@@ -714,7 +715,7 @@ def bm25_scores(
     return (
         tf.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_terms_hit"),
             F.round(F.sum(term_score), 4).alias("bm25"),
@@ -807,8 +808,6 @@ def length_rebalance(
     spill space, which is exactly the skew the rebalance exists to
     remove, and the post-filter output is min_size rows per bucket.
     """
-    from pyspark.sql import Window
-
     # Integer division, never a double→int cast: Spark's cast truncates
     # while DuckDB's rounds half-to-even — `div` is floor on both.
     b = df.select(
@@ -904,7 +903,11 @@ def vocab_coverage(
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = _parallelism(docs.sparkSession)
-    ranged = (
+    # materialized once: the offsets branch re-derives this subtree,
+    # and a re-derived repartitionByRange may sample different range
+    # bounds — the same _pid-desync hazard global_rank guards against
+    # (this site previously fanned the frame out unprotected)
+    ranged = _consistent(
         freq.withColumn("_negc", -F.col("c"))
         .repartitionByRange(n, F.col("_negc"), F.col("tok"))
         .withColumn("_pid", F.spark_partition_id())
@@ -927,7 +930,9 @@ def vocab_coverage(
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offn"),
         F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_offs"),
     )
-    tot = freq.agg(F.sum("c").alias("_total"))
+    # corpus total from the parallelism-sized per-partition totals —
+    # re-aggregating freq would be a second full explode+groupBy pass
+    tot = totals.agg(F.sum("_s").alias("_total"))
     ks = list(checkpoints)
     return (
         local.join(F.broadcast(offsets), "_pid")
@@ -1255,7 +1260,6 @@ def bigram_logprob(
         .select(F.col(id_col), F.explode("_bis").alias("bg"))
         .filter(F.col("bg").isNotNull())
     )
-    w1 = F.split(F.col("bg"), " ").getItem(0)
     bcnt = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     toks = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("t")

@@ -455,3 +455,60 @@ def test_seed_centroids_on_id_offset_corpus(spark, sf_dir):
     assert all(
         0 <= c < S.PQ_K for codes, _ in pq1.values() for c in codes
     )
+
+
+def test_chunk_documents_covers_tail_when_window_equals_stride(spark):
+    """Non-overlapping chunking (window == stride) must still emit the
+    final partial chunk: an 8/8 chunking of a 9-token doc previously
+    lost token 9 entirely (review r6)."""
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_start"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, window=8, stride=8).collect()
+    )
+    assert rows == [(1, 8), (9, 1)]  # tail token covered
+    # default overlapping path unchanged: 16/8 over 9 tokens -> one
+    # start only (cap n-1 skips the fully-covered suffix start)
+    rows16 = [r["chunk_start"]
+              for r in chunk_documents(df, window=16, stride=8).collect()]
+    assert rows16 == [1]
+
+
+def test_bm25_scores_honors_id_col(spark):
+    """bm25_scores output id column must carry the CALLER'S id_col
+    name (was hardcoded doc_id)."""
+    from airflow_loan_etl_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(7, "alpha beta beta"), (8, "alpha gamma")],
+        "page_id long, text string",
+    )
+    out = bm25_scores(df, ("beta",), id_col="page_id")
+    assert "page_id" in out.columns
+    assert {r["page_id"] for r in out.collect()} <= {7, 8}
+
+
+def test_vocab_coverage_consistent_across_actions(spark):
+    """vocab_coverage's ranked frame is checkpoint-materialized: two
+    actions over a derived frame must agree exactly (the unmaterialized
+    range+partition-id fan-out could desync rank and offset branches)."""
+    from airflow_loan_etl_pipeline_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common common" % (i % 13)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = vocab_coverage(docs, checkpoints=(1, 5, 10)).select(
+        "vocab_size", "tokens_covered", "coverage"
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b and len(a) == 3
