@@ -43,8 +43,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _REWIRED = [
     "corpus_shuffle_order",
     "docs_rank_rbo",
-    "docs_rrf_fusion",
-    "docs_zipf_fit",
     "orders_revenue_gini",
     "orders_abc_classes",
     "part_pareto_frontier",
@@ -83,6 +81,21 @@ _REWIRED = [
     # checkpoint-materialized (plan change; docs_chunks/bm25 fixes
     # leave the registry calls' plans and values unchanged)
     "vocab_coverage_curve",
+    # round-6 similarity review: batch top-k excludes only each
+    # query's SELF (mutually-near queries now appear in each other's
+    # results); hard negatives treat NULL labels as a distinct label;
+    # zero-norm cosine is NULL on both engines
+    "embeddings_batch_topk",
+    "embedding_hard_negatives",
+]
+
+# Rewired entries that yield their sample slot when the 50-query
+# prefix is over-subscribed: global_rank consumers whose shared code
+# path is already re-sampled this round via corpus_shuffle_order /
+# orders_revenue_gini. Ordered AFTER the never-sampled backlog.
+_REWIRED_DEFER = [
+    "docs_rrf_fusion",
+    "docs_zipf_fit",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -247,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _take(k for k in registry.QUERIES
           if k in registry.ORACLE and k not in covered)
     _take(k for k in registry.QUERIES if k not in covered)
+    _take(_REWIRED_DEFER)
     _take(_RECHECK_OLDEST)
     _take(k for k in registry.QUERIES if k in registry.ORACLE)
     _take(registry.QUERIES)

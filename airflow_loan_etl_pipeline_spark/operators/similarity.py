@@ -61,10 +61,14 @@ def _as_double(col: str) -> str:
 
 def cosine_expr(a: str, b: str) -> str:
     """cos(a,b) = dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — identical formula
-    and evaluation order to the oracle SQL."""
+    and evaluation order to the oracle SQL. A ZERO-NORM vector has no
+    direction: its cosine is NULL (sorts last under ORDER BY cosine
+    DESC on both engines), guarded with try_divide — the unguarded
+    division raised DIVIDE_BY_ZERO under the session's ANSI mode and
+    produced engine-dependent NaN ordering in IEEE mode."""
     return (
-        f"{DOT.format(a=a, b=b)} / "
-        f"sqrt({DOT.format(a=a, b=a)} * {DOT.format(a=b, b=b)})"
+        f"try_divide({DOT.format(a=a, b=b)}, "
+        f"sqrt({DOT.format(a=a, b=a)} * {DOT.format(a=b, b=b)}))"
     )
 
 
@@ -362,6 +366,8 @@ def kmeans_train(
         f"'ccos', {cosine_expr('v', 'c.cv')}, "
         "'negcid', -c.cid, 'cid', c.cid))"
     )
+    if n_iters < 1:
+        raise ValueError("kmeans_train needs n_iters >= 1")
     assigned = None
     for _ in range(n_iters):
         cent_arr = cents.agg(
@@ -501,8 +507,12 @@ def batch_cosine_topk(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
-        base.filter(~F.col(id_col).isin(query_ids))
-        .crossJoin(F.broadcast(q))
+        # exclude only each query's SELF pair — excluding every query
+        # id from every candidate set silently hid mutually-near
+        # queries from each other's top-k, diverging from the
+        # per-query brute_force_cosine_topk contract
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col),
@@ -526,7 +536,6 @@ def batch_cosine_topk(
 
 def dimension_stats(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-dimension distribution stats over an embedding column
@@ -590,7 +599,7 @@ def hard_negatives(
     )
     scored = (
         a.join(b, "bucket")
-        .filter(F.col("_albl") != F.col("_blbl"))
+        .filter(~F.col("_albl").eqNullSafe(F.col("_blbl")))
         .select(
             "_aid",
             "_albl",
@@ -674,7 +683,7 @@ def standardized_norms(
     a map-side indexed ``transform`` over each vector. One stats
     aggregate + one scan — no shuffle of vectors.
     """
-    stats = dimension_stats(df, id_col=id_col, vec_col=vec_col)
+    stats = dimension_stats(df, vec_col=vec_col)
     arrs = stats.agg(
         F.array_sort(
             F.collect_list(F.struct("dim", "mean_val", "std_val"))

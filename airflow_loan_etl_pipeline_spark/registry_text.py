@@ -335,9 +335,12 @@ def simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+# NULLIF mirrors the Spark side's try_divide: a zero-norm vector has
+# no direction, cosine NULL on both engines (IEEE NaN would sort FIRST
+# under ORDER BY cosine DESC in DuckDB while ANSI Spark raised)
 _COS_DUCK = (
     "list_dot_product(v, qv) / "
-    "sqrt(list_dot_product(v, v) * list_dot_product(qv, qv))"
+    "NULLIF(sqrt(list_dot_product(v, v) * list_dot_product(qv, qv)), 0)"
 )
 
 
@@ -1681,7 +1684,7 @@ def docs_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE vec_id IN (0, 1, 2, 3)),
          scored AS (SELECT q.query_id, base.vec_id,
                            round({_COS_DUCK}, 6) AS cosine
-                    FROM base, q WHERE base.vec_id NOT IN (0, 1, 2, 3)),
+                    FROM base, q WHERE base.vec_id != q.query_id),
          ranked AS (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY cosine DESC, vec_id ASC) AS rank
@@ -1843,7 +1846,8 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * list_dot_product(b.v, b.v)), 6)
                         AS cosine
                FROM bk a JOIN bk b
-                 ON a.bucket = b.bucket AND a.label != b.label),
+                 ON a.bucket = b.bucket
+                AND a.label IS DISTINCT FROM b.label),
          r AS (SELECT *, row_number() OVER (
                  PARTITION BY vec_id
                  ORDER BY cosine DESC, nid ASC) AS rn
