@@ -33,6 +33,17 @@ from airflow_loan_etl_pipeline_spark.session import (
 N_PLANES = 8
 DIM = 64
 
+# Scale cap for the cosine near-dup pair generator: hyperplane buckets
+# holding more than this many vectors are DROPPED before the pair
+# self-join (a bucket of b vectors expands to b² pairs; one hot bucket
+# of near-constant/boilerplate embeddings expands quadratically while
+# identifying nothing). Shared with the oracle SQL (registry_text.py)
+# so both engines apply the identical cutoff — same discipline as
+# dedup.LSH_MAX_BUCKET / dedup.NGRAM_MAX_DF. Fixture buckets peak at
+# 33 vectors (sf0.1), so the default never binds at gate scale; at
+# 100 TB it bounds per-bucket fan-out to ~32k pairs.
+COSINE_MAX_BUCKET = 256
+
 
 def _plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
     """Deterministic ±1 hyperplane weights from md5 — reproducible in
@@ -193,6 +204,40 @@ def seed_centroids(
     )
 
 
+def _broadcast_centroid_scores(cents: DataFrame) -> tuple[DataFrame, str]:
+    """The shared map-side argmax primitive: collapse a (cid, cv)
+    centroid frame into ONE row holding the sorted centroid array
+    (broadcast-cross-joined onto the corpus it is a per-task constant —
+    BroadcastNestedLoopJoin over 1 row = map side), plus the per-vector
+    scores expression whose ``array_max`` picks each vector's best
+    centroid (cosine DESC, cid ASC tie-break) with NO shuffle of the
+    corpus. Used by ivf_topk, assign_centroids and kmeans_train — one
+    definition, so the assignment rule cannot drift between them."""
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
+    )
+    scores = (
+        "transform(cents, c -> named_struct("
+        f"'ccos', {cosine_expr('v', 'c.cv')}, "
+        "'negcid', -c.cid, 'cid', c.cid))"
+    )
+    return cent_arr, scores
+
+
+def _with_best_centroid(base: DataFrame, cents: DataFrame) -> tuple[DataFrame, str]:
+    """``base`` (carrying double-array column ``v``) + a ``best``
+    struct column = each vector's nearest centroid, computed map-side
+    via :func:`_broadcast_centroid_scores`. Returns the scores
+    expression too for callers that re-rank it (ivf_topk's probe)."""
+    cent_arr, scores = _broadcast_centroid_scores(cents)
+    with_best = base.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "best", F.expr(f"array_max({scores})")
+    )
+    return with_best, scores
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -234,23 +279,7 @@ def ivf_topk(
         cents = centroids.select("cid", F.col(cvec).alias("cv"))
     else:
         cents = seed_centroids(base, n_centroids, id_col)
-    # One row: the sorted array of all centroids. Broadcast-cross-joined
-    # onto the corpus it is a per-task constant (BroadcastNestedLoopJoin
-    # over 1 row = map side).
-    cent_arr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-        ).alias("cents")
-    )
-    scores = (
-        "transform(cents, c -> named_struct("
-        f"'ccos', {cosine_expr('v', 'c.cv')}, "
-        "'negcid', -c.cid, 'cid', c.cid))"
-    )
-    with_best = (
-        base.crossJoin(F.broadcast(cent_arr))
-        .withColumn("best", F.expr(f"array_max({scores})"))
-    )
+    with_best, scores = _with_best_centroid(base, cents)
     assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
     # The probe list is computed from the query's single row: explode its
     # per-centroid scores and TakeOrdered nprobe of them (tiny).
@@ -286,21 +315,8 @@ def assign_centroids(
     shuffles of the corpus."""
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     cents = seed_centroids(base, n_centroids, id_col)
-    cent_arr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-        ).alias("cents")
-    )
-    scores = (
-        "transform(cents, c -> named_struct("
-        f"'ccos', {cosine_expr('v', 'c.cv')}, "
-        "'negcid', -c.cid, 'cid', c.cid))"
-    )
-    return (
-        base.crossJoin(F.broadcast(cent_arr))
-        .withColumn("best", F.expr(f"array_max({scores})"))
-        .select(id_col, "v", F.col("best.cid").alias("cid"))
-    )
+    with_best, _ = _with_best_centroid(base, cents)
+    return with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
 
 
 def kmeans_refine(
@@ -349,9 +365,18 @@ def kmeans_train(
     centroids → per-(cid, dim) mean) ``n_iters`` times. Returns
     (cid, n_members, centroid) for the final assignment.
 
+    EMPTY-CLUSTER CONTRACT: k never shrinks. A centroid that captures
+    no members in some iteration KEEPS its previous position (the
+    standard Lloyd fallback) instead of silently vanishing — a dropped
+    centroid would shrink the codebook mid-training and permanently
+    lose index capacity. Empty clusters appear in the output with
+    ``n_members = 0`` and their carried-over centroid, so a trained
+    index always has exactly ``n_centroids`` inverted lists.
+
     Scale shape: the corpus is re-scanned once per iteration and NEVER
     shuffled — assignment is a broadcast argmax, the mean is a hash
-    aggregate emitting centroids×dims rows. The tiny centroid frame is
+    aggregate emitting centroids×dims rows; the keep-previous fallback
+    is a k-row left join on the tiny centroid frame. That frame is
     lineage-pinned every round (cache_scope.pin: localCheckpoint
     locally, reliable ``checkpoint()`` when the session has a
     checkpoint dir — the cluster knob). Means round to 6 dp per
@@ -361,26 +386,13 @@ def kmeans_train(
     cents = seed_centroids(base, n_centroids, id_col).transform(
         lambda d: pin(d, eager=False)
     )
-    scores = (
-        "transform(cents, c -> named_struct("
-        f"'ccos', {cosine_expr('v', 'c.cv')}, "
-        "'negcid', -c.cid, 'cid', c.cid))"
-    )
     if n_iters < 1:
         raise ValueError("kmeans_train needs n_iters >= 1")
     assigned = None
     for _ in range(n_iters):
-        cent_arr = cents.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-            ).alias("cents")
-        )
-        assigned = (
-            base.crossJoin(F.broadcast(cent_arr))
-            .withColumn("best", F.expr(f"array_max({scores})"))
-            .select(id_col, "v", F.col("best.cid").alias("cid"))
-        )
-        cents = (
+        with_best, _ = _with_best_centroid(base, cents)
+        assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
+        new_cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -389,15 +401,23 @@ def kmeans_train(
                 F.expr(
                     "transform(array_sort(collect_list(struct(pos, m))),"
                     " s -> s.m)"
-                ).alias("cv")
+                ).alias("_new")
             )
+        )
+        cents = (
+            cents.join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("_new", "cv").alias("cv"))
             .transform(pin)
         )
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return cents.join(sizes, "cid").select(
-        "cid", "n_members", F.col("cv").alias("centroid")
+    return cents.join(sizes, "cid", "left").select(
+        "cid",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+            "n_members"
+        ),
+        F.col("cv").alias("centroid"),
     )
 
 
@@ -444,38 +464,55 @@ def cosine_dup_pairs(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = COSINE_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
     Candidates are restricted to vectors sharing a hyperplane bucket
-    (same planes as ``lsh_bucketed_topk``), so the quadratic pair
-    expansion is bounded per-bucket instead of global — the only shape
-    that survives 100 TB. Pairs are expanded in-expression from one
-    groupBy (no self-join: the scan + bucket projection run once), then
-    verified with the exact cosine. Deterministic and SQL-expressible,
-    so the oracle reproduces it bit-for-bit.
+    (same planes as ``lsh_bucketed_topk``); pair generation is a
+    BUCKET-KEYED SELF-EQUI-JOIN — codegen'd hash join, fan-out bounded
+    per bucket, AQE splits skewed buckets — the same shape as
+    dedup.minhash_lsh_pairs. (The previous formulation collect_list'd
+    each whole bucket into ONE row and expanded pairs with an
+    interpreted in-row transform×slice lambda: a hot bucket of
+    near-constant embeddings became a single multi-GB array row
+    processed serially — the last whole-bucket-in-a-row shape in the
+    repo, retired per VERDICT r6 item 1.)
+
+    ``max_bucket`` is the 100 TB safety valve: buckets holding more
+    than this many vectors are dropped BEFORE the self-join (b² pairs
+    of boilerplate identify nothing). The size count and the
+    semi-filter ride the same bucket-keyed exchange as the join itself.
+    Mirrored bit-for-bit in the DuckDB oracle (registry_text.py), which
+    applies the identical HAVING cutoff. Each vector lands in exactly
+    one bucket, so no distinct is needed after the join.
     """
-    base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
-        "bucket", F.expr(bucket_expr("v"))
+    base = df.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("v")
+    ).withColumn("bucket", F.expr(bucket_expr("v")))
+    base = base.repartition(_parallelism(base.sparkSession), "bucket")
+    if max_bucket is not None:
+        small = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("bucket")
+        )
+        base = base.join(small, "bucket", "left_semi")
+    a = base.select(
+        "bucket", F.col(id_col).alias("vec_a"), F.col("v").alias("_va")
     )
-    base = base.repartition(
-        _parallelism(base.sparkSession), "bucket"
-    )
-    buckets = base.groupBy("bucket").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")))
-        ).alias("ids")
-    )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> named_struct('vec_a', x.id, 'vec_b', y.id, "
-        f"'cosine', round({cosine_expr('x.v', 'y.v')}, 6)))))"
+    b = base.select(
+        "bucket", F.col(id_col).alias("vec_b"), F.col("v").alias("_vb")
     )
     return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.vec_a", "p.vec_b", "p.cosine")
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.expr(cosine_expr("_va", "_vb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -716,6 +753,30 @@ PQ_K = 16         # codebook entries per subspace
 PQ_SUBDIM = DIM // PQ_M
 
 
+def _pq_codebook(base: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(j, cid, subc): the deterministic per-subspace PQ codebook — the
+    PQ_K lowest-id vectors' subvectors (seed_centroids discipline, no
+    RNG, dense 0-based cids on ANY corpus). ONE definition shared by
+    :func:`pq_encode` and :func:`pq_adc_topk` so encode and the ADC
+    distance table can never be built from different codebooks. M x K
+    rows — always broadcast-sized."""
+    return (
+        seed_centroids(base, PQ_K, id_col)
+        .select(
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
+            F.col("cv").alias("v"),
+        )
+        .select(
+            "j",
+            "cid",
+            F.expr(f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "subc"
+            ),
+        )
+    )
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -737,25 +798,7 @@ def pq_encode(
     |vectors| x M skinny code rows ever shuffles.
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cb = (
-        # dense 0-based codebook ids from the true PQ_K lowest-id
-        # vectors (seed_centroids discipline): codes stay in 0..PQ_K-1
-        # on ANY corpus
-        seed_centroids(base, PQ_K, id_col)
-        .select("cid", F.col("cv").alias("v"))
-        .select(
-            "cid",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
-            "v",
-        )
-        .select(
-            "j",
-            "cid",
-            F.expr(f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
-                "subc"
-            ),
-        )
-    )
+    cb = _pq_codebook(base, id_col)
     vj = base.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
@@ -816,23 +859,15 @@ def pq_adc_topk(
         F.col("v").alias("qv")
     )
     cb = (
-        # same dense 0-based codebook as pq_encode
-        seed_centroids(base, PQ_K, id_col)
-        .select(F.col("cid").alias("code"), F.col("cv").alias("v"))
+        # the SAME codebook definition pq_encode used (shared helper)
+        _pq_codebook(base, id_col)
         .crossJoin(F.broadcast(q))
         .select(
-            "code",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("j"),
-            "v",
-            "qv",
-        )
-        .select(
             "j",
-            "code",
+            F.col("cid").alias("code"),
             F.expr(
-                "aggregate(zip_with("
-                f"slice(v, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-                f"slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                "aggregate(zip_with(subc,"
+                f" slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
                 " (x, y) -> (x - y) * (x - y)),"
                 " cast(0.0 AS double), (acc, d) -> acc + d)"
             ).alias("_lut"),

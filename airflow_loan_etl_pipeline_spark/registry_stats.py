@@ -856,9 +856,10 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.interval_concurrency(starts, ends)
 
 
+# Zero-norm guard mirrors the engine's try_divide (similarity.cosine_expr).
 _COS_LR2 = (
     "list_dot_product({l}, {r}) / "
-    "sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r}))"
+    "NULLIF(sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r})), 0)"
 )
 
 

@@ -387,9 +387,13 @@ def embeddings_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
 
 
+# Zero-norm guard mirrors the engine's try_divide (cosine_expr): a
+# zero-norm vector has no direction, cosine is NULL on BOTH engines.
+# DuckDB's default double x/0.0 already yields NULL, but the NULLIF is
+# explicit so the contract doesn't ride on that default.
 _COS_LR = (
     "list_dot_product({l}, {r}) / "
-    "sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r}))"
+    "NULLIF(sqrt(list_dot_product({l}, {l}) * list_dot_product({r}, {r})), 0)"
 )
 
 
@@ -426,16 +430,15 @@ def embeddings_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT vec_id,
                          list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
-    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base)
+    bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base),
+    small AS (SELECT bucket FROM bucketed
+              GROUP BY 1 HAVING count(*) <= {S.COSINE_MAX_BUCKET})
     SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-           round(list_dot_product(l.v, r.v) /
-                 sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
-                 6) AS cosine
+           round({_COS_LR.format(l='l.v', r='r.v')}, 6) AS cosine
     FROM bucketed l JOIN bucketed r
       ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE round(list_dot_product(l.v, r.v) /
-                sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
-                6) >= 0.35
+    JOIN small sm ON sm.bucket = l.bucket
+    WHERE round({_COS_LR.format(l='l.v', r='r.v')}, 6) >= 0.35
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,7 +648,10 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
     """CTE chain for a fixed-iteration Lloyd replay, ending at
     cents{n_iters} — shared by the trainer oracle and the trained-IVF
-    oracle so neither can drift from the operator chain."""
+    oracle so neither can drift from the operator chain. Mirrors the
+    engine's EMPTY-CLUSTER CONTRACT (kmeans_train): a centroid with no
+    members keeps its previous position (newc{i} LEFT JOIN onto the
+    previous round's centroid set) — k never shrinks."""
     ctes = [
         "base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
         " AS v FROM embeddings)",
@@ -668,8 +674,10 @@ def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
             f" FROM assigned{i})",
             f"means{i} AS (SELECT cid, pos, round(avg(x), 6) AS m"
             f" FROM perdim{i} GROUP BY cid, pos)",
-            f"cents{i} AS (SELECT cid, list(m ORDER BY pos) AS cv"
+            f"newc{i} AS (SELECT cid, list(m ORDER BY pos) AS cv"
             f" FROM means{i} GROUP BY cid)",
+            f"cents{i} AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv"
+            f" FROM {prev} p LEFT JOIN newc{i} n ON n.cid = p.cid)",
         ]
     return ",\n".join(ctes)
 
@@ -684,11 +692,14 @@ def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
         "WITH "
         + _kmeans_train_ctes(n_iters, k)
         + f"""
-    SELECT m.cid, s.n_members, CAST(m.pos - 1 AS BIGINT) AS dim,
-           m.m AS centroid_val
-    FROM means{last} m
-    JOIN (SELECT cid, count(*) AS n_members FROM assigned{last}
-          GROUP BY cid) s USING (cid)
+    SELECT c.cid, CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
+           CAST(c.pos - 1 AS BIGINT) AS dim,
+           c.m AS centroid_val
+    FROM (SELECT cid, unnest(generate_series(1, len(cv))) AS pos,
+                 unnest(cv) AS m
+          FROM cents{last}) c
+    LEFT JOIN (SELECT cid, count(*) AS n_members FROM assigned{last}
+               GROUP BY cid) s ON s.cid = c.cid
     """
     )
 
@@ -1270,13 +1281,14 @@ def corpus_quota_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                          list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
     bucketed AS (SELECT vec_id, v, {_planes_duck().format(v='v')} AS bucket FROM base),
+    small AS (SELECT bucket FROM bucketed
+              GROUP BY 1 HAVING count(*) <= {S.COSINE_MAX_BUCKET}),
     pairs AS (
         SELECT l.vec_id AS a0, r.vec_id AS b0
         FROM bucketed l JOIN bucketed r
           ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        WHERE round(list_dot_product(l.v, r.v) /
-                    sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)),
-                    6) >= 0.35
+        JOIN small sm ON sm.bucket = l.bucket
+        WHERE round({_COS_LR.format(l='l.v', r='r.v')}, 6) >= 0.35
     ),
     ue AS (
         SELECT a0 AS a, b0 AS b FROM pairs
@@ -1841,9 +1853,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM base),
          p AS (SELECT a.vec_id, a.label,
                       b.vec_id AS nid, b.label AS nlbl,
-                      round(list_dot_product(a.v, b.v)
-                            / sqrt(list_dot_product(a.v, a.v)
-                                   * list_dot_product(b.v, b.v)), 6)
+                      round({_COS_LR.format(l='a.v', r='b.v')}, 6)
                         AS cosine
                FROM bk a JOIN bk b
                  ON a.bucket = b.bucket
@@ -2485,7 +2495,7 @@ _OR["pq_recall_at_10"] = f"""
                   FROM a JOIN b USING (label, dim)
                   GROUP BY 1)
     SELECT label, CAST(n_dims AS BIGINT) AS n_dims,
-           round(ab / sqrt(aa * bb), 6) AS centroid_cosine
+           round(ab / NULLIF(sqrt(aa * bb), 0), 6) AS centroid_cosine
     FROM dots
     """,
 )
@@ -2514,11 +2524,16 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
+            # try_divide mirrors the oracle's NULLIF: a degenerate
+            # all-zero half-centroid yields NULL drift, not a
+            # DIVIDE_BY_ZERO crash under the session's ANSI mode
             F.round(
-                F.sum(F.col("ma") * F.col("mb"))
-                / F.sqrt(
-                    F.sum(F.col("ma") * F.col("ma"))
-                    * F.sum(F.col("mb") * F.col("mb"))
+                F.try_divide(
+                    F.sum(F.col("ma") * F.col("mb")),
+                    F.sqrt(
+                        F.sum(F.col("ma") * F.col("ma"))
+                        * F.sum(F.col("mb") * F.col("mb"))
+                    ),
                 ),
                 6,
             ).alias("centroid_cosine"),

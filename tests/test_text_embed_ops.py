@@ -512,3 +512,150 @@ def test_vocab_coverage_consistent_across_actions(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b and len(a) == 3
+
+
+def test_cosine_dup_pairs_capped_hot_bucket(spark):
+    """VERDICT r6 item 1: the pair generator is a capped bucket
+    self-join. A hot bucket (5 identical vectors) is dropped when it
+    exceeds max_bucket, while a small bucket's pair survives; uncapped
+    the hot bucket contributes all C(5,2) pairs."""
+    import numpy as np
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = [float(x) for x in rng.normal(size=64)]
+    cold = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, hot) for i in range(5)] + [(10, cold), (11, cold)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    capped = cosine_dup_pairs(df, threshold=0.9, max_bucket=4).collect()
+    assert {(r.vec_a, r.vec_b) for r in capped} == {(10, 11)}
+    uncapped = cosine_dup_pairs(df, threshold=0.9, max_bucket=None).collect()
+    assert {(r.vec_a, r.vec_b) for r in uncapped} == {
+        (a, b) for a in range(5) for b in range(a + 1, 5)
+    } | {(10, 11)}
+
+
+def test_cosine_dup_pairs_matches_numpy_bruteforce(spark):
+    """The self-join pair generator must reproduce the brute-force
+    same-bucket cosine pairs exactly (seeded random corpus)."""
+    import itertools
+
+    import numpy as np
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        PLANES,
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(40, 64))
+    # plant near-duplicates so the threshold filter keeps something
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=64)
+    vecs[21] = vecs[15] + rng.normal(scale=0.01, size=64)
+    planes = np.array(PLANES)
+    buckets = ((planes @ vecs.T > 0) * (1 << np.arange(8))[:, None]).sum(0)
+    expected = set()
+    for a, b in itertools.combinations(range(40), 2):
+        if buckets[a] != buckets[b]:
+            continue
+        cos = round(
+            float(
+                vecs[a] @ vecs[b]
+                / np.sqrt((vecs[a] @ vecs[a]) * (vecs[b] @ vecs[b]))
+            ),
+            6,
+        )
+        if cos >= 0.35:
+            expected.add((a, b, cos))
+    df = spark.createDataFrame(
+        [(i, list(map(float, vecs[i]))) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in cosine_dup_pairs(df, threshold=0.35).collect()
+    }
+    assert expected and got == expected
+
+
+def test_kmeans_train_keeps_empty_clusters(spark):
+    """Empty-cluster contract (VERDICT r6 item 2): k never shrinks. Two
+    identical seed vectors tie-break every assignment to the lower cid,
+    so cid 1 is empty from iteration 1 — it must persist with
+    n_members=0 and its carried-over (seed) centroid."""
+    import numpy as np
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(3)
+    seed_vec = [float(x) for x in rng.normal(size=64)]
+    others = [[float(x) for x in rng.normal(size=64)] for _ in range(8)]
+    rows = [(0, seed_vec), (1, seed_vec)] + [
+        (i + 2, v) for i, v in enumerate(others)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out1 = {
+        r.cid: r
+        for r in kmeans_train(df, n_centroids=2, n_iters=1).collect()
+    }
+    assert set(out1) == {0, 1}, "k must stay constant"
+    assert out1[1].n_members == 0
+    # the carried-over centroid is the raw seed vector, untouched
+    assert out1[1].centroid == seed_vec
+    assert out1[0].n_members == 10
+    # iteration 2: cid 0 moved to the global mean, so the SURVIVING
+    # cid 1 centroid (still exactly the seed) re-captures the two seed
+    # copies — the recovery a silently-dropped cluster can never make
+    out2 = {
+        r.cid: r
+        for r in kmeans_train(df, n_centroids=2, n_iters=2).collect()
+    }
+    assert set(out2) == {0, 1}
+    assert out2[1].n_members == 2
+    assert out2[1].centroid == [round(x, 6) for x in seed_vec]
+    assert out2[0].n_members == 8
+
+
+def test_zero_norm_cosine_null_contract(spark):
+    """Zero-norm vectors have no direction: cosine is NULL on the
+    engine (try_divide) AND the oracle fragment (NULLIF) — VERDICT r6
+    item 3. The pair generator silently excludes them (NULL fails the
+    threshold), top-k sorts them last, and nothing crashes under ANSI
+    mode."""
+    import duckdb
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        cosine_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0] * 64),
+            (1, [0.0] * 64),  # zero-norm
+            (2, [1.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    topk = brute_force_cosine_topk(df, query_id=0, k=5).collect()
+    by_id = {r.vec_id: r.cosine for r in topk}
+    assert by_id[2] == 1.0
+    assert by_id[1] is None  # NULL, sorted last under DESC
+    assert [r.vec_id for r in topk] == [2, 1]
+    pairs = cosine_dup_pairs(df, threshold=0.1).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 2)}
+    # oracle-side mirror: the NULLIF fragment yields NULL on the same
+    # degenerate input
+    from airflow_loan_etl_pipeline_spark.registry_text import _COS_LR
+
+    frag = _COS_LR.format(l="[1.0, 1.0]::DOUBLE[]", r="[0.0, 0.0]::DOUBLE[]")
+    assert duckdb.sql(f"SELECT {frag} AS c").fetchone()[0] is None
