@@ -90,10 +90,17 @@ def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
     # rendering — correct for sub-unit amounts too (floor(0.75) = 0
     # extracted digit 0, which is not a significant digit and divides
     # by zero in the Benford share). The decimal cast guarantees a
-    # plain (never scientific) notation to extract from.
-    digit = F.regexp_extract(
-        F.col(amount_col).cast("decimal(38,6)").cast("string"), "[1-9]", 0
-    ).cast("int")
+    # plain (never scientific) notation to extract from. Both casts are
+    # try_cast (ADVICE r6): an amount >= 1e32 overflows decimal(38,6)
+    # and one < 5e-7 renders 0.000000 (no [1-9] → '' → int cast), and
+    # either aborted the whole query under ANSI mode. Such amounts are
+    # outside the fixed-point window and are EXCLUDED from the
+    # distribution (digit IS NULL filter) — mirrored with TRY_CAST /
+    # NULLIF in the DuckDB oracle.
+    digit = F.expr(
+        "try_cast(regexp_extract(cast(try_cast("
+        f"{amount_col} AS decimal(38,6)) AS string), '[1-9]', 0) AS int)"
+    )
     # total via a 9-row window instead of an eager count(): no second
     # fact scan, and the total can never go stale between plan build
     # and execution (the file's lazy-plan discipline)
@@ -102,6 +109,7 @@ def benford_first_digit(df: DataFrame, amount_col: str) -> DataFrame:
     return (
         df.filter(F.col(amount_col) > 0)
         .select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
@@ -768,14 +776,34 @@ def psi_drift(
     # n_ref = 0 and the floored-reference maximal PSI, instead of
     # silently vanishing through an inner threshold join.
     keys = ev.select(F.col(key_col)).distinct()
-    thr_all = keys.join(thr, key_col, "left").select(
-        F.col(key_col),
-        F.expr("coalesce(_thr, cast(array() as array<double>))").alias(
-            "_thr"
-        ),
+    # null-safe join-backs throughout (repo null-safe group-key rule,
+    # ADVICE r6): a NULL key is a real metric group — plain equi-joins
+    # dropped its events at the threshold join and its rows at the
+    # totals join, inconsistent with winsorized/MAD/seasonal siblings.
+    thr_all = (
+        keys.alias("_k")
+        .join(
+            thr.alias("_t"),
+            F.col(f"_k.`{key_col}`").eqNullSafe(F.col(f"_t.`{key_col}`")),
+            "left",
+        )
+        .select(
+            F.col(f"_k.`{key_col}`").alias(key_col),
+            F.expr("coalesce(_thr, cast(array() as array<double>))").alias(
+                "_thr"
+            ),
+        )
     )
-    scored = ev.join(F.broadcast(thr_all), key_col).withColumn(
-        "_b", F.expr("size(filter(_thr, t -> _vc > t))")
+    scored = (
+        ev.alias("_e")
+        .join(
+            F.broadcast(thr_all).alias("_ta"),
+            F.col(f"_e.`{key_col}`").eqNullSafe(F.col(f"_ta.`{key_col}`")),
+        )
+        .select(
+            F.col(f"_e.`{key_col}`").alias(key_col), "_per", "_vc", "_thr"
+        )
+        .withColumn("_b", F.expr("size(filter(_thr, t -> _vc > t))"))
     )
     counts = scored.groupBy(key_col, "_b").agg(
         F.count(F.when(F.col("_per") == 0, 1)).alias("nr"),
@@ -785,13 +813,39 @@ def psi_drift(
         F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_b")
     )
     full = (
-        grid.join(counts, [key_col, "_b"], "left")
+        grid.alias("_g")
+        .join(
+            counts.alias("_c"),
+            F.col(f"_g.`{key_col}`").eqNullSafe(F.col(f"_c.`{key_col}`"))
+            & (F.col("_g._b") == F.col("_c._b")),
+            "left",
+        )
+        .select(
+            F.col(f"_g.`{key_col}`").alias(key_col),
+            F.col("_g._b").alias("_b"),
+            "nr",
+            "nc",
+        )
         .fillna(0, ["nr", "nc"])
     )
     tot = full.groupBy(key_col).agg(
         F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
     )
-    j = full.join(F.broadcast(tot), key_col)
+    j = (
+        full.alias("_f")
+        .join(
+            F.broadcast(tot).alias("_to"),
+            F.col(f"_f.`{key_col}`").eqNullSafe(F.col(f"_to.`{key_col}`")),
+        )
+        .select(
+            F.col(f"_f.`{key_col}`").alias(key_col),
+            "_b",
+            "nr",
+            "nc",
+            "n_ref",
+            "n_cur",
+        )
+    )
     # try_divide: a key whose events fall entirely in one period has a
     # zero-count other period — the share degrades to the floor (via
     # greatest ignoring the NULL) instead of an ANSI divide-by-zero.

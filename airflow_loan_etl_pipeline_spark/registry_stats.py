@@ -76,10 +76,11 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_benford_digits",
     oracle="""
     WITH f AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
-         tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM f),
-         d AS (SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0) AS INT) AS digit,
-                      count(*) AS n_rows
-               FROM f GROUP BY 1),
+         d0 AS (SELECT TRY_CAST(regexp_extract(CAST(TRY_CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0) AS INT) AS digit,
+                       count(*) AS n_rows
+                FROM f GROUP BY 1),
+         d AS (SELECT digit, n_rows FROM d0 WHERE digit IS NOT NULL),
+         tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS t FROM d),
          s AS (SELECT digit, n_rows,
                       floor(n_rows * 1e4 / t) / 1e4 AS observed_share,
                       floor(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1e4) / 1e4 AS benford_share
@@ -1670,10 +1671,12 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
          ks AS (SELECT DISTINCT event_type FROM ev),
          thr_all AS (SELECT ks.event_type,
                             coalesce(t.t, []) AS t
-                     FROM ks LEFT JOIN thr t USING (event_type)),
+                     FROM ks LEFT JOIN thr t
+                       ON ks.event_type IS NOT DISTINCT FROM t.event_type),
          scored AS (SELECT ev.event_type, per,
                            len(list_filter(t.t, x -> vc > x)) AS bkt
-                    FROM ev JOIN thr_all t USING (event_type)),
+                    FROM ev JOIN thr_all t
+                      ON ev.event_type IS NOT DISTINCT FROM t.event_type),
          counts AS (SELECT event_type, bkt,
                            count(CASE WHEN per = 0 THEN 1 END) AS nr,
                            count(CASE WHEN per = 1 THEN 1 END) AS nc
@@ -1683,7 +1686,8 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
          fl AS (SELECT g.event_type, g.bkt,
                        coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
                 FROM grid g LEFT JOIN counts c
-                  ON g.event_type = c.event_type AND g.bkt = c.bkt),
+                  ON g.event_type IS NOT DISTINCT FROM c.event_type
+                 AND g.bkt = c.bkt),
          tot AS (SELECT event_type,
                         CAST(sum(nr) AS BIGINT) AS n_ref,
                         CAST(sum(nc) AS BIGINT) AS n_cur
@@ -1699,7 +1703,8 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / greatest(coalesce(CASE WHEN n_ref > 0
                                               THEN nr * 1.0 / n_ref END, 1e-4), 1e-4))), 4)
              AS psi
-    FROM fl f JOIN tot USING (event_type)
+    FROM fl f JOIN tot
+      ON f.event_type IS NOT DISTINCT FROM tot.event_type
     GROUP BY 1
     """,
 )

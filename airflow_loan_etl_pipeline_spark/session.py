@@ -108,7 +108,16 @@ def engine_parallelism(spark: SparkSession) -> int:
     can reflect only the executors alive at call time, so taking the
     max keeps the numbered exchanges as wide as the tuned shuffle
     width. On local[32] with the session default both are 32, so local
-    plans are unchanged."""
+    plans are unchanged.
+
+    External-session note (ADVICE r6): under a session NOT built by
+    get_spark, the stock shuffle.partitions=200 wins the max() and
+    every numbered repartition widens to 200 — harmless on a cluster
+    (that IS the tuned width), but 200 tiny AQE-exempt partitions on a
+    small local run. Pin spark.sql.shuffle.partitions to ~cores (as
+    get_spark does) when embedding the engine in your own session.
+    File-COUNT decisions (e.g. write_sorted's default) deliberately use
+    raw defaultParallelism instead of this function."""
     sc = spark.sparkContext
     try:
         shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -184,15 +184,25 @@ class _HttpDriveTransport:
         )
         return self._svc
 
+    @staticmethod
+    def _q_escape(value: str) -> str:
+        """Backslash-escape a value interpolated into a Drive ``q``
+        string literal — EVERY interpolated operand gets this (ADVICE
+        r6: folder_id/mime went in raw, so a single quote in either
+        broke the query or injected extra search terms)."""
+        return value.replace("\\", "\\\\").replace("'", "\\'")
+
     def _query(self) -> str:
         # push the filters INTO the Drive query string, exactly the
         # reference's predicate pushdown (google_drive_download.py:84-97)
-        terms = [f"'{self.folder_id}' in parents", "trashed = false"]
+        terms = [
+            f"'{self._q_escape(self.folder_id)}' in parents",
+            "trashed = false",
+        ]
         if self.prefix:
-            safe = self.prefix.replace("\\", "\\\\").replace("'", "\\'")
-            terms.append(f"name contains '{safe}'")
+            terms.append(f"name contains '{self._q_escape(self.prefix)}'")
         if self.mime:
-            terms.append(f"mimeType = '{self.mime}'")
+            terms.append(f"mimeType = '{self._q_escape(self.mime)}'")
         return " and ".join(terms)
 
     def list_pages(self):

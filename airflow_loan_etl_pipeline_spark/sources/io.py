@@ -371,7 +371,12 @@ def write_sorted(
     produces, made explicit: the point is what it AVOIDS — a
     ``coalesce(1)``-style single-task sort of the full dataset.
     """
-    n = num_files or _parallelism(df.sparkSession)
+    # defaultParallelism, NOT engine_parallelism (ADVICE r6): num_files
+    # is a FILE-count, not a shuffle width — under a stock session
+    # (shuffle.partitions=200) the max() would silently fan a small
+    # export into 200 tiny files; cores-online is the right default for
+    # "one healthy parquet file per writer".
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)

@@ -388,17 +388,24 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "value_warm": round(total_warm, 3),
         "value_warm_median": round(total_warm_median, 3),
-        # per-query warm medians in the PARSED json (VERDICT r5 item
-        # 9) — round-over-round per-query comparison without
-        # re-deriving from the stderr detail line. Two 39-entry maps
-        # keep the line ~3 KB, well inside the driver's stdout-tail
-        # capture (the r2 overflow needed the 150-entry extras map
-        # inlined too — that stays on stderr).
-        "queries_warm_median": warm_median,
         "n_extra_queries": len(extra),
         "extra_total_sec": round(sum(extra.values()), 3),
     }
-    print(json.dumps(headline))
+    # The driver captures the LAST 2000 chars of stdout and parses the
+    # final line. Round 6 inlined the per-query warm-median map here
+    # too (~3.5 KB line) and the capture front-truncated → parsed:null
+    # (VERDICT r6 item 4). The warm-median MAP lives on the stderr
+    # detail line above; this line keeps the driver-contract fields
+    # (queries = cold per-query map, ~1.4 KB — the exact r5 shape that
+    # parsed fine) plus scalar totals. Belt-and-braces: if the line
+    # ever outgrows the capture window, demote the queries map to
+    # stderr and emit totals-only rather than ship an unparseable tail.
+    line = json.dumps(headline)
+    if len(line) > 1900:
+        print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
+        headline["queries"] = {}
+        line = json.dumps(headline)
+    print(line)
     sys.stdout.flush()
 
 

@@ -318,3 +318,24 @@ def test_drive_api_live_listing(spark):
     assert df.columns == ["path", "name", "size", "modified", "mime"]
     for r in rows:
         assert r.path.startswith("drive://")
+
+
+def test_drive_query_escapes_all_interpolated_operands():
+    """ADVICE r6: folder_id and mime interpolate into the Drive ``q``
+    string with the same backslash/quote escaping as prefix — a single
+    quote in any operand must neither break the query nor inject
+    extra search terms."""
+    from airflow_loan_etl_pipeline_spark.sources.drive_source import (
+        _HttpDriveTransport,
+    )
+
+    t = _HttpDriveTransport.__new__(_HttpDriveTransport)
+    t.folder_id = "id'with\\quote"
+    t.prefix = "pre'fix"
+    t.mime = "text/cs'v"
+    q = t._query()
+    assert q == (
+        "'id\\'with\\\\quote' in parents and trashed = false"
+        " and name contains 'pre\\'fix'"
+        " and mimeType = 'text/cs\\'v'"
+    )

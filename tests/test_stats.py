@@ -900,3 +900,8 @@ def test_null_key_groups_survive_threshold_joins(spark):
     assert None in m and m[None]["n_events"] == 10
     s = {r["event_type"]: r for r in ST.seasonal_anomaly_counts(df).collect()}
     assert None in s and s[None]["n_events"] == 10
+    # psi_drift joined plainly until ADVICE r6 — the NULL-key metric
+    # vanished through the threshold and totals joins
+    p = {r["event_type"]: r for r in ST.psi_drift(df).collect()}
+    assert None in p and p[None]["n_ref"] == 10 and p[None]["n_cur"] == 0
+    assert "k" in p and p["k"]["n_ref"] == 0 and p["k"]["n_cur"] == 3
