@@ -32,70 +32,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 6: every
-# operator that fanned a shared mid-plan frame into multiple branches
-# moved from persist()+GC-finalizer lifetime to eager checkpoint
-# materialization — cache_scope.materialize_consistent — closing the
-# derive-then-drop premature-unpersist hazard, ADVICE r5 high).
-# Front-loaded so the external driver gate re-verifies the new code
-# path same-round (VERDICT r5 item 2); together with the 21-query
-# never-sampled backlog these fill 35 of the 50 sample slots.
+# Queries whose implementation was REWIRED this round (round 7 —
+# VERDICT r6 items 1-3 and ADVICE r6): cosine_dup_pairs moved to the
+# capped bucket self-equi-join with the oracle capped in lockstep;
+# kmeans_train keeps empty clusters (previous centroid, n_members=0)
+# with the oracle CTE chain reworked; the broadcast-argmax and PQ
+# codebook helpers were deduplicated across their consumers; the
+# remaining oracle cosine fragments gained the zero-norm NULLIF guard
+# (and embedding_centroid_drift's engine division became try_divide);
+# benford gained ANSI try_cast digits and psi_drift null-safe key
+# joins, both mirrored in their oracles. Front-loaded so the external
+# driver gate re-verifies every changed code path same-round.
 _REWIRED = [
-    "corpus_shuffle_order",
-    "docs_rank_rbo",
-    "orders_revenue_gini",
-    "orders_abc_classes",
-    "part_pareto_frontier",
-    "events_funnel",
-    "events_funnel_windowed",
-    "dedup_funnel_summary",
-    "docs_bigram_logprob",
-    "docs_dup_spans",
-    "minhash_estimate_quality",
-    "docs_substring_cut",
-    # round 6 also materialized the equi-depth histogram's shared
-    # level-1/level-2 frames (exchange reuse measurably failed to
-    # fire; now exactly two fact scans), and added the equal-endpoints
-    # short-circuit to the by-value interpolation (Spark Percentile
-    # returns the value directly when the adjacent order statistics
-    # are equal; the weighted form was off by an ulp for point masses)
-    "lineitem_equidepth_hist",
-    "lineitem_percentiles",
-    "lineitem_2d_density_grid",
-    # round-6 statistical-operator hardening (ANSI crash guards,
-    # first-significant-digit Benford, full JS/PSI key universes,
-    # NULL-category chi2, null-safe threshold joins) — every touched
-    # query re-verified same-round
-    "orders_benford_digits",
-    "docs_source_divergence",
-    "basket_brand_lift",
-    "docs_lang_source_chi2",
-    "events_winsorized_stats",
-    "events_mad_anomalies",
-    "events_ab_test",
-    "events_seasonal_anomalies",
-    "events_psi_drift",
-    "events_changepoint",
-    "orders_bootstrap_ci",
-    # round-6 text review: vocab_coverage's ranked frame is now
-    # checkpoint-materialized (plan change; docs_chunks/bm25 fixes
-    # leave the registry calls' plans and values unchanged)
-    "vocab_coverage_curve",
-    # round-6 similarity review: batch top-k excludes only each
-    # query's SELF (mutually-near queries now appear in each other's
-    # results); hard negatives treat NULL labels as a distinct label;
-    # zero-norm cosine is NULL on both engines
-    "embeddings_batch_topk",
+    "embedding_dup_pairs",
+    "embedding_dup_clusters",
+    "kmeans_train_k16",
+    "embeddings_ivf_trained_topk",
+    "kmeans_refine_step",
+    "embedding_cluster_purity",
+    "embeddings_ivf_topk",
+    "embeddings_pq_codes",
+    "embeddings_pq_adc_topk",
+    "pq_recall_at_10",
+    "embedding_centroid_drift",
     "embedding_hard_negatives",
-]
-
-# Rewired entries that yield their sample slot when the 50-query
-# prefix is over-subscribed: global_rank consumers whose shared code
-# path is already re-sampled this round via corpus_shuffle_order /
-# orders_revenue_gini. Ordered AFTER the never-sampled backlog.
-_REWIRED_DEFER = [
-    "docs_rrf_fusion",
-    "docs_zipf_fit",
+    "orders_benford_digits",
+    "events_psi_drift",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
@@ -224,15 +186,55 @@ _R1_SAMPLED = {
 }
 
 
-# Oldest r1-verified queries whose underlying operators have since
-# been refactored (mode/topk/agg/window/dedup families) — VERDICT r5
-# item 2: spend spare sample slots re-confirming the oldest green rows
-# still hold on today's code.
+# Queries the round-6 driver gate sampled (CORRECTNESS_r06.json keys —
+# all 50 green). With this set the cumulative union covers all 261.
+_R6_SAMPLED = {
+    "audience_overlap_matrix", "audio_energy_windows", "basket_brand_lift",
+    "corpus_shuffle_order", "dedup_funnel_summary", "docs_bigram_logprob",
+    "docs_bpe_tokens", "docs_dup_spans", "docs_k_anonymity",
+    "docs_lang_source_chi2", "docs_rank_rbo", "docs_source_divergence",
+    "docs_substring_cut", "dup_degree_histogram", "embedding_hard_negatives",
+    "embeddings_batch_topk", "events_ab_conversion", "events_ab_srm_check",
+    "events_ab_test", "events_changepoint", "events_funnel",
+    "events_funnel_windowed", "events_mad_anomalies",
+    "events_metric_coverage", "events_psi_drift", "events_seasonal_anomalies",
+    "events_seasonal_naive_backtest", "events_seasonality_r2",
+    "events_session_conversion", "events_winsorized_stats",
+    "lineitem_2d_density_grid", "lineitem_equidepth_hist",
+    "lineitem_percentiles", "lineitem_percentiles_approx",
+    "minhash_estimate_quality", "nation_priority_chi2", "orders_abc_classes",
+    "orders_benford_digits", "orders_bootstrap_ci",
+    "orders_median_bootstrap_ci", "orders_mom_growth",
+    "orders_range_checksums", "orders_revenue_gini", "part_pareto_frontier",
+    "supplier_revenue_hhi", "users_churn_risk",
+    "users_pseudonymized_activity", "users_stickiness_monthly",
+    "users_winback_monthly", "vocab_coverage_curve",
+}
+
+
+# Oldest-standing driver rows: every query whose LATEST external
+# sample is still round 1 (48 of the 50 r1 rows; the other two are in
+# _REWIRED). The never-sampled backlog is empty since round 6, so
+# these fill the remaining 36 prefix slots oldest-first; the ~12 that
+# miss this round's cutoff lead the round-8 prefix.
 _RECHECK_OLDEST = [
-    "date_split", "loan_agg", "loan_agg_global",
+    "date_split", "loan_agg", "loan_agg_global", "mode_per_column",
     "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
     "window_topk_per_priority", "window_running_spend",
     "docs_token_stats", "dedup_exact", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "docs_simhash", "simhash_pairs",
+    "embeddings_cosine_topk", "embeddings_lsh_topk",
+    "embeddings_lsh_multiprobe_topk", "dup_clusters", "corpus_filter",
+    "docs_quality", "docs_lang_id", "docs_fingerprint",
+    "docs_bpe_token_estimate", "nation_revenue", "rollup_orders",
+    "cube_lineitem_status", "customers_without_orders",
+    "customers_with_orders", "distinct_segments", "union_all_files",
+    "nation_keys_intersect", "nation_keys_except", "events_json_extract",
+    "events_tumbling_10min", "events_gapfill_10min",
+    "events_sliding_10m_5m", "events_session_5m", "events_asof_click_view",
+    "events_interval_join", "event_type_stats", "event_type_stats_approx",
+    "orders_pivot_status", "orders_having", "orders_grouping_sets",
+    "orders_above_customer_avg", "price_buckets", "customer_string_funcs",
 ]
 
 
@@ -247,7 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already driver-green oracle queries, (5) remaining rows-only
     entries last."""
     covered = (
-        _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED | _R5_SAMPLED
+        _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED
+        | _R5_SAMPLED | _R6_SAMPLED
     )
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -260,7 +263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _take(k for k in registry.QUERIES
           if k in registry.ORACLE and k not in covered)
     _take(k for k in registry.QUERIES if k not in covered)
-    _take(_REWIRED_DEFER)
     _take(_RECHECK_OLDEST)
     _take(k for k in registry.QUERIES if k in registry.ORACLE)
     _take(registry.QUERIES)
