@@ -604,6 +604,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each vector,
     the most cosine-similar vector carrying a DIFFERENT label, searched
@@ -614,14 +615,25 @@ def hard_negatives(
     The per-anchor argmax is ``max_by(struct(neighbor), struct(cosine,
     -id))`` — a decomposable aggregate with map-side partials (one
     candidate per anchor per partition crosses the shuffle), not a
-    per-anchor window sort. Pair fan-out is Σ bucket², the same bound
-    as the ANN path; at skewed-bucket scale apply the LSH bucket caps
-    (dedup.LSH_MAX_BUCKET discipline) upstream. Anchors whose bucket
-    holds no other-label vector are absent (documented contract).
+    per-anchor window sort. Pair fan-out is Σ bucket²; ``max_bucket``
+    is the same 100 TB safety valve as :func:`cosine_dup_pairs` /
+    dedup.LSH_MAX_BUCKET — buckets above it are dropped before the
+    self-join (their anchors lose their negatives, the documented
+    capped contract; default None keeps the registered query's full
+    semantics). Anchors whose bucket holds no other-label vector are
+    absent (documented contract).
     """
     base = df.select(
         F.col(id_col), F.col(label_col), F.expr(_as_double(vec_col)).alias("v")
     ).withColumn("bucket", F.expr(bucket_expr("v")))
+    if max_bucket is not None:
+        small = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("bucket")
+        )
+        base = base.join(small, "bucket", "left_semi")
     a = base.select(
         "bucket",
         F.col(id_col).alias("_aid"),

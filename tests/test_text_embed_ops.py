@@ -659,3 +659,29 @@ def test_zero_norm_cosine_null_contract(spark):
 
     frag = _COS_LR.format(l="[1.0, 1.0]::DOUBLE[]", r="[0.0, 0.0]::DOUBLE[]")
     assert duckdb.sql(f"SELECT {frag} AS c").fetchone()[0] is None
+
+
+def test_hard_negatives_bucket_cap(spark):
+    """hard_negatives' max_bucket drops hot buckets before the pair
+    self-join (same valve as cosine_dup_pairs); default None keeps the
+    full registered semantics."""
+    import numpy as np
+
+    from airflow_loan_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(11)
+    hot = [float(x) for x in rng.normal(size=64)]
+    cold = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, i % 2, hot) for i in range(5)] + [
+        (10, 0, cold),
+        (11, 1, cold),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    capped = hard_negatives(df, max_bucket=4).collect()
+    assert {r.vec_id for r in capped} == {10, 11}
+    full = hard_negatives(df).collect()
+    assert {r.vec_id for r in full} == {0, 1, 2, 3, 4, 10, 11}
