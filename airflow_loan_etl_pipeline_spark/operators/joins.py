@@ -65,7 +65,20 @@ def skew_salted_join(
     Use when dim is too big to broadcast AND the key histogram is
     power-law; for broadcastable dims ``dim_join`` is strictly better
     (no shuffle at all).
+
+    Only ``inner`` and ``left``(-outer) are salt-invariant: each fact
+    row carries exactly one salt, so it matches its key's dim rows or
+    survives once unmatched. A right/full join would emit every
+    UNMATCHED dim row once per salt replica (``salt`` null-padded
+    copies) — rejected loudly rather than silently multiplied.
     """
+    norm = how.lower().replace("_", "").removesuffix("outer") or "full"
+    if norm not in ("inner", "left"):
+        raise ValueError(
+            "skew_salted_join supports how='inner'/'left' only: the dim "
+            f"side is replicated {salt}x, so '{how}' would duplicate "
+            "unmatched dim rows once per salt replica"
+        )
     fact_s = fact.withColumn(
         "_salt",
         F.pmod(

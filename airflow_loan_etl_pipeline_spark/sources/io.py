@@ -460,7 +460,11 @@ def write_with_manifest(
     import os
 
     w.parquet(path)
-    row = table_checksum(df).collect()[0]
+    # checksum the LANDED files, not the in-memory plan: re-executing a
+    # nondeterministic frame (sample, uuid, repartition-sensitive rank)
+    # would publish a manifest the snapshot on disk can never verify
+    landed = df.sparkSession.read.parquet(path).select(*df.columns)
+    row = table_checksum(landed).collect()[0]
     manifest = {
         "n_rows": row.n_rows,
         "checksum": row.checksum,

@@ -455,3 +455,22 @@ def test_airflow_dag_builder_gated_on_airflow(tmp_path):
         "poll_and_process_drive_files", "run_spark_etl",
         "send_summary_email",
     }
+
+
+def test_manifest_checksums_landed_files_not_plan(spark, tmp_path):
+    """write_with_manifest must checksum what LANDED: a
+    nondeterministic frame (unseeded rand) re-executed for the
+    checksum would publish a manifest the snapshot can never verify."""
+    from pyspark.sql import functions as F
+
+    from airflow_loan_etl_pipeline_spark.sources.io import (
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), F.rand().alias("noise")
+    )
+    path = str(tmp_path / "nondet")
+    write_with_manifest(df, path)
+    assert verify_manifest(spark, path) is True

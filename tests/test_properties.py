@@ -961,3 +961,39 @@ def test_equidepth_histogram_matches_bruteforce(spark, vals, probs):
         else:
             want[b] = (1, v, v)
     assert got == want, (vals, probs, bounds)
+
+
+def test_skew_salted_join_matches_plain_and_rejects_outer(spark):
+    """Salting must be result-invariant for inner/left and reject
+    right/full loudly (the dim side is replicated per salt, so an
+    unmatched dim row would be emitted once per replica)."""
+    import pytest
+
+    from airflow_loan_etl_pipeline_spark.operators.joins import (
+        skew_salted_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 4 else "cold") for i in range(40)],
+        "fid long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("orphan", 3)], "k string, dv int"
+    )
+    for how in ("inner", "left", "left_outer", "leftouter"):
+        got = sorted(
+            (r.fid, r.dv)
+            for r in skew_salted_join(fact, dim, on=["k"], salt=4, how=how)
+            .select("fid", "dv")
+            .collect()
+        )
+        want = sorted(
+            (r.fid, r.dv)
+            for r in fact.join(dim, on=["k"], how=how)
+            .select("fid", "dv")
+            .collect()
+        )
+        assert got == want, how
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salt replica"):
+            skew_salted_join(fact, dim, on=["k"], salt=4, how=how)
