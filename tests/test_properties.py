@@ -997,3 +997,86 @@ def test_skew_salted_join_matches_plain_and_rejects_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="salt replica"):
             skew_salted_join(fact, dim, on=["k"], salt=4, how=how)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),                      # key
+            st.integers(min_value=0, max_value=50),       # ts (s)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-9, max_value=9),       # payload
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_sequential_reference(spark, lefts, rights):
+    """Backward AND forward as-of joins must equal the sequential
+    definition for every input: per left row, the right row with the
+    max ts <= left ts (backward) / min ts >= left ts (forward) on the
+    same key. Right side deduped to one row per (key, ts) — the
+    operators' documented determinism contract."""
+    from datetime import datetime, timezone
+
+    from airflow_loan_etl_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    def dt(s):
+        # naive UTC datetimes: the session TZ is UTC, and collect()
+        # returns naive values — keep both sides comparable
+        return datetime.fromtimestamp(
+            1_700_000_000 + s, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    # unique right rows per (key, ts): keep max payload
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -99), v)
+    rrows = [(k, dt(ts), v) for (k, ts), v in sorted(rmap.items())]
+    lrows = [(i, k, dt(ts)) for i, (k, ts) in enumerate(lefts)]
+    left = spark.createDataFrame(
+        lrows, "lid long, user_id long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)],
+        "user_id long, r_ts timestamp, payload long",
+    ).filter(F.col("user_id").isNotNull())
+
+    back = {
+        r.lid: (r.asof_ts, r.asof_payload)
+        for r in asof_join(
+            left, right, ["user_id"], "l_ts", "r_ts", ["payload"], how="left"
+        ).collect()
+    }
+    fwd = {
+        r.lid: (r.asof_ts, r.asof_payload)
+        for r in asof_join_forward(
+            left, right, ["user_id"], "l_ts", "r_ts", ["payload"], how="left"
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        past = [(t, v) for (kk, t), v in rmap.items() if kk == k and t <= ts]
+        exp_b = max(past) if past else None
+        got_b = back[i]
+        if exp_b is None:
+            assert got_b == (None, None), (i, got_b)
+        else:
+            assert got_b == (dt(exp_b[0]), exp_b[1]), (i, got_b, exp_b)
+        future = [(t, v) for (kk, t), v in rmap.items() if kk == k and t >= ts]
+        exp_f = min(future) if future else None
+        got_f = fwd[i]
+        if exp_f is None:
+            assert got_f == (None, None), (i, got_f)
+        else:
+            assert got_f == (dt(exp_f[0]), exp_f[1]), (i, got_f, exp_f)
