@@ -103,11 +103,16 @@ def update_ledger(
         .withColumn("processed_at", F.current_timestamp())
     )
     # Two-phase write: parquet overwrite of the path we are reading from
-    # would clobber the source mid-scan.
+    # would clobber the source mid-scan. The tmp copy is deleted after
+    # the final write lands — a crash in between leaves the previous
+    # ledger intact plus a stale .tmp the next update overwrites.
+    import shutil
+
     tmp = ledger_path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(ledger_path)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def incremental_batch(
