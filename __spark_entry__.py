@@ -58,6 +58,11 @@ _REWIRED = [
     "embedding_hard_negatives",
     "orders_benford_digits",
     "events_psi_drift",
+    # hamming_pairs moved to the same capped band self-join shape
+    # (oracles unchanged — they were already self-joins)
+    "simhash_pairs",
+    "simhash_pairs_capped",
+    "asset_dup_pairs",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —

@@ -438,12 +438,11 @@ def simhash_pairs(
     and verified with an exact popcount on the XOR.
 
     ``max_bucket`` is the 100 TB safety valve: band buckets larger than
-    it are skipped before the in-expression pair expansion (the b² blow-
-    up happens inside ``transform`` over the collected bucket — a mega-
-    bucket of near-constant documents would materialize quadratically in
-    one task). With a cap the result is no longer the exact brute force:
-    a pair is reported iff SOME band both docs share is small enough —
-    the deliberate trade the cap buys.
+    it are dropped before the pair self-join (the b² blow-up of a
+    mega-bucket of near-constant documents). With a cap the result is
+    no longer the exact brute force: a pair is reported iff SOME band
+    both docs share is small enough — the deliberate trade the cap
+    buys.
     """
     sig = simhash(df, id_col, text_col, bits)
     return hamming_pairs(
@@ -462,10 +461,22 @@ def hamming_pairs(
 ) -> DataFrame:
     """Banded hamming-distance pairs over ANY precomputed ``bits``-wide
     signature column (SimHash, perceptual/block hashes of binary assets,
-    ...): split into ``max_hamming + 1`` contiguous bit bands, gather
-    per-band buckets, verify with an exact popcount — lossless by
-    pigeonhole, so the result equals the brute-force O(n²) scan (modulo
-    ``max_bucket``, documented on :func:`simhash_pairs`)."""
+    ...): split into ``max_hamming + 1`` contiguous bit bands, pair up
+    docs sharing a band via a band-keyed SELF-EQUI-JOIN, verify with an
+    exact popcount — lossless by pigeonhole, so the result equals the
+    brute-force O(n²) scan (modulo ``max_bucket``, documented on
+    :func:`simhash_pairs`).
+
+    Physical shape (round 7): the same capped self-join as
+    minhash_lsh_pairs / cosine_dup_pairs — codegen'd hash join whose
+    fan-out is bounded per bucket, with the ``max_bucket`` size count
+    and semi-filter riding the join's own band-keyed exchange (the
+    signature subtree runs ONCE: both join sides read the same
+    repartition exchange via ReusedExchange/AQE stage reuse, verified
+    on the AQE-final plan). The previous formulation collect_list'd
+    each whole band bucket into one row and expanded pairs with an
+    interpreted in-row transform×slice lambda — an uncapped hot bucket
+    became a single multi-GB array row processed serially."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     bands = ", ".join(
@@ -481,24 +492,34 @@ def hamming_pairs(
     exploded = exploded.repartition(
         _parallelism(exploded.sparkSession), "band_id", "band_key"
     )
-    buckets = exploded.groupBy("band_id", "band_key").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
-        ).alias("ids")
-    )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
-        "'hamming', cast(bit_count(x.sh ^ y.sh) AS int)))))"
-    )
-    bucket_ok = F.size("ids") >= 2
     if max_bucket is not None:
-        bucket_ok = bucket_ok & (F.size("ids") <= max_bucket)
+        small = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        exploded = exploded.join(small, ["band_id", "band_key"], "left_semi")
+    a = exploded.select(
+        "band_id",
+        "band_key",
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("_ha"),
+    )
+    b = exploded.select(
+        "band_id",
+        "band_key",
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("_hb"),
+    )
     return (
-        buckets.filter(bucket_ok)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(bit_count(_ha ^ _hb) AS int)").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

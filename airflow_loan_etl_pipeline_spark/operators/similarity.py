@@ -330,6 +330,12 @@ def kmeans_refine(
     as the element-wise mean of its members — the k-means build step an
     IVF index runs a handful of times before freezing its lists.
 
+    Empty-cluster note: this SINGLE step reports only clusters that
+    captured members (an empty cluster has no member mean to report) —
+    deliberately different from :func:`kmeans_train`, whose multi-round
+    loop must keep k constant by carrying the previous centroid; use
+    the trainer when codebook size is a contract.
+
     Scale shape: assignment is shuffle-free; the mean is ONE hash
     aggregate keyed by (cid, dim_pos) over posexploded components with
     map-side partial sums — dims × centroids output rows regardless of
