@@ -1080,3 +1080,59 @@ def test_asof_join_matches_sequential_reference(spark, lefts, rights):
             assert got_f == (None, None), (i, got_f)
         else:
             assert got_f == (dt(exp_f[0]), exp_f[1]), (i, got_f, exp_f)
+
+
+@settings(**SETTINGS)
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    ),
+)
+def test_hamming_pairs_equals_bruteforce(spark, sigs):
+    """Pigeonhole losslessness of the reworked band self-join: for any
+    signature set, uncapped hamming_pairs equals the brute-force O(n²)
+    popcount scan; with a cap, a pair survives iff SOME shared band's
+    bucket is within the cap (the documented capped semantics)."""
+    import itertools
+
+    from airflow_loan_etl_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    brute = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs(df).collect()
+    }
+    assert got == brute
+    # capped: recompute the banded expectation with max_bucket=2
+    cap = 2
+    buckets = {}
+    for i, s in rows:
+        for band in range(4):
+            buckets.setdefault((band, (s >> (band * 8)) % 256), []).append(i)
+    small = {k for k, v in buckets.items() if len(v) <= cap}
+    exp_capped = set()
+    for (a, sa), (b, sb) in itertools.combinations(rows, 2):
+        h = bin(sa ^ sb).count("1")
+        if h > 3:
+            continue
+        for band in range(4):
+            key = (band, (sa >> (band * 8)) % 256)
+            if key in small and (sb >> (band * 8)) % 256 == key[1]:
+                exp_capped.add((a, b, h))
+                break
+    got_capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs(df, max_bucket=cap).collect()
+    }
+    assert got_capped == exp_capped
