@@ -34,8 +34,14 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # derived 10x/100x perf datasets); the driver fixtures are
+        # single files — glob accordingly so the gate runs on both.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
