@@ -66,6 +66,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEM_NAMES = itertools.count()
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events table, tolerant of BOTH fixture
+    layouts: the driver fixtures ship events.parquet as a single FILE
+    (the file source lists a directory, so stream sf_dir with a glob
+    selecting just that file), while Spark-written derived datasets
+    (the 10x/100x perf sets) ship it as a DIRECTORY of part files —
+    stream that directory directly (a name filter on 'events.parquet'
+    matches no part FILE and silently yields an empty stream)."""
+    import os
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema("user_id bigint, value double")
+    if os.path.isdir(events_path):
+        return reader.parquet(events_path)
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
 @query(
     "stateful_running_totals",
     oracle="""
@@ -88,13 +105,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"rt_oracle_{next(_MEM_NAMES)}"
-    # The file source lists a DIRECTORY; events.parquet is one file, so
-    # stream the sf_dir with a glob filter selecting just that file.
-    stream = (
-        spark.readStream.schema("user_id bigint, value double")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     with stream_state_partitions(spark, 8):
         q = (
             running_user_totals(stream)
@@ -134,11 +145,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"st_native_{next(_MEM_NAMES)}"
-    stream = (
-        spark.readStream.schema("user_id bigint, value double")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
