@@ -63,6 +63,10 @@ _REWIRED = [
     "simhash_pairs",
     "simhash_pairs_capped",
     "asset_dup_pairs",
+    # streaming source made layout-tolerant (directory-shaped events
+    # tables silently streamed empty — found by the 10x gate run)
+    "streaming_user_totals",
+    "stateful_running_totals",
 ]
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
