@@ -66,18 +66,22 @@ def skew_salted_join(
     power-law; for broadcastable dims ``dim_join`` is strictly better
     (no shuffle at all).
 
-    Only ``inner`` and ``left``(-outer) are salt-invariant: each fact
-    row carries exactly one salt, so it matches its key's dim rows or
-    survives once unmatched. A right/full join would emit every
+    Fact-preserving joins are salt-invariant: each fact row carries
+    exactly one salt, so under ``inner``/``left`` it matches its key's
+    dim rows or survives once unmatched, and under ``semi``/``anti``
+    it is kept/dropped iff its key exists in dim (the dim side is
+    replicated across EVERY salt, so the single (key, salt) probe hits
+    iff the key is present at all). A right/full join would emit every
     UNMATCHED dim row once per salt replica (``salt`` null-padded
     copies) — rejected loudly rather than silently multiplied.
     """
     norm = how.lower().replace("_", "").removesuffix("outer") or "full"
-    if norm not in ("inner", "left"):
+    if norm not in ("inner", "left", "semi", "anti", "leftsemi", "leftanti"):
         raise ValueError(
-            "skew_salted_join supports how='inner'/'left' only: the dim "
-            f"side is replicated {salt}x, so '{how}' would duplicate "
-            "unmatched dim rows once per salt replica"
+            "skew_salted_join supports fact-preserving joins only "
+            "(inner/left/semi/anti): the dim side is replicated "
+            f"{salt}x, so '{how}' would duplicate unmatched dim rows "
+            "once per salt replica"
         )
     fact_s = fact.withColumn(
         "_salt",

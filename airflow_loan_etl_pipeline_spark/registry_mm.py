@@ -73,14 +73,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     selecting just that file), while Spark-written derived datasets
     (the 10x/100x perf sets) ship it as a DIRECTORY of part files —
     stream that directory directly (a name filter on 'events.parquet'
-    matches no part FILE and silently yields an empty stream)."""
-    import os
+    matches no part FILE and silently yields an empty stream).
 
-    events_path = os.path.join(sf_dir, "events.parquet")
+    Layout is probed through Spark's Hadoop FileSystem API, not
+    ``os.path.isdir``, so a remote ``sf_dir`` (s3a://, hdfs://) with a
+    directory-shaped events table is detected correctly instead of
+    silently falling into the file-glob branch and streaming empty."""
+    events_path = sf_dir.rstrip("/") + "/events.parquet"
     reader = spark.readStream.schema("user_id bigint, value double")
-    if os.path.isdir(events_path):
+    if _hadoop_isdir(spark, events_path):
         return reader.parquet(events_path)
     return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
+def _hadoop_isdir(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and is a directory, per the Hadoop
+    FileSystem resolved for the path's scheme (file/s3a/hdfs alike)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    return bool(fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory())
 
 
 @query(

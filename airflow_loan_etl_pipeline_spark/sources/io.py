@@ -462,13 +462,22 @@ def write_with_manifest(
     w.parquet(path)
     # checksum the LANDED files, not the in-memory plan: re-executing a
     # nondeterministic frame (sample, uuid, repartition-sensitive rank)
-    # would publish a manifest the snapshot on disk can never verify
-    landed = df.sparkSession.read.parquet(path).select(*df.columns)
+    # would publish a manifest the snapshot on disk can never verify.
+    # The read-back pins the WRITTEN schema: with partition_by, the
+    # partition columns round-trip through directory names, and an
+    # inferred read could re-type them (e.g. date -> string), making
+    # the checksum reflect re-inferred values instead of the input.
+    landed = (
+        df.sparkSession.read.schema(df.schema)
+        .parquet(path)
+        .select(*df.columns)
+    )
     row = table_checksum(landed).collect()[0]
     manifest = {
         "n_rows": row.n_rows,
         "checksum": row.checksum,
         "columns": df.columns,
+        "schema_json": df.schema.json(),
         "partition_by": partition_by or [],
     }
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
@@ -488,7 +497,14 @@ def verify_manifest(spark: SparkSession, path: str) -> bool:
 
     with open(os.path.join(path, "_manifest.json")) as fh:
         expected = _json.load(fh)
-    df = spark.read.parquet(path).select(*expected["columns"])
+    reader = spark.read
+    if expected.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(_json.loads(expected["schema_json"]))
+        )
+    df = reader.parquet(path).select(*expected["columns"])
     row = table_checksum(df).collect()[0]
     return (
         row.n_rows == expected["n_rows"]

@@ -337,6 +337,30 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert verify_manifest(spark, path) is False
 
 
+def test_manifest_partitioned_pins_partition_column_types(spark, tmp_path):
+    """With partition_by, the partition column round-trips through
+    directory names; the schema-pinned read-back must keep the
+    recorded checksum equal to the LOGICAL input's checksum (a date
+    partition column would otherwise re-infer and re-hash)."""
+    from airflow_loan_etl_pipeline_spark.operators.validate import (
+        table_checksum,
+    )
+    from airflow_loan_etl_pipeline_spark.sources.io import (
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k long, v string"
+    ).selectExpr("k", "v", "date_add(date'2024-01-01', cast(k % 3 as int)) AS d")
+    path = str(tmp_path / "release_part")
+    m = write_with_manifest(df, path, partition_by=["d"])
+    assert m["n_rows"] == 40
+    assert verify_manifest(spark, path) is True
+    logical = table_checksum(df.select("k", "v", "d")).collect()[0]
+    assert m["checksum"] == logical.checksum
+
+
 def test_drive_pipeline_full_dag_equivalent(spark, tmp_path):
     """The whole reference DAG in one call (poll -> screen -> compress
     -> ETL -> report), plus the cron-idempotency contract: a second

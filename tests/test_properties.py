@@ -994,6 +994,23 @@ def test_skew_salted_join_matches_plain_and_rejects_outer(spark):
             .collect()
         )
         assert got == want, how
+    # semi/anti are fact-preserving too: the dim side is replicated
+    # across every salt, so the single (key, salt) probe hits iff the
+    # key exists at all
+    for how in ("left_semi", "semi", "left_anti", "anti"):
+        got = sorted(
+            r.fid
+            for r in skew_salted_join(fact, dim, on=["k"], salt=4, how=how)
+            .select("fid")
+            .collect()
+        )
+        want = sorted(
+            r.fid
+            for r in fact.join(dim, on=["k"], how=how)
+            .select("fid")
+            .collect()
+        )
+        assert got == want, how
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="salt replica"):
             skew_salted_join(fact, dim, on=["k"], salt=4, how=how)

@@ -38,6 +38,9 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # Spark-written tables are DIRECTORIES of part files (the
         # derived 10x/100x perf datasets); the driver fixtures are
         # single files — glob accordingly so the gate runs on both.
+        # os.path.isdir is fine HERE: this differential tool requires a
+        # local sf_dir (DuckDB reads the same local files); remote URIs
+        # are out of scope for the oracle gate by design.
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(
