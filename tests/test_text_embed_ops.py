@@ -663,8 +663,8 @@ def test_zero_norm_cosine_null_contract(spark):
 
 def test_hard_negatives_bucket_cap(spark):
     """hard_negatives' max_bucket drops hot buckets before the pair
-    self-join (same valve as cosine_dup_pairs); default None keeps the
-    full registered semantics."""
+    self-join (same valve as cosine_dup_pairs, ON by default at
+    COSINE_MAX_BUCKET); max_bucket=None gives the uncapped search."""
     import numpy as np
 
     from airflow_loan_etl_pipeline_spark.operators.similarity import (
@@ -683,5 +683,9 @@ def test_hard_negatives_bucket_cap(spark):
     )
     capped = hard_negatives(df, max_bucket=4).collect()
     assert {r.vec_id for r in capped} == {10, 11}
-    full = hard_negatives(df).collect()
+    full = hard_negatives(df, max_bucket=None).collect()
     assert {r.vec_id for r in full} == {0, 1, 2, 3, 4, 10, 11}
+    # the default cap (256) never binds on these 5-vector buckets
+    assert {r.vec_id for r in hard_negatives(df).collect()} == {
+        0, 1, 2, 3, 4, 10, 11,
+    }
