@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    materialize_consistent,
+)
 from airflow_loan_etl_pipeline_spark.operators.dedup import (
     band_key_rows,
     dup_clusters,
@@ -51,12 +54,16 @@ def admission_decisions(
     ``(decisions, admitted_keys, cached)`` where decisions is (id,
     admission ∈ {'admitted', 'dup_of_corpus', 'dup_in_batch'}),
     admitted_keys are the (band_id, band_key, id) rows to append to
-    the state, and cached lists the persisted intermediate frames —
-    callers that materialize the outputs (localCheckpoint/collect)
-    MUST unpersist them or a long-running stream accumulates cache
-    blocks per epoch."""
-    sigs = minhash_signatures(batch_df, id_col, text_col).persist()
-    keys = band_key_rows(sigs, id_col).persist()
+    the state, and cached is kept for caller compatibility (always
+    empty: the shared mid-plan frames are EAGERLY materialized via
+    cache_scope.materialize_consistent, so their lifetime is owned by
+    the JVM plan graph — nothing for the caller to unpersist, and the
+    expensive shingle→minhash pass runs exactly once instead of once
+    per consuming branch: keys feeds the corpus screen, the survivor
+    anti-join, AND the admitted-key projection; corpus_dups feeds
+    three branches of its own)."""
+    sigs = minhash_signatures(batch_df, id_col, text_col)
+    keys = materialize_consistent(band_key_rows(sigs, id_col))
 
     if standing_keys is not None:
         corpus_dups = (
@@ -70,7 +77,7 @@ def admission_decisions(
         )
     else:
         corpus_dups = keys.select(id_col).filter(F.lit(False))
-    corpus_dups = corpus_dups.persist()
+    corpus_dups = materialize_consistent(corpus_dups)
 
     surv_keys = keys.join(corpus_dups, id_col, "left_anti")
     a = surv_keys.select(
@@ -114,7 +121,7 @@ def admission_decisions(
     admitted_keys = keys.join(admitted, id_col, "left_semi").select(
         "band_id", "band_key", F.col(id_col)
     )
-    return out, admitted_keys, [sigs, keys, corpus_dups]
+    return out, admitted_keys, []
 
 
 def admit_batch(
@@ -166,7 +173,7 @@ def admit_batch(
     # collect.
     out = out.localCheckpoint()
     admitted_keys = admitted_keys.localCheckpoint()
-    for df in cached:  # outputs are pinned; release the per-epoch caches
+    for df in cached:  # compat no-op: admission_decisions caches nothing now
         df.unpersist()
     if batch_tag is None:
         admitted_keys.write.mode("append").parquet(state_dir)
