@@ -13,8 +13,13 @@ Scale notes: stages 1–2 are scan-local + one 16-byte-key aggregate;
 stage 3 is the capped LSH pipeline (see operators/dedup.py);
 stage 4 broadcasts the benchmark shingle set; stage 5 is a
 content-addressed projection. Document sets pass between stages as
-doc_id semi-joins — the text column is only materialized at the final
-token count.
+doc_id semi-joins, and each stage's survivor ID SET is eagerly
+materialized (cache_scope.materialize_consistent — tiny doc_id-only
+frames) so a stage's gate work runs ONCE no matter how many downstream
+branches consume it; the r7 plan re-derived the quality+md5 lineage
+per branch (19 document scans). The text column is only re-joined
+where a stage genuinely reads it (md5 fingerprint, decontamination
+shingles, final token count).
 """
 
 from __future__ import annotations
@@ -25,6 +30,9 @@ from pyspark.sql import functions as F
 from airflow_loan_etl_pipeline_spark.catalog import load_table
 from airflow_loan_etl_pipeline_spark.operators import dedup as D
 from airflow_loan_etl_pipeline_spark.operators import text as X
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    materialize_consistent,
+)
 
 MIN_QUALITY = 0.5
 MIN_TOKENS, MAX_TOKENS = 20, 2000
@@ -40,7 +48,8 @@ def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
 
-    # 1. Quality + length gate (map-side).
+    # 1. Quality + length gate (map-side). Single consumer (the
+    # fingerprint pass) — stays lazy.
     q = X.quality_score(train).filter(
         (F.col("quality_score") >= MIN_QUALITY)
         & F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
@@ -48,26 +57,32 @@ def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = train.join(q, "doc_id", "left_semi")
 
     # 2. Exact dedup: one representative (min id) per distinct text.
-    reps = (
+    # The representative set already implies the quality gate (min ids
+    # are drawn FROM s1), so downstream stages semi-join `train`
+    # directly against ids2 — and ids2 is materialized because three
+    # branches (both pair endpoints + the cluster node set) consume it.
+    ids2 = materialize_consistent(
         s1.groupBy(F.md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s2 = s1.join(reps, "doc_id", "left_semi")
 
     # 3. Near-dup cluster dedup. Signatures are per-document, so pairs
     # over the full corpus restricted to surviving endpoints equal
     # pairs computed on the survivors — and the SQL oracle can share
     # the restriction.
-    ids2 = s2.select("doc_id")
     pairs = (
         D.minhash_lsh_pairs(docs)
         .join(ids2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(ids2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
-    clusters = D.dup_clusters(s2, pairs)
-    reps3 = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    s3 = s2.join(reps3, "doc_id", "left_semi")
+    clusters = D.dup_clusters(ids2, pairs)
+    ids3 = materialize_consistent(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        )
+    )
+    s3 = train.join(ids3, "doc_id", "left_semi")
 
     # 4. Benchmark decontamination (broadcast eval shingles).
     contaminated = (
@@ -75,7 +90,8 @@ def corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap_frac") >= CONTAMINATION_FRAC)
         .select("doc_id")
     )
-    s4 = s3.join(contaminated, "doc_id", "left_anti")
+    final_ids = ids3.join(contaminated, "doc_id", "left_anti")
+    s4 = train.join(final_ids, "doc_id", "left_semi")
 
     # 5. Frozen content-addressed split + shipped summary.
     h = (
