@@ -100,7 +100,7 @@ def engine_parallelism(spark: SparkSession) -> int:
     calls that pin a minimum parallel width for rank/offset recipes
     and interpreted pair-expansion stages).
 
-    ``max(defaultParallelism, spark.sql.shuffle.partitions)``:
+    ``max(defaultParallelism, tuned shuffle.partitions)``:
     defaultParallelism tracks the cores actually online (the right
     floor locally and on static clusters), while shuffle.partitions is
     the knob users tune for cluster scale (e.g. 2048 on a
@@ -110,19 +110,29 @@ def engine_parallelism(spark: SparkSession) -> int:
     width. On local[32] with the session default both are 32, so local
     plans are unchanged.
 
-    External-session note (ADVICE r6): under a session NOT built by
-    get_spark, the stock shuffle.partitions=200 wins the max() and
-    every numbered repartition widens to 200 — harmless on a cluster
-    (that IS the tuned width), but 200 tiny AQE-exempt partitions on a
-    small local run. Pin spark.sql.shuffle.partitions to ~cores (as
-    get_spark does) when embedding the engine in your own session.
+    shuffle.partitions only participates when it was EXPLICITLY SET
+    (builder conf, spark-defaults, or runtime ``spark.conf.set``) —
+    Spark's stock 200 on a session not built by :func:`get_spark`
+    is a legacy placeholder, not a tuning decision, and letting it win
+    the max() turned every numbered repartition into 200 tiny
+    AQE-exempt partitions on small external sessions (ADVICE r6/r7).
+    Where the explicit-set probe is unavailable (Spark Connect, vendor
+    runtimes), a literal 200 is treated as stock — set any other value
+    (even 199/201) to force a width through the fallback.
     File-COUNT decisions (e.g. write_sorted's default) deliberately use
     raw defaultParallelism instead of this function."""
     sc = spark.sparkContext
+    shuffle = 0
     try:
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:  # "auto" or unset on some vendors' runtimes
-        shuffle = 0
+        jconf = spark._jsparkSession.sessionState().conf()
+        if jconf.settings().containsKey("spark.sql.shuffle.partitions"):
+            shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # Connect/vendor runtimes: value-vs-default probe
+        try:
+            v = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffle = 0 if v == 200 else v
+        except Exception:  # "auto" or unset
+            shuffle = 0
     return max(sc.defaultParallelism, shuffle)
 
 

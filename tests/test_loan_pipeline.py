@@ -498,3 +498,41 @@ def test_manifest_checksums_landed_files_not_plan(spark, tmp_path):
     path = str(tmp_path / "nondet")
     write_with_manifest(df, path)
     assert verify_manifest(spark, path) is True
+
+
+def test_engine_parallelism_stock_vs_tuned_session():
+    """Regression (ADVICE r6/r7): on a STOCK external session (no
+    shuffle.partitions set) engine_parallelism must fall back to
+    defaultParallelism — not widen every numbered repartition to
+    Spark's legacy 200 — while an explicitly tuned width (even 200)
+    still wins the max(). Runs in a subprocess so the suite's shared
+    session is untouched."""
+    import subprocess
+    import sys
+
+    code = """
+from pyspark.sql import SparkSession
+from airflow_loan_etl_pipeline_spark.session import engine_parallelism
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+assert engine_parallelism(spark) == 4, engine_parallelism(spark)
+spark.conf.set("spark.sql.shuffle.partitions", "200")
+assert engine_parallelism(spark) == 200
+spark.conf.set("spark.sql.shuffle.partitions", "2048")
+assert engine_parallelism(spark) == 2048
+# a numbered-repartition operator inherits the stock width: rebuild
+spark.conf.unset("spark.sql.shuffle.partitions")
+from airflow_loan_etl_pipeline_spark.operators.topk import global_rank
+df = spark.range(100).selectExpr("id", "id % 7 AS v")
+ranked = global_rank(df, order_cols=["v", "id"])
+assert ranked.count() == 100
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
