@@ -384,6 +384,13 @@ def main() -> None:
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
+        # Self-description (VERDICT r7 item 8): `value`/`queries` are the
+        # COLD first-execution pass; `value_warm` is the first re-run and
+        # `value_warm_median` the per-query median of three re-runs. The
+        # per-query warm maps are on the stderr `# detail:` line as
+        # `queries_warm` / `queries_warm_median`. Round-over-round
+        # comparisons must use warm_median vs warm_median.
+        "passes": "queries=cold; warm maps on stderr detail",
         "queries": timings,
         "sf": float(sf) if sf else None,
         "value_warm": round(total_warm, 3),
@@ -391,6 +398,24 @@ def main() -> None:
         "n_extra_queries": len(extra),
         "extra_total_sec": round(sum(extra.values()), 3),
     }
+    # Like-for-like anchor (VERDICT r7 item 1): if the builder recorded
+    # a SOLO run of this same code (tools/record_solo_bench.py →
+    # BENCH_SOLO.json), embed its warm-median total + commit so a
+    # driver-harness run self-reports how far host load moved it from
+    # the solo measurement.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SOLO.json")
+        ) as fh:
+            solo = json.load(fh)
+        headline["solo_ref"] = {
+            "warm_median": solo.get("value_warm_median"),
+            "commit": solo.get("commit"),
+            "ts": solo.get("ts"),
+        }
+    except Exception:
+        pass
     # The driver captures the LAST 2000 chars of stdout and parses the
     # final line. Round 6 inlined the per-query warm-median map here
     # too (~3.5 KB line) and the capture front-truncated → parsed:null
