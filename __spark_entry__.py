@@ -32,42 +32,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 7 —
-# VERDICT r6 items 1-3 and ADVICE r6): cosine_dup_pairs moved to the
-# capped bucket self-equi-join with the oracle capped in lockstep;
-# kmeans_train keeps empty clusters (previous centroid, n_members=0)
-# with the oracle CTE chain reworked; the broadcast-argmax and PQ
-# codebook helpers were deduplicated across their consumers; the
-# remaining oracle cosine fragments gained the zero-norm NULLIF guard
-# (and embedding_centroid_drift's engine division became try_divide);
-# benford gained ANSI try_cast digits and psi_drift null-safe key
-# joins, both mirrored in their oracles. Front-loaded so the external
-# driver gate re-verifies every changed code path same-round.
+# Queries whose implementation was REWIRED this round (round 8 —
+# VERDICT r7 items 2-5 and ADVICE r7): the incremental-neardup
+# admission and the capstone corpus build now derive their shared
+# mid-plan frames once via eager materialization (plan-shape change);
+# hard_negatives is bucket-capped BY DEFAULT with the oracle's HAVING
+# cutoff mirrored; the streaming events source probes table layout
+# through the Hadoop FS API; skew_salted_join accepts semi/anti; and
+# engine_parallelism no longer lets a stock 200 shuffle.partitions
+# widen numbered repartitions — re-verify one consumer of each
+# numbered-repartition module (topk / timeseries / dedup / text /
+# stats) under the driver's PLAIN session. Front-loaded so the
+# external gate re-verifies every changed code path same-round.
 _REWIRED = [
-    "embedding_dup_pairs",
-    "embedding_dup_clusters",
-    "kmeans_train_k16",
-    "embeddings_ivf_trained_topk",
-    "kmeans_refine_step",
-    "embedding_cluster_purity",
-    "embeddings_ivf_topk",
-    "embeddings_pq_codes",
-    "embeddings_pq_adc_topk",
-    "pq_recall_at_10",
-    "embedding_centroid_drift",
+    "dedup_incremental_neardup",
+    "corpus_build_summary",
     "embedding_hard_negatives",
-    "orders_benford_digits",
-    "events_psi_drift",
-    # hamming_pairs moved to the same capped band self-join shape
-    # (oracles unchanged — they were already self-joins)
-    "simhash_pairs",
-    "simhash_pairs_capped",
-    "asset_dup_pairs",
-    # streaming source made layout-tolerant (directory-shaped events
-    # tables silently streamed empty — found by the 10x gate run)
     "streaming_user_totals",
     "stateful_running_totals",
+    "orders_salted_status_join",
+    # engine_parallelism consumers, one-plus per module
+    "corpus_shuffle_order",
+    "events_funnel",
+    "docs_dup_spans",
+    "docs_length_pct_rank",
+    "lineitem_percentiles",
+    "orders_revenue_gini",
+    "part_pareto_frontier",
+    "docs_rrf_fusion",
+    # shared-scan plan rewrites (same r8 theme): single-pass-per-child
+    # FK audit, histogram-collapsed PSI, materialized JS distribution /
+    # chi2 contingency table
+    "referential_integrity_audit",
+    "events_psi_drift",
+    "docs_source_divergence",
+    "nation_priority_chi2",
+    "docs_lang_source_chi2",
 ]
+
+# Queries the round-7 driver gate sampled (CORRECTNESS_r07.json keys —
+# all 50 green).
+_R7_SAMPLED = {
+    "asset_dup_pairs", "corpus_filter", "cube_lineitem_status",
+    "customers_with_orders", "customers_without_orders", "date_split",
+    "dedup_exact", "distinct_segments", "docs_bpe_token_estimate",
+    "docs_fingerprint", "docs_lang_id", "docs_quality",
+    "docs_simhash", "docs_token_stats", "dup_clusters",
+    "embedding_centroid_drift", "embedding_cluster_purity",
+    "embedding_dup_clusters", "embedding_dup_pairs",
+    "embedding_hard_negatives", "embeddings_cosine_topk",
+    "embeddings_ivf_topk", "embeddings_ivf_trained_topk",
+    "embeddings_lsh_multiprobe_topk", "embeddings_lsh_topk",
+    "embeddings_pq_adc_topk", "embeddings_pq_codes",
+    "events_psi_drift", "kmeans_refine_step", "kmeans_train_k16",
+    "loan_agg", "loan_agg_global", "minhash_lsh_pairs",
+    "mode_per_column", "nation_keys_intersect", "nation_revenue",
+    "ngram_jaccard_pairs", "orders_benford_digits", "pq_recall_at_10",
+    "q1_pricing_summary", "rollup_orders", "simhash_pairs",
+    "simhash_pairs_capped", "stateful_running_totals",
+    "streaming_user_totals", "top_customers_by_revenue",
+    "topk_segments", "union_all_files", "window_running_spend",
+    "window_topk_per_priority",
+}
 
 # Queries the round-4 driver gate sampled (CORRECTNESS_r04.json keys —
 # all 50 green).
@@ -221,29 +247,34 @@ _R6_SAMPLED = {
 }
 
 
-# Oldest-standing driver rows: every query whose LATEST external
-# sample is still round 1 (48 of the 50 r1 rows; the other two are in
-# _REWIRED). The never-sampled backlog is empty since round 6, so
-# these fill the remaining 36 prefix slots oldest-first; the ~12 that
-# miss this round's cutoff lead the round-8 prefix.
+# Oldest-standing driver rows, round 8: the 16 queries whose LATEST
+# external sample is still round 1 (the r7 prefix cutoff fell after
+# nation_keys_intersect), then the round-2-latest queries oldest-first
+# (alphabetical within the cohort). 19 rewired + 16 r1-latest + 15
+# r2-latest = the 50-slot prefix; the remaining r2-latest entries
+# lead the round-9 prefix.
 _RECHECK_OLDEST = [
-    "date_split", "loan_agg", "loan_agg_global", "mode_per_column",
-    "topk_segments", "q1_pricing_summary", "top_customers_by_revenue",
-    "window_topk_per_priority", "window_running_spend",
-    "docs_token_stats", "dedup_exact", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "docs_simhash", "simhash_pairs",
-    "embeddings_cosine_topk", "embeddings_lsh_topk",
-    "embeddings_lsh_multiprobe_topk", "dup_clusters", "corpus_filter",
-    "docs_quality", "docs_lang_id", "docs_fingerprint",
-    "docs_bpe_token_estimate", "nation_revenue", "rollup_orders",
-    "cube_lineitem_status", "customers_without_orders",
-    "customers_with_orders", "distinct_segments", "union_all_files",
-    "nation_keys_intersect", "nation_keys_except", "events_json_extract",
-    "events_tumbling_10min", "events_gapfill_10min",
-    "events_sliding_10m_5m", "events_session_5m", "events_asof_click_view",
-    "events_interval_join", "event_type_stats", "event_type_stats_approx",
-    "orders_pivot_status", "orders_having", "orders_grouping_sets",
-    "orders_above_customer_avg", "price_buckets", "customer_string_funcs",
+    # latest sample = round 1
+    "nation_keys_except", "events_json_extract", "events_tumbling_10min",
+    "events_gapfill_10min", "events_sliding_10m_5m", "events_session_5m",
+    "events_asof_click_view", "events_interval_join", "event_type_stats",
+    "event_type_stats_approx", "orders_pivot_status", "orders_having",
+    "orders_grouping_sets", "orders_above_customer_avg", "price_buckets",
+    "customer_string_funcs",
+    # latest sample = round 2
+    "corpus_mix_sample", "corpus_quota_select", "corpus_split",
+    "corpus_split_leakage_safe", "dedup_exact_normalized",
+    "dedup_incremental_candidates", "docs_chunks", "docs_compressibility",
+    "docs_decontaminate", "docs_feature_matrix", "docs_heavy_tokens",
+    "docs_pii_scrub", "docs_pmi_bigrams", "docs_readability",
+    "docs_repetition", "docs_tfidf_top_terms", "docs_top_terms",
+    "dup_pagerank", "dup_reach_3hop", "embedding_dim_correlations",
+    "embedding_dim_stats", "embeddings_standardized_norms",
+    "events_time_rollup", "loan_payment_schedule",
+    "loan_portfolio_runoff", "loan_vintage_status",
+    "lsh_candidate_precision", "lsh_candidate_recall",
+    "minhash_lsh_pairs_capped", "ngram_containment_pairs",
+    "ngram_jaccard_pairs_prefix", "source_kmv_similarity",
 ]
 
 
@@ -259,7 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries last."""
     covered = (
         _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED
-        | _R5_SAMPLED | _R6_SAMPLED
+        | _R5_SAMPLED | _R6_SAMPLED | _R7_SAMPLED
     )
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 

@@ -145,6 +145,10 @@ def js_divergence_by_key(
     closed form from the shared probability mass. That keeps the pair
     join equi-keyed on token (no full-outer blowup); with K keys and V
     vocabulary the shuffle is O(K*V) distribution rows, never documents.
+    The (key, token, p) distribution is materialized once — it is
+    vocabulary-bounded and three branches (both self-join sides + the
+    key universe) consume it; lazily each branch re-ran the document
+    explode+aggregate (the r7 plan's repeated scans).
     """
     tok = df.select(
         F.col(key_col).alias("k"),
@@ -152,8 +156,10 @@ def js_divergence_by_key(
     )
     counts = tok.groupBy("k", "w").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.groupBy("k").agg(F.sum("c").alias("tot"))
-    dist = counts.join(F.broadcast(totals), "k").select(
-        "k", "w", (F.col("c") / F.col("tot")).alias("p")
+    dist = _consistent(
+        counts.join(F.broadcast(totals), "k").select(
+            "k", "w", (F.col("c") / F.col("tot")).alias("p")
+        )
     )
     a, b = dist.alias("a"), dist.alias("b")
     ln2 = math.log(2.0)
@@ -268,9 +274,13 @@ def chi_square_independence(
     marginals; cells with zero observed count are folded in closed form
     (their (0-e)^2/e term is just e, and sum(e) over ALL cells is N, so
     the missing-cell mass is N - sum(e over observed cells)) — no dense
-    cross join of the category domains is ever materialized.
+    cross join of the category domains is ever materialized. The
+    contingency table itself (|rows|x|cols| cells, category-bounded) is
+    materialized once: four branches (row/col marginals, the N/dim
+    aggregate, the cell join) consume it, and lazily each re-ran the
+    upstream fact scan + join chain.
     """
-    ct = (
+    ct = _consistent(
         df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -740,13 +750,18 @@ def psi_drift(
     PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with zero-share flooring.
 
     Scale shape: the split boundary is one global min/max aggregate
-    broadcast back; reference deciles interpolate over integer CENTS
-    (the repo's percentile-parity discipline) into a |keys|×9 threshold
-    table, broadcast for map-side bucket assignment (a 9-element
-    higher-order filter, no join fan-out). Facts shuffle once on
-    (key, bucket) — 10·|keys| output rows; everything after is
-    bounded-size. Complements docs_source_divergence (JS between
-    slices) with the across-TIME drift axis.
+    broadcast back, then the facts collapse in ONE pass to the
+    per-(key, cent) histogram — a map-side-combinable count pair whose
+    output is bounded by |keys| × value domain, the same counting-sort
+    discipline as the percentile/equidepth family. The histogram is
+    materialized once (three consuming branches: reference deciles via
+    FREQUENCY-weighted exact percentile — identical interpolation to
+    the row-expanded form; the key universe; bucket scoring), so the
+    r7 plan's repeated fact scans (one per branch, 16 scans) become
+    two. Thresholds land in a |keys|×9 broadcast table for histogram
+    bucket assignment; everything downstream is bounded-size.
+    Complements docs_source_divergence (JS between slices) with the
+    across-TIME drift axis.
     """
     us = F.unix_micros(F.col(ts_col))
     b = (
@@ -762,11 +777,19 @@ def psi_drift(
         F.when(us < F.col("_mid"), F.lit(0)).otherwise(F.lit(1)).alias("_per"),
         F.round(F.col(val_col) * 100).alias("_vc"),
     )
+    hist = _consistent(
+        ev.groupBy(key_col, "_vc").agg(
+            F.count_if(F.col("_per") == 0).alias("_hnr"),
+            F.count_if(F.col("_per") == 1).alias("_hnc"),
+        )
+    )
     deciles = ", ".join(f"0.{i}D" for i in range(1, 10))
     thr = (
-        ev.filter(F.col("_per") == 0)
+        hist.filter(F.col("_hnr") > 0)
         .groupBy(key_col)
-        .agg(F.expr(f"percentile(_vc, array({deciles}))").alias("_thr"))
+        .agg(
+            F.expr(f"percentile(_vc, array({deciles}), _hnr)").alias("_thr")
+        )
     )
     # the key universe comes from BOTH periods: a key whose events all
     # fall in the current half (a metric that first appears after the
@@ -775,7 +798,7 @@ def psi_drift(
     # (all its current mass lands in bucket 0) and surfaces with
     # n_ref = 0 and the floored-reference maximal PSI, instead of
     # silently vanishing through an inner threshold join.
-    keys = ev.select(F.col(key_col)).distinct()
+    keys = hist.select(F.col(key_col)).distinct()
     # null-safe join-backs throughout (repo null-safe group-key rule,
     # ADVICE r6): a NULL key is a real metric group — plain equi-joins
     # dropped its events at the threshold join and its rows at the
@@ -795,19 +818,23 @@ def psi_drift(
         )
     )
     scored = (
-        ev.alias("_e")
+        hist.alias("_e")
         .join(
             F.broadcast(thr_all).alias("_ta"),
             F.col(f"_e.`{key_col}`").eqNullSafe(F.col(f"_ta.`{key_col}`")),
         )
         .select(
-            F.col(f"_e.`{key_col}`").alias(key_col), "_per", "_vc", "_thr"
+            F.col(f"_e.`{key_col}`").alias(key_col),
+            "_hnr",
+            "_hnc",
+            "_vc",
+            "_thr",
         )
         .withColumn("_b", F.expr("size(filter(_thr, t -> _vc > t))"))
     )
     counts = scored.groupBy(key_col, "_b").agg(
-        F.count(F.when(F.col("_per") == 0, 1)).alias("nr"),
-        F.count(F.when(F.col("_per") == 1, 1)).alias("nc"),
+        F.sum("_hnr").alias("nr"),
+        F.sum("_hnc").alias("nc"),
     )
     grid = keys.select(
         F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_b")

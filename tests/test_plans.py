@@ -309,13 +309,19 @@ def test_active_users_7d_broadcasts_day_axis(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # range condition, tiny axis
 
 
-def test_referential_audit_probes_are_broadcast_anti_joins(spark, sf_dir):
-    """Every FK orphan probe must be a broadcast LeftAnti — facts
-    scanned once, never shuffled against their parents."""
+def test_referential_audit_one_scan_per_child_broadcast_probes(spark, sf_dir):
+    """Edges sharing a child table audit in ONE child scan (r8 rework:
+    4 child scans + 6 key-only parent scans = 10, vs 18 when each edge
+    anti-probed and counted separately); every orphan probe is a
+    broadcast LeftOuter null-count — facts never shuffle against their
+    parents, and no anti-join remains."""
     plan = _plan(
         registry.QUERIES["referential_integrity_audit"](spark, sf_dir)
     )
-    assert plan.count("BroadcastHashJoin LeftAnti") >= 6
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "LeftAnti" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 10
 
 
 def test_abc_classes_no_single_partition_over_customers(spark, sf_dir):
