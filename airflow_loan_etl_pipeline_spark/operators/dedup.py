@@ -1001,7 +1001,13 @@ def prefix_filter_jaccard_pairs(
     # (prefix explode + verification sets), and a window-df doubles the
     # heavier sorted-window subtree — measured ~2x slower at sf0.1.
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    bydoc = (
+    # bydoc is materialized ONCE: four plan branches read it (both
+    # sides of the candidate self-join via the prefix explode, plus
+    # both verification-set fetches), and lazily each re-ran the
+    # shingle mapInPandas + df join + per-doc sort (the r7 plan's 8
+    # scans / 12 exchanges). Stored rows are one per doc — the same
+    # bound shingle_rows already implies.
+    bydoc = _consistent(
         ex.join(dfreq, "s")
         .groupBy(id_col, "n_sh")
         .agg(
