@@ -402,15 +402,22 @@ def test_pareto_frontier_never_self_joins(spark, sf_dir):
 def test_prefix_filter_verification_not_inverted_index(spark, sf_dir):
     """PPJoin shape: the exact-verify stage must fetch per-doc shingle
     arrays (array_intersect on collected sets), not re-expand the full
-    inverted index a second time."""
+    inverted index a second time. Since r8 the per-doc (set, prefix)
+    frame is checkpoint-materialized (four consuming branches), so the
+    doc-keyed collect_list aggregate lives in the MATERIALIZATION plan
+    and the result plan reads stored rows."""
+    cache_scope.clear_materialization_plans()
     plan = _plan(
         registry.QUERIES["ngram_jaccard_pairs_prefix"](spark, sf_dir)
     )
     assert "array_intersect" in plan
-    assert "collect_list" in plan
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    assert "collect_list" in mats[0]
     # prefix + verification set come from ONE doc-keyed aggregate —
-    # no per-doc window sort anywhere in the plan
+    # no per-doc window sort anywhere, in either plan
     assert "Window" not in plan
+    assert "Window" not in mats[0]
 
 
 def test_feature_matrix_is_single_scan_no_shuffle(spark, sf_dir):
