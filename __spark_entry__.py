@@ -69,6 +69,9 @@ _REWIRED = [
     "nation_priority_chi2",
     "docs_lang_source_chi2",
     "ngram_jaccard_pairs_prefix",
+    # single-scan rewires of the pairwise-overlap family (late r8)
+    "audience_overlap_matrix",
+    "source_kmv_similarity",
 ]
 
 # Queries the round-7 driver gate sampled (CORRECTNESS_r07.json keys —

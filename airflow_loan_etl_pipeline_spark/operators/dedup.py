@@ -906,8 +906,13 @@ def kmv_source_similarity(
     Sketches are decomposable: unioning per-shard sketches and
     re-cutting to k gives the same sketch — the property that lets an
     incremental pipeline maintain them per ingest batch.
+
+    The sketch frame feeds three plan branches (both sides of the
+    slice-pair cross and the membership join); it is |slices| x k
+    rows, so it is materialized once rather than re-running the
+    corpus-sized distinct per branch.
     """
-    sk = kmv_sketch(docs, group_col, text_col, k)
+    sk = _consistent(kmv_sketch(docs, group_col, text_col, k))
     srcs = sk.select("src").distinct()
     pairs = (
         srcs.select(F.col("src").alias("source_a"))

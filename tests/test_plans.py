@@ -584,3 +584,42 @@ def test_corpus_build_shares_stage_survivor_sets(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") <= 4
     assert "Scan ExistingRDD" in plan  # stored survivor id sets
     assert "CartesianProduct" not in plan
+
+
+def test_audience_overlap_is_single_scan_pair_expansion(spark, sf_dir):
+    """Audience overlap must read events ONCE: per-user sorted type
+    sets, every ordered pair (incl. the self-pair carrying the segment
+    size) exploded map-side, and the bounded cell frame materialized —
+    the r7 shape self-joined a distinct (type, user) frame and scanned
+    events four times. Result plan: stored cells + broadcast size
+    joins, no parquet scan, no sort-merge self-join."""
+    cache_scope.clear_materialization_plans()
+    plan = _plan(registry.QUERIES["audience_overlap_matrix"](spark, sf_dir))
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    # one events scan inside the materialization (formatted explain
+    # prints the scan node twice: tree + detail)
+    assert mats[0].count("Scan parquet") <= 2
+    assert "collect_set" in mats[0]
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_similarity_materializes_sketch_once(spark, sf_dir):
+    """The KMV slice-similarity sketch (|slices| x k rows) feeds three
+    plan branches (both sides of the pair cross + the membership join);
+    it must be materialized once so the corpus-sized (slice, hash)
+    distinct runs a single time. Result plan reads stored sketch rows
+    only."""
+    from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
+
+    cache_scope.clear_materialization_plans()
+    plan = _plan(registry.QUERIES["source_kmv_similarity"](spark, sf_dir))
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    assert mats[0].count("Scan parquet") <= 2  # tree + detail of ONE scan
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
