@@ -72,6 +72,8 @@ _REWIRED = [
     # single-scan rewires of the pairwise-overlap family (late r8)
     "audience_overlap_matrix",
     "source_kmv_similarity",
+    # zero-shuffle map-side bigram extraction (late r8)
+    "docs_pmi_bigrams",
 ]
 
 # Queries the round-7 driver gate sampled (CORRECTNESS_r07.json keys —

@@ -623,3 +623,24 @@ def test_kmv_similarity_materializes_sketch_once(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pmi_bigrams_never_shuffles_the_corpus(spark, sf_dir):
+    """Bigrams must explode map-side from arrays_zip(slice, slice) —
+    codegen, no corpus-sized (doc, pos) self-join exchange. The
+    vocabulary-bounded unigram frame (three consumers: two PMI
+    denominator joins + the token total) is materialized once; the
+    result plan holds exactly one parquet scan (the bigram pass) and
+    no window/sort-merge over exploded tokens."""
+    from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
+
+    cache_scope.clear_materialization_plans()
+    plan = _plan(registry.QUERIES["docs_pmi_bigrams"](spark, sf_dir))
+    mats = cache_scope.recent_materialization_plans()
+    assert len(mats) == 1
+    assert mats[0].count("Scan parquet") <= 2  # tree + detail of ONE scan
+    assert plan.count("Scan parquet") <= 2
+    assert "arrays_zip" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
