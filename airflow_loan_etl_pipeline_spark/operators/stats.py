@@ -1586,3 +1586,63 @@ def exact_percentiles_twopass(
             out.append(float((lo + 1 - pos) * vlo + (pos - lo) * vhi))
     return out
 
+
+
+def audience_overlap(
+    df: DataFrame,
+    segment_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience overlap between segments: for every ordered
+    segment pair (a < b), the number of users in BOTH, each segment's
+    size, and the Jaccard overlap (floor-scaled to 4 decimals).
+
+    ONE fact scan: per-user sorted segment sets (collect_set partially
+    aggregates map-side, each set ≤ |segments|), then every ordered
+    pair INCLUDING the self-pair explodes map-side from the array —
+    the self-pair row carries the segment size, so a single bounded
+    (seg_a, seg_b, n) cell frame (materialized once) serves both the
+    overlap counts and the size joins. A distinct self-join shape
+    would scan the facts four times and shuffle the corpus on the
+    user key twice.
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(F.collect_set(segment_col)).alias("_segs")
+    )
+    exploded = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_segs, (t, i) ->"
+                " transform(slice(_segs, i + 1, size(_segs)),"
+                " u -> struct(t AS type_a, u AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    cells = _consistent(
+        exploded.groupBy("type_a", "type_b").agg(
+            F.count(F.lit(1)).alias("n_both")
+        )
+    )
+    pairs = cells.filter(F.col("type_a") < F.col("type_b"))
+    sizes = cells.filter(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("_seg"), F.col("n_both").alias("_n")
+    )
+    sa = F.broadcast(sizes.select(F.col("_seg").alias("type_a"),
+                                  F.col("_n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("_seg").alias("type_b"),
+                                  F.col("_n").alias("n_b")))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                F.floor(
+                    F.col("n_both")
+                    * 1e4
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                )
+                / 1e4
+            ).alias("jaccard"),
+        )
+    )

@@ -15,9 +15,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table
-from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
-    materialize_consistent as _consistent,
-)
 from airflow_loan_etl_pipeline_spark.operators import dedup as D
 from airflow_loan_etl_pipeline_spark.operators import graph as G
 from airflow_loan_etl_pipeline_spark.operators import stats as ST
@@ -2402,56 +2399,13 @@ _ORACLE["dup_degree_histogram"] = f"""
 )
 def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between event-type segments: users doing BOTH,
-    segment sizes, and Jaccard — the campaign-targeting matrix.
-
-    ONE events scan: per-user sorted type sets (collect_set partially
-    aggregates map-side, each set ≤ |types|), then every ordered pair
-    INCLUDING the self-pair explodes map-side from the array — so the
-    single bounded (type_a, type_b, n) cell frame carries both the
-    overlap counts (a < b) and the segment sizes (a == b). The earlier
-    shape self-joined a distinct (type, user) frame and re-derived it
-    per branch — four events scans for the same |types|² cells."""
-    events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("_types")
-    )
-    exploded = per_user.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_types, (t, i) ->"
-                " transform(slice(_types, i + 1, size(_types)),"
-                " u -> struct(t AS type_a, u AS type_b))))"
-            )
-        ).alias("p")
-    ).select("p.type_a", "p.type_b")
-    cells = _consistent(
-        exploded.groupBy("type_a", "type_b").agg(
-            F.count(F.lit(1)).alias("n_both")
-        )
-    )
-    pairs = cells.filter(F.col("type_a") < F.col("type_b"))
-    sizes = cells.filter(F.col("type_a") == F.col("type_b")).select(
-        F.col("type_a").alias("event_type"),
-        F.col("n_both").alias("n_users"),
-    )
-    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
-                                  F.col("n_users").alias("n_a")))
-    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
-                                  F.col("n_users").alias("n_b")))
-    return (
-        pairs.join(sa, "type_a")
-        .join(sb, "type_b")
-        .select(
-            "type_a", "type_b", "n_both", "n_a", "n_b",
-            (
-                F.floor(
-                    F.col("n_both")
-                    * 1e4
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
-                )
-                / 1e4
-            ).alias("jaccard"),
-        )
+    segment sizes, and Jaccard — the campaign-targeting matrix. One
+    events scan (see :func:`operators.stats.audience_overlap`): the
+    self-pair-carrying cell frame is bounded and materialized once —
+    the earlier shape self-joined a distinct (type, user) frame and
+    scanned events four times for the same |types|² cells."""
+    return ST.audience_overlap(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
     )
 
 

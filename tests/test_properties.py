@@ -1153,3 +1153,77 @@ def test_hamming_pairs_equals_bruteforce(spark, sigs):
         for r in hamming_pairs(df, max_bucket=cap).collect()
     }
     assert got_capped == exp_capped
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),          # user
+            st.sampled_from(["s0", "s1", "s2", "s3"]),      # segment
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_audience_overlap_matches_set_intersection(spark, rows):
+    """The single-scan pair-expansion overlap (self-pair carries the
+    segment size) must equal brute-force per-segment user-set
+    intersection for every membership multiset — including repeated
+    (user, segment) rows, users in one segment only, and segments with
+    identical audiences."""
+    import itertools
+    import math
+
+    from airflow_loan_etl_pipeline_spark.operators.stats import (
+        audience_overlap,
+    )
+
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    members: dict[str, set[int]] = {}
+    for u, s in rows:
+        members.setdefault(s, set()).add(u)
+    expected = {}
+    for a, b in itertools.combinations(sorted(members), 2):
+        inter = len(members[a] & members[b])
+        if inter:
+            na, nb = len(members[a]), len(members[b])
+            jac = math.floor(inter * 1e4 / (na + nb - inter)) / 1e4
+            expected[(a, b)] = (inter, na, nb, jac)
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.n_a, r.n_b, r.jaccard)
+        for r in audience_overlap(df, "event_type", "user_id").collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_pmi_bigram_counts_match_sequential_zip(spark, docs):
+    """The map-side arrays_zip bigram extraction must count exactly the
+    adjacent pairs a sequential zip produces — across 1-token docs (no
+    pairs), repeated tokens, and corpora where a bigram never repeats."""
+    from collections import Counter
+
+    from airflow_loan_etl_pipeline_spark.operators.text import pmi_bigrams
+
+    rows = [(str(i), " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    expected = Counter()
+    for toks in docs:
+        expected.update(zip(toks, toks[1:]))
+    got = {
+        (r.w1, r.w2): r.c_ab
+        for r in pmi_bigrams(df, top=1000, min_count=1).collect()
+    }
+    assert got == dict(expected)
