@@ -256,7 +256,7 @@ _R6_SAMPLED = {
 # Oldest-standing driver rows, round 8: the 16 queries whose LATEST
 # external sample is still round 1 (the r7 prefix cutoff fell after
 # nation_keys_intersect), then the round-2-latest queries oldest-first
-# (alphabetical within the cohort). 20 rewired + 16 r1-latest + 14
+# (alphabetical within the cohort). 23 rewired + 16 r1-latest + 11
 # r2-latest = the 50-slot prefix; the remaining r2-latest entries
 # lead the round-9 prefix.
 _RECHECK_OLDEST = [

@@ -1419,7 +1419,8 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top collocations by rational PMI over adjacent-token bigrams
-    (positional self-join, codegen throughout)."""
+    (map-side arrays_zip pair extraction — zero corpus shuffle; the
+    vocabulary-bounded unigram frame materialized once)."""
     return X.pmi_bigrams(load_table(spark, sf_dir, "documents"))
 
 
