@@ -77,6 +77,16 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 30) -> DataFrame:
     df = df.filter(F.col(key_col).isNotNull())
     key_type = dict(df.dtypes)[key_col]
 
+    # Empty partitions (or an all-null column) leave the counter empty,
+    # and an empty Series' RangeIndex is int64 — Arrow then rejects the
+    # batch for any non-int key column. Emit the empty frame with the
+    # key's real pandas dtype instead.
+    _EMPTY_DTYPE = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool",
+    }.get(key_type, "object")
+
     def mg(batches):
         counters: pd.Series = pd.Series(dtype="int64")
         for pdf in batches:
@@ -89,7 +99,12 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 30) -> DataFrame:
                 cut = counters.nlargest(k + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
-        yield pd.DataFrame({key_col: counters.index})
+        if len(counters):
+            yield pd.DataFrame({key_col: counters.index})
+        else:
+            yield pd.DataFrame(
+                {key_col: pd.Series([], dtype=_EMPTY_DTYPE)}
+            )
 
     cand = (
         df.select(key_col)

@@ -129,6 +129,22 @@ def test_heavy_hitters_exact_and_partitioning_independent(spark):
         assert out == {"hot": 600, "warm": 300}, parts
 
 
+def test_heavy_hitters_empty_and_all_null_input(spark):
+    """Empty partitions are routine at scale: the Misra-Gries stage's
+    empty counter index is int64, so the empty batch must be emitted
+    with the KEY column's real dtype or Arrow rejects it for string
+    keys (the docs_heavy_tokens-on-empty-corpus crash). All-null input
+    takes the same path (nulls are excluded up front)."""
+    from airflow_loan_etl_pipeline_spark.operators.aggregates import heavy_hitters
+
+    empty_str = spark.createDataFrame([], "term string")
+    assert heavy_hitters(empty_str, "term", k=5).count() == 0
+    all_null = spark.createDataFrame([(None,), (None,)], "term string")
+    assert heavy_hitters(all_null, "term", k=5).count() == 0
+    empty_int = spark.createDataFrame([], "term int")
+    assert heavy_hitters(empty_int, "term", k=5).count() == 0
+
+
 def test_quota_select_deterministic_ties(spark):
     # 4 identical-quality docs per stratum, quota 2 -> lowest ids win.
     rows = [
