@@ -1,0 +1,92 @@
+"""Degenerate-input robustness: zero-row and one-row tables.
+
+Empty partitions and near-empty splits are routine on a large
+cluster (a filter that drops a whole date range, a new ingest source
+with one document, a straggler executor fed an empty parquet split).
+Every operator family must COMPLETE on such input — returning zero
+or degenerate rows, never crashing in a Python batch stage or an
+ANSI-mode expression.
+
+The full-registry sweep (all 261 queries against both datasets) runs
+out-of-band each round; this suite pins one representative per
+operator family so a regression fails fast in CI. docs_heavy_tokens
+is the historical offender: the Misra-Gries empty candidate batch
+shipped an int64 column for a string key until round 8.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_loan_etl_pipeline_spark.catalog import load_table
+from airflow_loan_etl_pipeline_spark import registry
+import __spark_entry__  # noqa: F401  — loads every registry module
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# One representative per operator family: core agg, mode-impute,
+# window, TPC-H join tree, exact + near-dup pair generators, graph
+# closure, text stats, heavy hitters (the past offender), embedding
+# ANN + training, distributed percentiles, drift stats, funnel,
+# corpus capstone, streaming-backed totals.
+REPRESENTATIVE = (
+    "loan_agg",
+    "mode_per_column",
+    "window_topk_per_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dup_clusters",
+    "docs_token_stats",
+    "docs_heavy_tokens",
+    "embeddings_cosine_topk",
+    "kmeans_train_k16",
+    "lineitem_percentiles",
+    "events_psi_drift",
+    "events_funnel",
+    "corpus_build_summary",
+    "audience_overlap_matrix",
+    "docs_pmi_bigrams",
+)
+
+
+def _write_limited(spark, dst: str, n: int) -> str:
+    for t in TABLES:
+        (
+            load_table(spark, "/root/testdata/sf0.001", t)
+            .limit(n)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dst}/{t}.parquet")
+        )
+    return dst
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    return _write_limited(
+        spark, str(tmp_path_factory.mktemp("sg_empty")), 0
+    )
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(spark, tmp_path_factory):
+    return _write_limited(
+        spark, str(tmp_path_factory.mktemp("sg_onerow")), 1
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_completes_on_empty_tables(spark, empty_dir, name):
+    # count() forces full execution (incl. Python batch stages); the
+    # contract is completion, not a specific row count.
+    assert registry.QUERIES[name](spark, empty_dir).count() >= 0
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_completes_on_one_row_tables(spark, onerow_dir, name):
+    assert registry.QUERIES[name](spark, onerow_dir).count() >= 0
