@@ -74,6 +74,15 @@ _REWIRED = [
     "source_kmv_similarity",
     # zero-shuffle map-side bigram extraction (late r8)
     "docs_pmi_bigrams",
+    # stress-sweep fixes (late r8): set-semantics BFS replaces the
+    # path-enumerating recursive CTE; ANSI-safe pairwise corr
+    "dup_reach_3hop",
+    "embedding_dim_correlations",
+    "events_autocorr_lag1",
+    "lineitem_stats_aggs",
+    "events_crosscorr_lags",
+    "discount_elasticity_by_type",
+    "text_embedding_dup_agreement",
 ]
 
 # Queries the round-7 driver gate sampled (CORRECTNESS_r07.json keys —
@@ -256,7 +265,7 @@ _R6_SAMPLED = {
 # Oldest-standing driver rows, round 8: the 16 queries whose LATEST
 # external sample is still round 1 (the r7 prefix cutoff fell after
 # nation_keys_intersect), then the round-2-latest queries oldest-first
-# (alphabetical within the cohort). 23 rewired + 16 r1-latest + 11
+# (alphabetical within the cohort). 30 rewired + 16 r1-latest + 4
 # r2-latest = the 50-slot prefix; the remaining r2-latest entries
 # lead the round-9 prefix.
 _RECHECK_OLDEST = [

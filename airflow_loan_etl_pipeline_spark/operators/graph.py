@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
+    materialize_consistent as _consistent,
+    pin,
+)
 
 
 def pagerank(
@@ -107,4 +110,67 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def k_hop_reach(
+    pairs: DataFrame,
+    hops: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node count of distinct nodes within ≤ ``hops`` undirected
+    hops — iterative frontier BFS with SET semantics.
+
+    Why not a recursive CTE? UNION ALL recursion enumerates PATHS, and
+    path multiplicity is multiplicative on dense graphs: on a 500-node
+    duplicate clique the depth-3 expansion is ~n·(n-1)·(n-2) ≈ 1.2e8
+    rows and Spark's recursion row limit aborts the query (observed on
+    the all-identical-documents stress set). The BFS expands only the
+    NEW frontier each round and anti-joins what is already reached, so
+    every level is bounded by the transitive closure's |reachable
+    pairs| — on the same clique that is n² rows, and the expand join's
+    fan-out collapses map-side in the distinct's partial aggregate.
+    Each level is checkpoint-materialized (lineage would otherwise
+    double per hop, and reach/frontier each feed two branches).
+
+    Undirected edges come from ONE map-side explode of both
+    directions, not a self-union: a Union whose children project the
+    same source plan shares base attribute ids across children, which
+    trips Catalyst's Union constraint rewriting when the frame is
+    later checkpointed (NoSuchElementException on the aliased key) —
+    and the explode is one pair scan instead of two anyway. The edge
+    frame is materialized once for its hops+1 consumers.
+    """
+    ue = _consistent(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
+    reach = _consistent(ue.distinct())
+    frontier = reach
+    for _ in range(hops - 1):
+        expanded = (
+            frontier.alias("r")
+            .join(ue.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        frontier = _consistent(
+            expanded.join(reach, ["src", "dst"], "left_anti")
+        )
+        reach = _consistent(reach.unionAll(frontier))
+    return (
+        reach.filter(F.col("dst") != F.col("src"))
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.countDistinct("dst").alias("n_reachable"))
     )

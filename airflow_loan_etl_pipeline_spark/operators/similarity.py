@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.operators.cache_scope import pin
+from airflow_loan_etl_pipeline_spark.operators.stats import (
+    safe_corr as _safe_corr,
+)
 from airflow_loan_etl_pipeline_spark.session import (
     engine_parallelism as _parallelism,
 )
@@ -715,7 +718,7 @@ def dimension_correlations(
     agg = base.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.round(F.corr(f"_d{i}", f"_d{j}"), 6).alias(f"_c_{i}_{j}")
+            F.round(_safe_corr(f"_d{i}", f"_d{j}"), 6).alias(f"_c_{i}_{j}")
             for i, j in pairs
         ],
     )

@@ -75,7 +75,7 @@ def autocorr_lag1(
     )
     return lagged.groupBy(key_col).agg(
         F.count("_prev").alias("n_pairs"),
-        F.round(F.corr("_y", "_prev"), 6).alias("autocorr_lag1"),
+        F.round(safe_corr("_y", "_prev"), 6).alias("autocorr_lag1"),
     )
 
 
@@ -1645,4 +1645,30 @@ def audience_overlap(
                 / 1e4
             ).alias("jaccard"),
         )
+    )
+
+
+def safe_corr(x, y):
+    """Pearson correlation that yields NULL instead of raising on a
+    zero-variance column. Under this engine's ANSI mode, ``F.corr``'s
+    final co-moment division turns 0/0 into a DIVIDE_BY_ZERO error —
+    observed when every embedding in a partition-skew stress set was
+    identical. ``covar_samp / (stddev · stddev)`` is the same
+    sample-moment ratio, and ``try_divide`` gives it the
+    NULL-on-degenerate semantics DuckDB's ``corr`` has natively (so
+    the oracle comparison also gets stricter, not looser).
+
+    Pairwise-complete semantics: ``corr`` skips a row when EITHER
+    side is null, but a bare ``stddev_samp(x)`` would still include
+    rows where only ``y`` is null (e.g. the lag-null first row of
+    every autocorrelation partition — caught by the oracle gate as a
+    6th-decimal denominator shift). Each stddev therefore masks its
+    column to rows where the OTHER side is present.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    xp = F.when(yc.isNotNull(), xc)
+    yp = F.when(xc.isNotNull(), yc)
+    return F.try_divide(
+        F.covar_samp(xc, yc), F.stddev_samp(xp) * F.stddev_samp(yp)
     )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table, register_views
+from airflow_loan_etl_pipeline_spark.operators import stats as ST
 from airflow_loan_etl_pipeline_spark.registry import query
 
 
@@ -291,7 +292,7 @@ def lineitem_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        F.round(ST.safe_corr("l_quantity", "l_extendedprice"), 4).alias(
             "corr_qty_price"
         ),
         F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),

@@ -1975,7 +1975,7 @@ def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.round(F.corr("_cv", "_pv"), 4).alias("crosscorr"),
+        F.round(ST.safe_corr("_cv", "_pv"), 4).alias("crosscorr"),
     )
 
 
@@ -2108,7 +2108,7 @@ def discount_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_slope("l_quantity", "l_discount"), 4).alias(
                 "qty_per_discount"
             ),
-            F.round(F.corr("l_quantity", "l_discount"), 4).alias(
+            F.round(ST.safe_corr("l_quantity", "l_discount"), 4).alias(
                 "qty_discount_corr"
             ),
         )

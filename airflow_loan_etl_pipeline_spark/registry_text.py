@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from airflow_loan_etl_pipeline_spark.catalog import load_table
 from airflow_loan_etl_pipeline_spark.operators import dedup as D
+from airflow_loan_etl_pipeline_spark.operators import graph as G
 from airflow_loan_etl_pipeline_spark.operators import similarity as S
+from airflow_loan_etl_pipeline_spark.operators import stats as ST
 from airflow_loan_etl_pipeline_spark.operators import text as X
 from airflow_loan_etl_pipeline_spark.registry import query
 
@@ -999,17 +1001,19 @@ _REACH_RECURSION = """
     oracle=None,  # assembled below from the registered pairs oracle
 )
 def dup_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-hop near-dup neighborhoods via Spark 4's native RECURSIVE
-    CTE: per document, how many documents sit within ≤3 undirected hops
-    in the LSH pair graph — the "how contagious is this duplicate"
-    diagnostic. Recursion is UNION ALL with an explicit depth bound
-    (Spark doesn't yet support UNION-distinct recursion, so the bound,
-    not fixpoint dedup, guarantees termination on cyclic graphs); the
-    outer DISTINCT collapses path multiplicity. Same text runs on the
-    DuckDB side over the registered pairs oracle."""
+    """Multi-hop near-dup neighborhoods: per document, how many
+    documents sit within ≤3 undirected hops in the LSH pair graph —
+    the "how contagious is this duplicate" diagnostic. Engine side is
+    the iterative SET-semantics BFS (:func:`operators.graph.
+    k_hop_reach`) — a UNION ALL recursive CTE enumerates paths, whose
+    multiplicity is multiplicative on dense graphs (a 500-document
+    duplicate clique aborts on the recursion row limit); the BFS
+    expands only the new frontier and is bounded by the closure size.
+    The DuckDB oracle keeps the recursive CTE as the definitional
+    form (fixture dup graphs are sparse enough for path
+    enumeration)."""
     docs = load_table(spark, sf_dir, "documents")
-    D.minhash_lsh_pairs(docs).createOrReplaceTempView("nd_pairs")
-    return spark.sql(f"WITH RECURSIVE {_REACH_RECURSION}")
+    return G.k_hop_reach(D.minhash_lsh_pairs(docs), hops=3)
 
 
 from airflow_loan_etl_pipeline_spark.registry import ORACLE as _OR2  # noqa: E402
@@ -2702,7 +2706,7 @@ def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(S.cosine_expr("_va", "_vb")).alias("_cos"),
         )
     )
-    c = F.corr("jaccard", "_cos")
+    c = ST.safe_corr("jaccard", "_cos")
     return j.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("_cos"), 4).alias("mean_cosine"),

@@ -1227,3 +1227,95 @@ def test_pmi_bigram_counts_match_sequential_zip(spark, docs):
         for r in pmi_bigrams(df, top=1000, min_count=1).collect()
     }
     assert got == dict(expected)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_safe_corr_matches_pearson_and_nulls_on_degenerate(spark, rows):
+    """safe_corr must equal textbook Pearson over COMPLETE pairs
+    (rows where either side is null are excluded from the moments —
+    the lag-null subtlety) and yield NULL, never a DIVIDE_BY_ZERO
+    error, when a side is constant or fewer than two complete pairs
+    exist."""
+    import math
+
+    from airflow_loan_etl_pipeline_spark.operators.stats import safe_corr
+
+    df = spark.createDataFrame(
+        [(float(a) if a is not None else None,
+          float(b) if b is not None else None) for a, b in rows],
+        "x double, y double",
+    )
+    got = df.agg(safe_corr("x", "y").alias("c")).collect()[0].c
+
+    pairs = [(a, b) for a, b in rows if a is not None and b is not None]
+    if len(pairs) < 2:
+        assert got is None
+        return
+    n = len(pairs)
+    mx = sum(a for a, _ in pairs) / n
+    my = sum(b for _, b in pairs) / n
+    sxx = sum((a - mx) ** 2 for a, _ in pairs)
+    syy = sum((b - my) ** 2 for _, b in pairs)
+    sxy = sum((a - mx) * (b - my) for a, b in pairs)
+    if sxx == 0 or syy == 0:
+        assert got is None
+        return
+    expected = sxy / math.sqrt(sxx * syy)
+    assert got is not None
+    assert abs(got - expected) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    hops=st.integers(min_value=1, max_value=4),
+)
+def test_k_hop_reach_matches_bfs(spark, edges, hops):
+    """The iterative frontier expansion must equal textbook BFS
+    reachability-within-k on every undirected graph — including
+    cliques (where the retired recursive CTE's path enumeration blew
+    the recursion row limit), cycles, and disconnected components."""
+    from collections import deque
+
+    from airflow_loan_etl_pipeline_spark.operators.graph import k_hop_reach
+
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for s in adj:
+        seen = {s}
+        q = deque([(s, 0)])
+        while q:
+            u, d = q.popleft()
+            if d == hops:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    q.append((v, d + 1))
+        expected[s] = len(seen) - 1
+    got = {
+        r.doc_id: r.n_reachable
+        for r in k_hop_reach(df, hops=hops).collect()
+    }
+    assert got == expected
