@@ -51,6 +51,9 @@ REPRESENTATIVE = (
     "corpus_build_summary",
     "audience_overlap_matrix",
     "docs_pmi_bigrams",
+    "dup_reach_3hop",
+    "events_autocorr_lag1",
+    "embedding_dim_correlations",
 )
 
 
@@ -63,6 +66,22 @@ def _write_limited(spark, dst: str, n: int) -> str:
             .write.mode("overwrite")
             .parquet(f"{dst}/{t}.parquet")
         )
+    return dst
+
+
+# Payload columns a failed upstream stage realistically leaves null
+# (missing scrape text, absent embedding, dropped event props).
+_NULL_PAYLOAD = {
+    "documents": ("text", "lang", "source"),
+    "events": ("props", "value"),
+    "embeddings": ("embedding", "label"),
+}
+
+
+def _write_transformed(spark, dst: str, transform) -> str:
+    for t in TABLES:
+        df = transform(t, load_table(spark, "/root/testdata/sf0.001", t))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     return dst
 
 
@@ -90,3 +109,66 @@ def test_completes_on_empty_tables(spark, empty_dir, name):
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_completes_on_one_row_tables(spark, onerow_dir, name):
     assert registry.QUERIES[name](spark, onerow_dir).count() >= 0
+
+
+@pytest.fixture(scope="module")
+def null_payload_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    def nullify(t, df):
+        for c in _NULL_PAYLOAD.get(t, ()):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+        return df
+
+    return _write_transformed(
+        spark, str(tmp_path_factory.mktemp("sg_nullpay")), nullify
+    )
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """Maximal skew: every document the same text, every event one
+    user/type, every embedding the same vector — each dedup/ANN
+    bucket as hot as it can possibly be."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one_vec = emb.limit(1).select("embedding").collect()[0][0]
+    emb_type = dict(emb.dtypes)["embedding"]
+
+    def skew(t, df):
+        if t == "documents":
+            return df.withColumn(
+                "text", F.lit("the quick brown fox jumps over the dog")
+            )
+        if t == "events":
+            return df.withColumn("user_id", F.lit(7)).withColumn(
+                "event_type", F.lit("click")
+            )
+        if t == "embeddings":
+            return df.withColumn(
+                "embedding", F.lit(one_vec).cast(emb_type)
+            )
+        return df
+
+    return _write_transformed(
+        spark, str(tmp_path_factory.mktemp("sg_skew")), skew
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_completes_on_null_payloads(spark, null_payload_dir, name):
+    """A failed upstream extract leaves text/embedding/props null;
+    every operator family must complete (null-skipping aggregates,
+    not-null pre-filters, try_ arithmetic), not crash."""
+    assert registry.QUERIES[name](spark, null_payload_dir).count() >= 0
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_completes_on_maximal_skew(spark, skew_dir, name):
+    """All-identical payloads make every dedup/ANN bucket maximally
+    hot and zero every variance: pair generators must stay bounded
+    (cap valves), correlations must NULL rather than divide by zero,
+    and reachability must not enumerate clique paths."""
+    assert registry.QUERIES[name](spark, skew_dir).count() >= 0
