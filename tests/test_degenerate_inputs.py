@@ -172,3 +172,48 @@ def test_completes_on_maximal_skew(spark, skew_dir, name):
     (cap valves), correlations must NULL rather than divide by zero,
     and reachability must not enumerate clique paths."""
     assert registry.QUERIES[name](spark, skew_dir).count() >= 0
+
+
+_ADVERSARIAL_TEXT = (
+    "‮RTL override text‬ normal after",
+    "emoji soup \U0001F600\U0001F4A9\U0001F680 mixed with text",
+    "中文文本没有空格分词会把整句当成一个词",
+    "a" * 5000,                              # one 5k-char token
+    "tab\tand\nnewline\rand\x00control chars",
+    "ＦＵＬＬＷＩＤＴＨ ｌａｔｉｎ ｔｅｘｔ",
+    "zero​width‌spaces‍inside",
+    "", " ", "   ",
+    "mixed اللغة العربية and english نص",
+    "🏳️‍🌈 flag sequences 👨‍👩‍👧‍👦 zwj families",
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    """Adversarial unicode text: RTL overrides, ZWJ emoji, CJK
+    without spaces, a 5k-char single token, control chars, empty and
+    whitespace-only strings — cycled across every document."""
+    from pyspark.sql import functions as F
+
+    opts = F.array(*[F.lit(s) for s in _ADVERSARIAL_TEXT])
+    n = len(_ADVERSARIAL_TEXT)
+
+    def hostile(t, df):
+        if t != "documents":
+            return df
+        return df.withColumn(
+            "text",
+            F.element_at(opts, (F.col("doc_id") % n).cast("int") + 1),
+        )
+
+    return _write_transformed(
+        spark, str(tmp_path_factory.mktemp("sg_unicode")), hostile
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_completes_on_adversarial_unicode(spark, unicode_dir, name):
+    """Tokenizers, shingle emitters, PII regexes, fingerprints, and
+    the Arrow batch boundary must survive hostile unicode — no
+    encoding crash, no regex hang, no mis-typed empty batch."""
+    assert registry.QUERIES[name](spark, unicode_dir).count() >= 0
