@@ -142,6 +142,8 @@ def k_hop_reach(
     and the explode is one pair scan instead of two anyway. The edge
     frame is materialized once for its hops+1 consumers.
     """
+    if hops < 1:
+        raise ValueError("k_hop_reach needs hops >= 1")
     ue = _consistent(
         pairs.select(
             F.explode(
