@@ -73,3 +73,74 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for the SQL surface."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# partsupp — materialized derived fixture (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+# The driver fixtures ship no partsupp table; the pure-partsupp TPC-H
+# shapes (Q11/Q16/Q20) used to inline its deterministic derivation as a
+# CTE, which made their "partsupp scan" a part×supplier cross join
+# instead of a real parquet scan (no pushdown, no column pruning to
+# measure). The derivation below is written ONCE per sf_dir to a cached
+# parquet table; queries scan the file like any other table, and the
+# DuckDB oracle keeps the derivation as an independent re-computation —
+# hash-exact therefore proves the materialized file's contents equal
+# the definition.
+
+PARTSUPP_CACHE = "/tmp/sparkgraft_fixtures"
+PARTSUPP_SUPPLIERS_PER_PART = 4
+
+
+def _partsupp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic partsupp derivation: 4 suppliers per part via
+    modular arithmetic over the supplier count, integer availqty, and
+    supply cost in exact integer CENTS (bit-identical aggregation across
+    engines). Mirrors the oracle CTE in registry_sql.py verbatim — the
+    two are maintained as independent expressions of one definition so
+    the differential gate catches drift in either."""
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    quad = spark.range(PARTSUPP_SUPPLIERS_PER_PART).select(
+        F.col("id").alias("i")
+    )
+    p, i = F.col("p_partkey"), F.col("i")
+    return part.crossJoin(F.broadcast(quad)).select(
+        p.alias("ps_partkey"),
+        ((p + i * 13) % F.lit(n_supp)).cast("bigint").alias("ps_suppkey"),
+        ((p * 7 + i * 11) % 9999 + 1).cast("int").alias("ps_availqty"),
+        ((p * 31 + i * 17) % 99900 + 100)
+        .cast("bigint")
+        .alias("ps_cost_cents"),
+    )
+
+
+def materialize_partsupp(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) and return the path of the partsupp parquet for
+    ``sf_dir``. Cache key is the absolute fixture path, so every sf and
+    every derived perf dataset gets its own consistent table. The write
+    lands in a session-unique scratch directory and is renamed into
+    place — concurrent sessions race benignly (first rename wins, the
+    loser discards its scratch copy)."""
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    dest = os.path.join(PARTSUPP_CACHE, key, "partsupp.parquet")
+    if os.path.isdir(dest):
+        return dest
+    scratch = os.path.join(
+        PARTSUPP_CACHE, key, f"_ps_build_{os.getpid()}"
+    )
+    _partsupp_frame(spark, sf_dir).write.mode("overwrite").parquet(scratch)
+    try:
+        os.rename(scratch, dest)
+    except OSError:
+        # lost the race — a complete table is already in place
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    return dest
+
+
+def load_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized partsupp table as a lazy parquet scan (real
+    pushdown/pruning surface, unlike the inline-CTE predecessor)."""
+    return spark.read.parquet(materialize_partsupp(spark, sf_dir))

@@ -635,6 +635,15 @@ def hard_negatives(
     training signal anyway. Pass ``max_bucket=None`` for the exact
     uncapped search. Anchors whose bucket holds no other-label vector
     are absent (documented contract).
+
+    .. versionchanged:: r8
+        The default flipped from ``max_bucket=None`` (exact) to
+        ``COSINE_MAX_BUCKET`` (capped). Direct library callers who
+        relied on the exact default — every anchor guaranteed a
+        negative if ANY other-label vector shares its bucket — must
+        now pass ``max_bucket=None`` explicitly: under the capped
+        default, anchors in buckets larger than the cap silently lose
+        their negatives (intentional, oracle-mirrored; ADVICE r8).
     """
     base = df.select(
         F.col(id_col), F.col(label_col), F.expr(_as_double(vec_col)).alias("v")

@@ -1605,8 +1605,15 @@ def audience_overlap(
     overlap counts and the size joins. A distinct self-join shape
     would scan the facts four times and shuffle the corpus on the
     user key twice.
+
+    NULL users are EXCLUDED (ADVICE r8): an equi-self-join on the user
+    key never matches NULL = NULL, so the definitional form contributes
+    nothing for them — but a groupBy would collapse every NULL-user row
+    into one synthetic user whose merged segment set inflates n_both.
+    The explicit filter encodes the join semantics on the groupBy shape
+    (mirrored by ``WHERE user_id IS NOT NULL`` in the registry oracle).
     """
-    per_user = df.groupBy(user_col).agg(
+    per_user = df.filter(F.col(user_col).isNotNull()).groupBy(user_col).agg(
         F.sort_array(F.collect_set(segment_col)).alias("_segs")
     )
     exploded = per_user.select(

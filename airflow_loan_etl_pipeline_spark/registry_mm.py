@@ -88,12 +88,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hadoop_isdir(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists and is a directory, per the Hadoop
-    FileSystem resolved for the path's scheme (file/s3a/hdfs alike)."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    return bool(fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory())
+    FileSystem resolved for the path's scheme (file/s3a/hdfs alike).
+
+    Falls back to ``os.path.isdir`` when the py4j gateway is absent
+    (Spark Connect, vendor runtimes) — correct for local paths, which
+    are the only kind such a fallback session can stream from anyway
+    (same defensive pattern as session.engine_parallelism; ADVICE r8).
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        return bool(
+            fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
+        )
+    except Exception:
+        import os
+
+        return os.path.isdir(path)
 
 
 @query(

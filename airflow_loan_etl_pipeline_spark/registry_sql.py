@@ -733,12 +733,14 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q11/Q16/Q20 — the three pure-partsupp TPC-H shapes. The fixtures ship
-# no partsupp table, so it is SYNTHESIZED deterministically from
-# part × supplier inside the query text itself (a CTE shared verbatim by
-# the Spark and oracle sides): 4 suppliers per part via modular
-# arithmetic over the supplier count, integer availqty, and a
-# supply cost carried as exact integer CENTS so aggregates are
-# bit-identical across engines (no float summation-order drift).
+# no partsupp table; since r9 it is a MATERIALIZED parquet fixture
+# (catalog.materialize_partsupp — 4 suppliers per part via modular
+# arithmetic over the supplier count, integer availqty, supply cost in
+# exact integer CENTS). The Spark side scans the file (real pushdown /
+# pruning surface); the DuckDB oracle keeps the derivation CTE as an
+# independent re-computation of the same definition, so hash-exact
+# proves the materialized table's contents equal the definition
+# (VERDICT r8 item 2).
 # ---------------------------------------------------------------------------
 
 _PS_CTE = """
@@ -754,8 +756,22 @@ ps AS (
 )
 """
 
-_Q11 = f"""
-WITH {_PS_CTE},
+# Spark side of the same CTE slot: scan the materialized table.
+_PS_SCAN = """
+ps AS (
+    SELECT ps_partkey, ps_suppkey, ps_availqty, ps_cost_cents
+    FROM partsupp
+)
+"""
+
+
+def _register_partsupp(spark: SparkSession, sf_dir: str) -> None:
+    from airflow_loan_etl_pipeline_spark.catalog import load_partsupp
+
+    load_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+
+
+_Q11_BODY = """
 val AS (
     SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS value_cents
     FROM ps
@@ -771,8 +787,7 @@ WHERE value_cents * 500 > t
 ORDER BY value DESC, ps_partkey ASC
 """
 
-_Q16 = f"""
-WITH {_PS_CTE}
+_Q16_BODY = """
 SELECT p_brand, p_type, p_size,
        count(DISTINCT ps_suppkey) AS supplier_cnt
 FROM ps
@@ -787,8 +802,7 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 """
 
-_Q20 = f"""
-WITH {_PS_CTE}
+_Q20_BODY = """
 SELECT s_suppkey, s_name
 FROM supplier
 WHERE s_suppkey IN (
@@ -810,6 +824,14 @@ AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_6')
 ORDER BY s_name ASC, s_suppkey ASC
 """
 
+# Assembled variants: oracle re-derives ps; Spark scans the fixture.
+_Q11 = f"WITH {_PS_CTE}, {_Q11_BODY}"
+_Q11_SPARK = f"WITH {_PS_SCAN}, {_Q11_BODY}"
+_Q16 = f"WITH {_PS_CTE} {_Q16_BODY}"
+_Q16_SPARK = f"WITH {_PS_SCAN} {_Q16_BODY}"
+_Q20 = f"WITH {_PS_CTE} {_Q20_BODY}"
+_Q20_SPARK = f"WITH {_PS_SCAN} {_Q20_BODY}"
+
 
 @query("q11_important_stock", oracle=_Q11)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,9 +839,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept when it exceeds a fraction of the nation's total — a grouped
     aggregate compared against a broadcast single-row global aggregate.
     Value is aggregated in integer cents (exact), divided at the edge.
-    partsupp is the deterministic synthesized CTE (no fixture table)."""
+    partsupp is the materialized parquet fixture (catalog.
+    materialize_partsupp); the oracle re-derives it independently."""
     register_views(spark, sf_dir)
-    return spark.sql(_Q11)
+    _register_partsupp(spark, sf_dir)
+    return spark.sql(_Q11_SPARK)
 
 
 @query("q16_supplier_part_counts", oracle=_Q16)
@@ -828,9 +852,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) with negated predicates and a NOT IN exclusion subquery
     (planned as a broadcast null-aware anti join). The complaint-
     supplier filter of the original maps to s_acctbal < 0 — the
-    fixture has no comment column."""
+    fixture has no comment column. partsupp is the materialized
+    parquet fixture."""
     register_views(spark, sf_dir)
-    return spark.sql(_Q16)
+    _register_partsupp(spark, sf_dir)
+    return spark.sql(_Q16_SPARK)
 
 
 @query("q20_promotable_suppliers", oracle=_Q20)
@@ -839,9 +865,10 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds half of what they actually shipped in 1996 — a correlated
     scalar aggregate subquery against the fact table (planned as a
     left outer aggregate join on the correlation keys), nested inside
-    two IN subqueries."""
+    two IN subqueries. partsupp is the materialized parquet fixture."""
     register_views(spark, sf_dir)
-    return spark.sql(_Q20)
+    _register_partsupp(spark, sf_dir)
+    return spark.sql(_Q20_SPARK)
 
 
 _PIPE_SQL = """

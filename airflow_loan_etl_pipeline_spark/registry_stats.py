@@ -2381,7 +2381,8 @@ _ORACLE["dup_degree_histogram"] = f"""
 @query(
     "audience_overlap_matrix",
     oracle="""
-    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL),
          pairs AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
                           count(*) AS n_both
                    FROM a x JOIN a y ON x.user_id = y.user_id

@@ -1011,16 +1011,24 @@ def dup_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands only the new frontier and is bounded by the closure size.
     The DuckDB oracle keeps the recursive CTE as the definitional
     form (fixture dup graphs are sparse enough for path
-    enumeration)."""
+    enumeration). The pair input is the CAPPED generator
+    (``max_bucket=LSH_MAX_BUCKET``, operators/dedup.py): an uncapped
+    mega-bucket of b boilerplate documents emits a b-clique whose
+    closure explodes both the BFS frontier and the oracle's path
+    enumeration quadratically — the cap bounds the densest component
+    to the bucket size before any graph work happens (r8 verdict
+    item 1; the same valve every other closure consumer uses)."""
     docs = load_table(spark, sf_dir, "documents")
-    return G.k_hop_reach(D.minhash_lsh_pairs(docs), hops=3)
+    return G.k_hop_reach(
+        D.minhash_lsh_pairs(docs, max_bucket=D.LSH_MAX_BUCKET), hops=3
+    )
 
 
 from airflow_loan_etl_pipeline_spark.registry import ORACLE as _OR2  # noqa: E402
 
 _OR2["dup_reach_3hop"] = (
     "WITH RECURSIVE nd_pairs AS ("
-    + _OR2["minhash_lsh_pairs"]
+    + _OR2["minhash_lsh_pairs_capped"]
     + "), "
     + _REACH_RECURSION
 )

@@ -1159,7 +1159,9 @@ def test_hamming_pairs_equals_bruteforce(spark, sigs):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=9),          # user
+            st.one_of(                                      # user (or NULL)
+                st.integers(min_value=0, max_value=9), st.none()
+            ),
             st.sampled_from(["s0", "s1", "s2", "s3"]),      # segment
         ),
         min_size=1,
@@ -1170,8 +1172,9 @@ def test_audience_overlap_matches_set_intersection(spark, rows):
     """The single-scan pair-expansion overlap (self-pair carries the
     segment size) must equal brute-force per-segment user-set
     intersection for every membership multiset — including repeated
-    (user, segment) rows, users in one segment only, and segments with
-    identical audiences."""
+    (user, segment) rows, users in one segment only, segments with
+    identical audiences, and NULL users (which an equi-self-join never
+    matches, so they must contribute nothing — ADVICE r8)."""
     import itertools
     import math
 
@@ -1182,6 +1185,8 @@ def test_audience_overlap_matches_set_intersection(spark, rows):
     df = spark.createDataFrame(rows, "user_id int, event_type string")
     members: dict[str, set[int]] = {}
     for u, s in rows:
+        if u is None:
+            continue
         members.setdefault(s, set()).add(u)
     expected = {}
     for a, b in itertools.combinations(sorted(members), 2):
