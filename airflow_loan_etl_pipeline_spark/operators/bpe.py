@@ -29,6 +29,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# The FROZEN v1 merge table (VERDICT r8 item 5). Production pipelines
+# tokenize with a frozen tokenizer artifact — retraining per corpus
+# makes token counts incomparable across corpus versions (and the
+# registry query non-oracle-expressible). This list is the exact
+# train_bpe(documents@sf0.01, n_merges=200) output — training converges
+# at 106 merges, the fixture vocabulary is fully merged by then; the
+# determinism of that derivation is pinned by
+# tests/test_bpe.py::test_frozen_merges_match_trainer. Regenerate with:
+#   python -c "from airflow_loan_etl_pipeline_spark.operators.bpe import
+#              train_bpe; ..."  (train on /root/testdata/sf0.01)
+FROZEN_MERGES_V1: tuple[tuple[str, str], ...] = (
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('er', '</w>'),
+    ('o', 'w'), ('ow', '</w>'), ('o', 'r'), ('s', 't'),
+    ('h', '</w>'), ('a', 't'), ('l', 'u'), ('i', 'n'),
+    ('a', '</w>'), ('g', '</w>'), ('y', '</w>'), ('a', 'r'),
+    ('p', 'ar'), ('t', '</w>'), ('i', 'n</w>'), ('j', 'o'),
+    ('jo', 'in</w>'), ('a', 's'), ('as', 'h</w>'), ('h', 'ash</w>'),
+    ('r', 'ow</w>'), ('at', 'c'), ('atc', 'h</w>'), ('b', 'atch</w>'),
+    ('a', 'n</w>'), ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'),
+    ('c', 'u'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n</w>'),
+    ('cu', 'st'), ('cust', 'o'), ('custo', 'm'), ('custom', 'er</w>'),
+    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er</w>'),
+    ('a', 'l'), ('al', 'l'), ('all', '</w>'), ('m', 'all</w>'),
+    ('s', 'mall</w>'), ('er', 'g'), ('erg', 'e</w>'), ('l', 'ow</w>'),
+    ('m', 'erge</w>'), ('s', 'low</w>'), ('c', 't'), ('ct', 'or'),
+    ('ctor', '</w>'), ('d', 'er</w>'), ('e', 'ctor</w>'), ('or', 'der</w>'),
+    ('v', 'ector</w>'), ('in', 'e</w>'), ('l', 'ine</w>'), ('a', 'b'),
+    ('ab', 'l'), ('abl', 'e</w>'), ('at', 'a</w>'), ('d', 'ata</w>'),
+    ('t', 'able</w>'), ('p', '</w>'), ('u', 'p</w>'), ('a', 'g'),
+    ('ag', 'g</w>'), ('a', 'lu'), ('alu', 'e</w>'), ('v', 'alue</w>'),
+    ('e', 'y</w>'), ('k', 'ey</w>'), ('a', 'm'), ('am', '</w>'),
+    ('e', 'am</w>'), ('r', 'eam</w>'), ('st', 'ream</w>'), ('d', 'ow</w>'),
+    ('in', 'dow</w>'), ('w', 'indow</w>'), ('k', '</w>'), ('par', 'k</w>'),
+    ('s', 'park</w>'), ('g', 'r'), ('gr', 'o'), ('gro', 'up</w>'),
+    ('par', 't</w>'), ('b', 'i'), ('bi', 'g</w>'), ('or', 't</w>'),
+    ('s', 'ort</w>'), ('er', 'y</w>'), ('q', 'u'), ('qu', 'ery</w>'),
+    ('a', 'st'), ('ast', '</w>'), ('f', 'ast</w>'), ('h', 'e</w>'),
+    ('t', 'he</w>'), ('d', 'up</w>'),
+)
+
+
 def word_freq_table(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -147,11 +188,14 @@ def bpe_token_counts(
     out = df.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} long, n_words long, n_bpe_tokens long"
     )
+    # Exact fixed-point ratio: (nt*10000) div nw is pure BIGINT math, so
+    # the 4-decimal ratio is bit-identical on any engine — a float
+    # round() here diverges from DuckDB's at representation boundaries
+    # (the round-vs-floor gotcha class).
     return out.withColumn(
         "bpe_per_word",
-        F.round(
-            F.when(F.col("n_words") > 0, F.col("n_bpe_tokens") / F.col("n_words"))
-            .otherwise(F.lit(0.0)),
-            4,
-        ),
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(n_bpe_tokens * 10000) div n_words") / F.lit(1e4),
+        ).otherwise(F.lit(0.0)),
     )

@@ -73,3 +73,33 @@ def test_bpe_partitioning_invariant(spark, sf_dir):
         (F.col("n_bpe_tokens") < F.col("n_words"))
     ).count()
     assert bad == 0
+
+
+def test_frozen_merges_match_trainer(spark):
+    """FROZEN_MERGES_V1 is exactly the deterministic
+    train_bpe(documents@sf0.01, 200) output — the artifact cannot
+    silently drift from the trainer that defines it."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert tuple(B.train_bpe(docs, n_merges=200)) == B.FROZEN_MERGES_V1
+
+
+def test_frozen_encoding_handles_hostile_words(spark):
+    """Encoding under the frozen merges is total: words containing the
+    map-separator byte, quotes, or non-ASCII never crash and count at
+    least one token per word (the length-prefixed oracle key design has
+    no collision to exploit either)."""
+    rows = [
+        (1, "a\x01b 'quoted' café"),
+        (2, "éé low low"),
+        (3, "1:ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in B.bpe_token_counts(df, list(B.FROZEN_MERGES_V1)).collect()
+    }
+    assert got[1].n_words == 3 and got[1].n_bpe_tokens >= 3
+    assert got[2].n_words == 3
+    assert got[3].n_bpe_tokens >= 1
