@@ -228,7 +228,11 @@ class _HttpDriveTransport:
                 if f["name"].startswith(self.prefix)
             ]
             token = page.get("nextPageToken")
-            if token is None:
+            # falsy check, not `is None`: the reference loop treats an
+            # empty-string token as terminal (google_drive_download.py:
+            # 118-120) — re-requesting pageToken="" would spin forever
+            # on a server that echoed the page back
+            if not token:
                 return
 
     def download(self, file_id: str):
