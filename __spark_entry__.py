@@ -32,57 +32,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 8 —
-# VERDICT r7 items 2-5 and ADVICE r7): the incremental-neardup
-# admission and the capstone corpus build now derive their shared
-# mid-plan frames once via eager materialization (plan-shape change);
-# hard_negatives is bucket-capped BY DEFAULT with the oracle's HAVING
-# cutoff mirrored; the streaming events source probes table layout
-# through the Hadoop FS API; skew_salted_join accepts semi/anti; and
-# engine_parallelism no longer lets a stock 200 shuffle.partitions
-# widen numbered repartitions — re-verify one consumer of each
-# numbered-repartition module (topk / timeseries / dedup / text /
-# stats) under the driver's PLAIN session. Front-loaded so the
-# external gate re-verifies every changed code path same-round.
+# Queries whose implementation was REWIRED this round (round 9 —
+# VERDICT r8 items 1/2/5 and ADVICE r8): dup_reach_3hop consumes the
+# CAPPED LSH pair generator with the capped oracle CTE mirrored;
+# Q11/Q16/Q20 scan the new MATERIALIZED partsupp parquet fixture
+# (oracle re-derives it independently); docs_bpe_tokens encodes under
+# the frozen v1 merge table and gained a recursive-CTE replay oracle
+# (flipped from rows-only) with an exact fixed-point bpe_per_word;
+# audience_overlap_matrix excludes NULL users on BOTH sides; and the
+# streaming events source's layout probe grew an os.path fallback —
+# re-verify its two registry consumers under the driver's PLAIN
+# session. Front-loaded so the external gate re-verifies every changed
+# code path same-round.
 _REWIRED = [
-    "dedup_incremental_neardup",
-    "corpus_build_summary",
-    "embedding_hard_negatives",
-    "streaming_user_totals",
-    "stateful_running_totals",
-    "orders_salted_status_join",
-    # engine_parallelism consumers, one-plus per module
-    "corpus_shuffle_order",
-    "events_funnel",
-    "docs_dup_spans",
-    "docs_length_pct_rank",
-    "lineitem_percentiles",
-    "orders_revenue_gini",
-    "part_pareto_frontier",
-    "docs_rrf_fusion",
-    # shared-scan plan rewrites (same r8 theme): single-pass-per-child
-    # FK audit, histogram-collapsed PSI, materialized JS distribution /
-    # chi2 contingency table
-    "referential_integrity_audit",
-    "events_psi_drift",
-    "docs_source_divergence",
-    "nation_priority_chi2",
-    "docs_lang_source_chi2",
-    "ngram_jaccard_pairs_prefix",
-    # single-scan rewires of the pairwise-overlap family (late r8)
-    "audience_overlap_matrix",
-    "source_kmv_similarity",
-    # zero-shuffle map-side bigram extraction (late r8)
-    "docs_pmi_bigrams",
-    # stress-sweep fixes (late r8): set-semantics BFS replaces the
-    # path-enumerating recursive CTE; ANSI-safe pairwise corr
     "dup_reach_3hop",
-    "embedding_dim_correlations",
-    "events_autocorr_lag1",
-    "lineitem_stats_aggs",
-    "events_crosscorr_lags",
-    "discount_elasticity_by_type",
-    "text_embedding_dup_agreement",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotable_suppliers",
+    "docs_bpe_tokens",
+    "audience_overlap_matrix",
+    "stateful_running_totals",
+    "streaming_user_totals",
 ]
 
 # Queries the round-7 driver gate sampled (CORRECTNESS_r07.json keys —
@@ -262,36 +232,31 @@ _R6_SAMPLED = {
 }
 
 
-# Oldest-standing driver rows, round 8: the 16 queries whose LATEST
-# external sample is still round 1 (the r7 prefix cutoff fell after
-# nation_keys_intersect), then the round-2-latest queries oldest-first
-# (alphabetical within the cohort). 30 rewired + 16 r1-latest + 4
-# r2-latest = the 50-slot prefix; the remaining r2-latest entries
-# lead the round-9 prefix.
-_RECHECK_OLDEST = [
-    # latest sample = round 1
-    "nation_keys_except", "events_json_extract", "events_tumbling_10min",
-    "events_gapfill_10min", "events_sliding_10m_5m", "events_session_5m",
-    "events_asof_click_view", "events_interval_join", "event_type_stats",
-    "event_type_stats_approx", "orders_pivot_status", "orders_having",
-    "orders_grouping_sets", "orders_above_customer_avg", "price_buckets",
-    "customer_string_funcs",
-    # latest sample = round 2
-    "corpus_mix_sample", "corpus_quota_select", "corpus_split",
-    "corpus_split_leakage_safe", "dedup_exact_normalized",
-    "dedup_incremental_candidates", "docs_chunks", "docs_compressibility",
-    "docs_decontaminate", "docs_feature_matrix", "docs_heavy_tokens",
-    "docs_pii_scrub", "docs_pmi_bigrams", "docs_readability",
-    "docs_repetition", "docs_tfidf_top_terms", "docs_top_terms",
-    "dup_pagerank", "dup_reach_3hop", "embedding_dim_correlations",
-    "embedding_dim_stats", "embeddings_standardized_norms",
-    "events_time_rollup", "loan_payment_schedule",
-    "loan_portfolio_runoff", "loan_vintage_status",
-    "lsh_candidate_precision", "lsh_candidate_recall",
-    "minhash_lsh_pairs_capped", "ngram_containment_pairs",
-    "ngram_jaccard_pairs_prefix", "source_kmv_similarity",
-]
-
+# Queries the round-8 driver gate sampled (CORRECTNESS_r08.json keys —
+# 49/50 green; the one non-green is event_type_stats_approx, the
+# deliberate rows-only HLL entry).
+_R8_SAMPLED = {
+    "audience_overlap_matrix", "corpus_build_summary", "corpus_mix_sample",
+    "corpus_quota_select", "corpus_shuffle_order", "corpus_split",
+    "corpus_split_leakage_safe", "customer_string_funcs",
+    "dedup_incremental_neardup", "discount_elasticity_by_type",
+    "docs_dup_spans", "docs_lang_source_chi2", "docs_length_pct_rank",
+    "docs_pmi_bigrams", "docs_rrf_fusion", "docs_source_divergence",
+    "dup_reach_3hop", "embedding_dim_correlations",
+    "embedding_hard_negatives", "event_type_stats",
+    "event_type_stats_approx", "events_asof_click_view",
+    "events_autocorr_lag1", "events_crosscorr_lags", "events_funnel",
+    "events_gapfill_10min", "events_interval_join", "events_json_extract",
+    "events_psi_drift", "events_session_5m", "events_sliding_10m_5m",
+    "events_tumbling_10min", "lineitem_percentiles", "lineitem_stats_aggs",
+    "nation_keys_except", "nation_priority_chi2",
+    "ngram_jaccard_pairs_prefix", "orders_above_customer_avg",
+    "orders_grouping_sets", "orders_having", "orders_pivot_status",
+    "orders_revenue_gini", "orders_salted_status_join",
+    "part_pareto_frontier", "price_buckets", "referential_integrity_audit",
+    "source_kmv_similarity", "stateful_running_totals",
+    "streaming_user_totals", "text_embedding_dup_agreement",
+}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, ordered for a prefix-sampling driver: (1) queries
@@ -299,13 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verification of the new code path), (2) never-driver-sampled
     queries — oracle-backed first, then the rows-only stragglers (the
     weak check is still the only external row these will ever get, and
-    they are the last holes in the coverage ledger), (3) the oldest
-    r1-green queries whose operators were since refactored, (4) other
-    already driver-green oracle queries, (5) remaining rows-only
-    entries last."""
+    they are the last holes in the coverage ledger), (3) every other
+    oracle query ordered by the LATEST round that sampled it (stalest
+    first), (4) remaining rows-only entries last."""
     covered = (
         _R1_SAMPLED | _R2_SAMPLED | _R3_SAMPLED | _R4_SAMPLED
-        | _R5_SAMPLED | _R6_SAMPLED | _R7_SAMPLED
+        | _R5_SAMPLED | _R6_SAMPLED | _R7_SAMPLED | _R8_SAMPLED
     )
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -318,8 +282,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _take(k for k in registry.QUERIES
           if k in registry.ORACLE and k not in covered)
     _take(k for k in registry.QUERIES if k not in covered)
-    _take(_RECHECK_OLDEST)
-    _take(k for k in registry.QUERIES if k in registry.ORACLE)
+    # Oldest-first re-check backlog: order every remaining query by the
+    # LATEST round that externally sampled it (computed from the
+    # per-round key sets above), alphabetical within a cohort — the
+    # stalest driver rows get the remaining prefix slots.
+    latest: dict[str, int] = {}
+    for rnd, sampled in enumerate(
+        (_R1_SAMPLED, _R2_SAMPLED, _R3_SAMPLED, _R4_SAMPLED,
+         _R5_SAMPLED, _R6_SAMPLED, _R7_SAMPLED, _R8_SAMPLED),
+        start=1,
+    ):
+        for k in sampled:
+            latest[k] = rnd
+    _take(sorted(
+        (k for k in registry.QUERIES if k in registry.ORACLE),
+        key=lambda k: (latest.get(k, 0), k),
+    ))
     _take(registry.QUERIES)
     return ordered
 
