@@ -51,6 +51,7 @@ def main() -> None:
                 "value",
                 "value_warm",
                 "value_warm_median",
+                "value_warm_median_r1set",
                 "sf",
                 "n_extra_queries",
                 "extra_total_sec",
