@@ -95,14 +95,25 @@ def write_parquet_s3api(
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
 
+        # Pin every batch to the Arrow schema derived from the SPARK
+        # schema. Inferring per batch drifts within one partition: a
+        # batch whose int column happens to carry a null arrives as
+        # float64 (pandas has no nullable int by default) and the
+        # ParquetWriter rejects the second batch's "different" schema.
+        # from_pandas with an explicit schema casts integral floats
+        # back and maps NaN to null.
+        arrow_schema = to_arrow_schema(spark_schema)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         buf = pa.BufferOutputStream()
         writer = None
         rows = 0
         for pdf in batches:
-            t = pa.Table.from_pandas(pdf, preserve_index=False)
+            t = pa.Table.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
             if writer is None:
                 writer = pq.ParquetWriter(buf, t.schema)
             writer.write_table(t)

@@ -106,3 +106,30 @@ def test_empty_frame_roundtrip(spark, s3):
     back = read_parquet_s3api(spark, BUCKET, "it/empty", s3)
     assert back.count() == 0
     assert back.schema == df.schema
+
+
+def test_mixed_nullness_across_arrow_batches(spark, s3):
+    """A partition whose FIRST Arrow batches carry no nulls but later
+    ones do must still write one coherent object: pandas ships the
+    null-bearing int chunk as float64, and per-batch schema inference
+    would make the ParquetWriter reject it mid-partition (observed
+    ValueError). The writer pins the Spark-derived Arrow schema
+    instead; values and schema survive the round-trip, including
+    strings with nulls and timestamps."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        df = spark.sql("""
+          SELECT id,
+                 CASE WHEN id >= 30 THEN NULL ELSE id * 2 END AS maybe,
+                 CASE WHEN id % 4 = 0 THEN NULL ELSE concat('s', id)
+                 END AS name,
+                 CAST(id AS timestamp) AS ts
+          FROM range(0, 50, 1, 1)
+        """)
+        write_parquet_s3api(df, BUCKET, "it/nulls", s3)
+        back = read_parquet_s3api(spark, BUCKET, "it/nulls", s3)
+        assert back.schema == df.schema
+        assert back.orderBy("id").collect() == df.orderBy("id").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
