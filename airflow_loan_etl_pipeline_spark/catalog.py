@@ -115,14 +115,45 @@ def _partsupp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Size+mtime digest of the part/supplier fixture files feeding the
+    derivation. The cache must not outlive a driver fixture REGEN: a
+    /tmp table keyed by path alone would keep serving rows derived from
+    the replaced part table and fail the external gate next round."""
+    import hashlib
+
+    h = hashlib.md5()
+    for t in ("part", "supplier"):
+        p = table_path(sf_dir, t)
+        paths = (
+            sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in paths:
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def materialize_partsupp(spark: SparkSession, sf_dir: str) -> str:
     """Write (once) and return the path of the partsupp parquet for
-    ``sf_dir``. Cache key is the absolute fixture path, so every sf and
-    every derived perf dataset gets its own consistent table. The write
+    ``sf_dir``. Cache key is the absolute fixture path PLUS a
+    size+mtime fingerprint of the source part/supplier files, so every
+    sf and every derived perf dataset gets its own consistent table and
+    a driver fixture regeneration invalidates the cache. The write
     lands in a session-unique scratch directory and is renamed into
     place — concurrent sessions race benignly (first rename wins, the
     loser discards its scratch copy)."""
-    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    key = (
+        os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        + "-"
+        + _source_fingerprint(sf_dir)
+    )
     dest = os.path.join(PARTSUPP_CACHE, key, "partsupp.parquet")
     if os.path.isdir(dest):
         return dest

@@ -92,19 +92,14 @@ def test_tpch_consumers_scan_the_fixture(spark, name, pruned_away):
     from airflow_loan_etl_pipeline_spark import registry
     from airflow_loan_etl_pipeline_spark import registry_sql  # noqa: F401
 
-    plan = (
-        registry.QUERIES[name](spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    lines = plan.splitlines()
-    assert any(
-        "partsupp" in ln and ("Scan" in ln or "FileScan" in ln)
-        for ln in lines
-    ), plan
-    # ReadSchema pruning: the unused columns never reach the scan.
-    read_schemas = [ln for ln in lines if "ReadSchema" in ln and "ps_" in ln]
-    assert read_schemas, plan
+    df = registry.QUERIES[name](spark, SF_DIR)
+    # The scan is real: the materialized fixture's files feed the plan.
+    # (inputFiles, not the plan string — FileScan Location strings
+    # truncate once the cache-fingerprinted path gets long.)
+    assert any("partsupp.parquet" in f for f in df.inputFiles())
+    # Column pruning: an unused partsupp column appears NOWHERE in the
+    # executed plan — not in the scan's column list, not in ReadSchema.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ps_partkey" in plan, plan
     for col in pruned_away:
-        assert all(col not in ln for ln in read_schemas), (col, read_schemas)
+        assert col not in plan, (col, plan)
