@@ -46,6 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # code path same-round.
 _REWIRED = [
     "dup_reach_3hop",
+    "q21_last_shipper",
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_promotable_suppliers",
