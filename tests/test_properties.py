@@ -1324,3 +1324,70 @@ def test_k_hop_reach_matches_bfs(spark, edges, hops):
         for r in k_hop_reach(df, hops=hops).collect()
     }
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # orderkey
+            st.integers(min_value=1, max_value=4),   # suppkey
+            st.integers(min_value=0, max_value=3),   # shipdate (day) - tiny domain forces ties
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    statuses=st.lists(st.sampled_from(["F", "O"]), min_size=6, max_size=6),
+)
+def test_q21_top2_rewrite_matches_exists_semantics(spark, rows, statuses):
+    """The per-order top-2 aggregate rewrite must equal the
+    definitional correlated EXISTS/NOT EXISTS row filter on every
+    multiset — including ship-date TIES between suppliers (both tie
+    orders qualify: `later` is strict), single-supplier orders
+    (excluded), duplicate (order, supplier, date) rows, and orders
+    filtered out by status."""
+    from datetime import datetime
+
+    from airflow_loan_etl_pipeline_spark.registry_sql import _Q21_SPARK
+
+    li = [
+        (ok, sk, datetime(1996, 1, 1 + d))
+        for ok, sk, d in rows
+    ]
+    orders = [(ok, statuses[ok - 1]) for ok in range(1, 7)]
+    supps = [(sk, f"SUPP_{sk}") for sk in range(1, 5)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderstatus string"
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        supps, "s_suppkey long, s_name string"
+    ).createOrReplaceTempView("supplier")
+
+    # brute force the definitional semantics in python
+    from collections import defaultdict
+
+    status = dict(orders)
+    by_order = defaultdict(list)
+    for ok, sk, d in li:
+        by_order[ok].append((sk, d))
+    counts = defaultdict(int)
+    for ok, sk, d in li:
+        if status[ok] != "F":
+            continue
+        others = [(s2, d2) for s2, d2 in by_order[ok] if s2 != sk]
+        if not others:
+            continue
+        if any(d2 > d for _, d2 in others):
+            continue
+        counts[f"SUPP_{sk}"] += 1
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    got = [
+        (r.s_name, r.numwait)
+        for r in spark.sql(_Q21_SPARK).collect()
+    ]
+    assert got == [(n, c) for n, c in expected]
