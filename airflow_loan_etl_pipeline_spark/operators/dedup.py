@@ -212,6 +212,84 @@ def band_key_rows(
     ).select(id_col, "b.band_id", "b.band_key")
 
 
+def _exact_group_pairs(
+    df: DataFrame,
+    pair_fn,
+    id_col: str,
+    text_col: str,
+    same_cols: dict | None,
+) -> DataFrame:
+    """Exact-dedup-first harness for LOSSLESS pair generators (round 9).
+
+    Any pair generator whose verdict on (doc_a, doc_b) is a pure
+    function of the two TEXTS — n-gram Jaccard/containment, prefix-
+    filter AllPairs, MinHash-LSH banding — factors through exact text
+    groups: group docs by md5(text), run ``pair_fn`` over one
+    representative per distinct text, then (a) emit every within-group
+    pair with the identical-text score (``same_cols``; None = emit
+    none), and (b) expand each representative pair to all member doc
+    pairs carrying the representative score. Production pipelines run
+    exact dedup before near-dedup for exactly this reason: on a
+    copy-heavy corpus the candidate problem shrinks to DISTINCT texts,
+    and every doc-level row produced downstream is an output row. The
+    100x copy-multiplied sweep is the extreme case — the uncapped
+    generators went from disk-guard aborts (Σ df² with every df
+    multiplied 100x) to completing, with byte-identical results at
+    every differential scale.
+
+    ``pair_fn`` must return (doc_a, doc_b, *score_cols) with
+    ``doc_a < doc_b``; member expansion re-canonicalizes with
+    least/greatest (groups are disjoint, so each unordered doc pair
+    appears exactly once)."""
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
+    members = _consistent(df.select(fp.alias("_fp"), F.col(id_col)))
+    reps = members.groupBy("_fp").agg(F.min(id_col).alias("_rid"))
+    rep_docs = df.join(
+        reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = pair_fn(rep_docs)
+    score_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
+    ra = reps.select(F.col("_rid").alias("doc_a"), F.col("_fp").alias("_fpa"))
+    rb = reps.select(F.col("_rid").alias("doc_b"), F.col("_fp").alias("_fpb"))
+    cross = (
+        rep_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .drop("doc_a", "doc_b")
+        .join(
+            members.select(
+                F.col("_fp").alias("_fpa"), F.col(id_col).alias("_da")
+            ),
+            "_fpa",
+        )
+        .join(
+            members.select(
+                F.col("_fp").alias("_fpb"), F.col(id_col).alias("_db")
+            ),
+            "_fpb",
+        )
+        .filter(F.col("_da").isNotNull() & F.col("_db").isNotNull())
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            *score_cols,
+        )
+    )
+    if same_cols is None:
+        return cross
+    ma = members.select("_fp", F.col(id_col).alias("doc_a"))
+    mb = members.select("_fp", F.col(id_col).alias("doc_b"))
+    same = (
+        ma.join(mb, "_fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            *[v.alias(k) for k, v in same_cols.items()],
+        )
+    )
+    return same.unionByName(cross)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -234,7 +312,29 @@ def minhash_lsh_pairs(
     nothing). The size count and the semi-filter reuse the same
     repartition exchange as the join itself, so the cap costs one extra
     pre-aggregated pass over band keys, not a new data shuffle.
+
+    Uncapped + no precomputed ``sigs`` (round 9): runs through
+    :func:`_exact_group_pairs` — signatures are a pure function of the
+    text, so identical texts share every band and the banded join need
+    only see one representative per distinct text. Lossless; the
+    recursive call pins ``sigs`` to skip re-dispatch. Callers that pass
+    their own ``sigs`` (streaming admission) or a cap keep the direct
+    banded join.
     """
+    if max_bucket is None and sigs is None:
+        return _exact_group_pairs(
+            df,
+            lambda reps: minhash_lsh_pairs(
+                reps,
+                id_col,
+                text_col,
+                n,
+                sigs=minhash_signatures(reps, id_col, text_col, n),
+            ),
+            id_col,
+            text_col,
+            same_cols={},
+        )
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, n)
     exploded = band_key_rows(sigs, id_col)
@@ -285,7 +385,37 @@ def ngram_jaccard_pairs(
     ALL shingles, so the Jaccard denominator is unchanged; only the
     intersection is restricted to informative shingles — the standard
     stop-shingle treatment, which can only LOWER a pair's score.
+
+    Uncapped (round 9): runs exact-dedup-first through
+    :func:`_exact_group_pairs` — Jaccard is a pure function of the two
+    texts, identical texts score exactly 1.0, so the Σ df² inverted-
+    index join sees only DISTINCT texts. Lossless. The capped form
+    keeps the direct join: its df counts are defined over ALL docs
+    (oracle-pinned), which dedup would change.
     """
+    if max_df is None:
+        return _exact_group_pairs(
+            df,
+            lambda reps: _ngram_jaccard_core(
+                reps, id_col, text_col, n, threshold, None
+            ),
+            id_col,
+            text_col,
+            same_cols=(
+                {"jaccard": F.lit(1.0)} if threshold <= 1.0 else None
+            ),
+        )
+    return _ngram_jaccard_core(df, id_col, text_col, n, threshold, max_df)
+
+
+def _ngram_jaccard_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
     sh = shingle_rows(df, id_col, text_col, n)
     # Hash AFTER the explode, on a flat string column: a hash inside
     # `transform(shingles, ...)` runs as an interpreted lambda per array
@@ -365,7 +495,35 @@ def ngram_containment_pairs(
     carry over unchanged. Containment is MORE sensitive to hot shingles
     than Jaccard (a small doc of pure boilerplate is "contained" in
     everything), so at 100 TB run this capped.
+
+    Uncapped (round 9): exact-dedup-first via
+    :func:`_exact_group_pairs`, same rationale as
+    :func:`ngram_jaccard_pairs` (identical texts have containment
+    exactly 1.0). Lossless; capped form unchanged.
     """
+    if max_df is None:
+        return _exact_group_pairs(
+            df,
+            lambda reps: _ngram_containment_core(
+                reps, id_col, text_col, n, threshold
+            ),
+            id_col,
+            text_col,
+            same_cols=(
+                {"containment": F.lit(1.0)} if threshold <= 1.0 else None
+            ),
+        )
+    return _ngram_containment_core(df, id_col, text_col, n, threshold, max_df)
+
+
+def _ngram_containment_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
     sh = shingle_rows(df, id_col, text_col, n)
     ex = sh.select(
         F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")
@@ -459,24 +617,34 @@ def hamming_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Banded hamming-distance pairs over ANY precomputed ``bits``-wide
-    signature column (SimHash, perceptual/block hashes of binary assets,
-    ...): split into ``max_hamming + 1`` contiguous bit bands, pair up
-    docs sharing a band via a band-keyed SELF-EQUI-JOIN, verify with an
-    exact popcount — lossless by pigeonhole, so the result equals the
-    brute-force O(n²) scan (modulo ``max_bucket``, documented on
-    :func:`simhash_pairs`).
+    """Hamming-distance pairs (≤ ``max_hamming``) over ANY precomputed
+    ``bits``-wide signature column (SimHash, perceptual/block hashes of
+    binary assets, ...).
 
-    Physical shape (round 7): the same capped self-join as
-    minhash_lsh_pairs / cosine_dup_pairs — codegen'd hash join whose
-    fan-out is bounded per bucket, with the ``max_bucket`` size count
-    and semi-filter riding the join's own band-keyed exchange (the
-    signature subtree runs ONCE: both join sides read the same
-    repartition exchange via ReusedExchange/AQE stage reuse, verified
-    on the AQE-final plan). The previous formulation collect_list'd
-    each whole band bucket into one row and expanded pairs with an
-    interpreted in-row transform×slice lambda — an uncapped hot bucket
-    became a single multi-GB array row processed serially."""
+    Two physical strategies, same logical result contract:
+
+    - **Uncapped (max_bucket=None): lossless, equal to the brute-force
+      O(n²) popcount scan** — round-9 rewrite. Identical signatures are
+      grouped FIRST, so same-signature doc pairs (hamming 0) come from
+      an output-sized group expansion and the candidate problem shrinks
+      to DISTINCT signature values. Cross-signature candidates use the
+      Manku/Jain/Sarma (WWW'07 §3) multi-table scheme: the ``bits`` are
+      split into ``max_hamming + 3`` blocks and each signature is keyed
+      by every 3-block combination (C(m,3) tables, ~3·bits/m-bit keys).
+      Pigeonhole: ≤ ``max_hamming`` differing bits corrupt at most
+      ``max_hamming`` blocks, leaving ≥ 3 intact — some combo key
+      matches exactly. The previous 4-contiguous-band formulation had a
+      2^(bits/4)-sized key space (256 keys for 32-bit signatures), so
+      candidate fan-out grew as n²/256 regardless of similarity — at
+      the 100x sweep it timed out; this shape finishes because work is
+      bounded by (distinct signatures)²/key-space + true-output size.
+    - **Capped (max_bucket=N): the documented 4-contiguous-band
+      semantics** — a pair is reported iff SOME shared band's bucket
+      (counted in docs) is within the cap. This is oracle-pinned
+      (registry_text.simhash_pairs_capped) and unchanged.
+    """
+    if max_bucket is None:
+        return _hamming_pairs_lossless(sig, id_col, hash_col, bits, max_hamming)
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     bands = ", ".join(
@@ -523,6 +691,88 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _hamming_pairs_lossless(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Exact (brute-force-equal) hamming pairs: signature-dedup +
+    3-of-m combo tables. See :func:`hamming_pairs` for the argument.
+
+    Work bound: the combo self-join runs over DISTINCT signatures (for
+    a ``bits``-wide hash that is ≤ 2^bits rows no matter how large the
+    corpus), and every doc-level row produced is an output row — the
+    corpus-sized frames are touched only by one hash-agg (dedup) and
+    two output-sized expansion joins."""
+    from itertools import combinations
+
+    members = _consistent(
+        sig.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    )
+    # Same-signature pairs: hamming 0, output-sized group expansion.
+    ma = members.select("_h", F.col(id_col).alias("doc_a"))
+    mb = members.select("_h", F.col(id_col).alias("doc_b"))
+    same = (
+        ma.join(mb, "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+    )
+    if max_hamming == 0:
+        return same
+    # Cross-signature candidates over distinct signatures only.
+    sigd = members.select("_h").distinct()
+    m = max_hamming + 3
+    sizes = [bits // m + (1 if i < bits % m else 0) for i in range(m)]
+    shifts = [sum(sizes[:i]) for i in range(m)]
+    block = [
+        f"((_h div {1 << shifts[i]}) % {1 << sizes[i]})" for i in range(m)
+    ]
+    tables = ", ".join(
+        "named_struct('t', {t}, 'k', "
+        "(({bi} * {sj} + {bj}) * {sk} + {bk}))".format(
+            t=t,
+            bi=block[i],
+            bj=block[j],
+            bk=block[k],
+            sj=1 << sizes[j],
+            sk=1 << sizes[k],
+        )
+        for t, (i, j, k) in enumerate(combinations(range(m), 3))
+    )
+    keyed = sigd.select(
+        F.col("_h"), F.explode(F.expr(f"array({tables})")).alias("b")
+    ).select("_h", "b.t", "b.k")
+    keyed = keyed.repartition(_parallelism(keyed.sparkSession), "t", "k")
+    ka = keyed.select("t", "k", F.col("_h").alias("_ha"))
+    kb = keyed.select("t", "k", F.col("_h").alias("_hb"))
+    hpairs = (
+        ka.join(kb, ["t", "k"])
+        .filter(F.col("_ha") < F.col("_hb"))
+        .select(
+            "_ha",
+            "_hb",
+            F.expr("cast(bit_count(_ha ^ _hb) AS int)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    # Expand distinct-signature pairs back to doc pairs (output-sized).
+    pa = members.select(F.col("_h").alias("_ha"), F.col(id_col).alias("_da"))
+    pb = members.select(F.col("_h").alias("_hb"), F.col(id_col).alias("_db"))
+    cross = (
+        hpairs.join(pa, "_ha")
+        .join(pb, "_hb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def decontaminate(
@@ -987,7 +1237,36 @@ def prefix_filter_jaccard_pairs(
     -index blowup. This is the shape to prefer at 100 TB when exact
     threshold semantics matter; df-capping remains for the "drop
     boilerplate signal entirely" policy.
+
+    Round 9: exact-dedup-first via :func:`_exact_group_pairs` —
+    threshold-Jaccard is a pure function of the two texts and the
+    prefix filter is already lossless under ANY global shingle order,
+    so running it over one representative per distinct text and
+    expanding is byte-identical. On copy-heavy corpora the prefix
+    index shrinks by the duplication factor (the 100x sweep's
+    disk-guard abort came from every prefix posting list being 100x
+    hot).
     """
+    if threshold > 1.0:
+        same_cols = None
+    else:
+        same_cols = {"jaccard": F.lit(1.0)}
+    return _exact_group_pairs(
+        df,
+        lambda reps: _prefix_filter_core(reps, id_col, text_col, n, threshold),
+        id_col,
+        text_col,
+        same_cols=same_cols,
+    )
+
+
+def _prefix_filter_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
     sh = shingle_rows(df, id_col, text_col, n)
     ex = sh.select(
         F.col(id_col), "n_sh", F.expr(HASH60.format(x="s_str")).alias("s")

@@ -1102,17 +1102,25 @@ def test_asof_join_matches_sequential_reference(spark, lefts, rights):
 @settings(**SETTINGS)
 @given(
     sigs=st.lists(
-        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        # Mix a tiny range (forces duplicate signatures + hamming<=3
+        # neighbours — the r9 dedup-first path) with the full 32-bit
+        # space (forces distinct signatures through the combo tables).
+        st.one_of(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+        ),
         min_size=2,
         max_size=20,
-        unique=True,
     ),
 )
 def test_hamming_pairs_equals_bruteforce(spark, sigs):
-    """Pigeonhole losslessness of the reworked band self-join: for any
-    signature set, uncapped hamming_pairs equals the brute-force O(n²)
-    popcount scan; with a cap, a pair survives iff SOME shared band's
-    bucket is within the cap (the documented capped semantics)."""
+    """Losslessness of the uncapped pair generator (r9: signature-dedup
+    + 3-of-6 combo tables, Manku-style): for any signature MULTISET,
+    uncapped hamming_pairs equals the brute-force O(n²) popcount scan —
+    duplicate signatures exercise the output-sized hamming-0 group
+    expansion and the cross-signature doc expansion. With a cap, a pair
+    survives iff SOME shared 8-bit band's bucket is within the cap (the
+    documented capped semantics, unchanged by r9)."""
     import itertools
 
     from airflow_loan_etl_pipeline_spark.operators.dedup import (
