@@ -13,6 +13,16 @@ Scale design:
   analogue) before the self-join.
 - **SimHash** is a single aggregation pass per document (32 conditional
   sums over exploded tokens in one hash-aggregate).
+- **Exact-dedup-first (round 9)**: every UNCAPPED pair generator whose
+  verdict is a pure function of the two texts (Jaccard, containment,
+  prefix-filter AllPairs, MinHash banding) routes through
+  :func:`_exact_group_pairs` — candidates are generated over DISTINCT
+  texts and expanded output-sized, so copy-heavy corpora (the common
+  crawl reality) cost distinct-text work, not corpus² work. The capped
+  variants keep their oracle-pinned all-docs df/bucket semantics.
+  Quotient-graph analytics (:func:`dup_clusters_text_quotient`,
+  graph.blowup_triangle_participation) extend the same factorization
+  to the downstream graph stage.
 
 All hashes are md5-derived (``conv(substr(md5(x),1,8),16,10)``) so an
 ANSI-SQL oracle can reproduce them bit-for-bit.
@@ -212,6 +222,26 @@ def band_key_rows(
     ).select(id_col, "b.band_id", "b.band_key")
 
 
+def exact_text_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-text group structure: ``(members, reps, rep_docs)``.
+
+    ``members`` is (``_fp`` = md5(text) with NULL text mapped to a
+    non-hex sentinel, id) — checkpoint-materialized, it anchors every
+    dedup-first consumer (:func:`_exact_group_pairs`, the blown-up
+    graph analytics). ``reps`` picks min(id) per group; ``rep_docs``
+    is the input restricted to one representative document per
+    distinct text."""
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
+    members = _consistent(df.select(fp.alias("_fp"), F.col(id_col)))
+    reps = members.groupBy("_fp").agg(F.min(id_col).alias("_rid"))
+    rep_docs = df.join(
+        reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+    )
+    return members, reps, rep_docs
+
+
 def _exact_group_pairs(
     df: DataFrame,
     pair_fn,
@@ -241,26 +271,29 @@ def _exact_group_pairs(
     ``doc_a < doc_b``; member expansion re-canonicalizes with
     least/greatest (groups are disjoint, so each unordered doc pair
     appears exactly once)."""
-    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
-    members = _consistent(df.select(fp.alias("_fp"), F.col(id_col)))
-    reps = members.groupBy("_fp").agg(F.min(id_col).alias("_rid"))
-    rep_docs = df.join(
-        reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
-    )
+    members, reps, rep_docs = exact_text_groups(df, id_col, text_col)
     rep_pairs = pair_fn(rep_docs)
     score_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
+    par = _parallelism(df.sparkSession)
     ra = reps.select(F.col("_rid").alias("doc_a"), F.col("_fp").alias("_fpa"))
     rb = reps.select(F.col("_rid").alias("doc_b"), F.col("_fp").alias("_fpb"))
+    # Numbered repartitions pin the expansion joins' parallelism: their
+    # shuffle INPUTS are rep-pair-sized (tiny) while the join fan-out is
+    # group-size-squared — exactly the stage AQE would coalesce to one
+    # partition and serialize (same REPARTITION_BY_NUM pattern as the
+    # band/shingle self-joins).
     cross = (
         rep_pairs.join(ra, "doc_a")
         .join(rb, "doc_b")
         .drop("doc_a", "doc_b")
+        .repartition(par, "_fpa")
         .join(
             members.select(
                 F.col("_fp").alias("_fpa"), F.col(id_col).alias("_da")
             ),
             "_fpa",
         )
+        .repartition(par, "_fpb")
         .join(
             members.select(
                 F.col("_fp").alias("_fpb"), F.col(id_col).alias("_db")
@@ -276,8 +309,9 @@ def _exact_group_pairs(
     )
     if same_cols is None:
         return cross
-    ma = members.select("_fp", F.col(id_col).alias("doc_a"))
-    mb = members.select("_fp", F.col(id_col).alias("doc_b"))
+    memb = members.repartition(par, "_fp")
+    ma = memb.select("_fp", F.col(id_col).alias("doc_a"))
+    mb = memb.select("_fp", F.col(id_col).alias("doc_b"))
     same = (
         ma.join(mb, "_fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -713,9 +747,13 @@ def _hamming_pairs_lossless(
     members = _consistent(
         sig.select(F.col(id_col), F.col(hash_col).alias("_h"))
     )
+    par = _parallelism(sig.sparkSession)
     # Same-signature pairs: hamming 0, output-sized group expansion.
-    ma = members.select("_h", F.col(id_col).alias("doc_a"))
-    mb = members.select("_h", F.col(id_col).alias("doc_b"))
+    # Numbered repartition pins the fan-out stages' parallelism against
+    # AQE input-byte coalescing (see _exact_group_pairs).
+    memb = members.repartition(par, "_h")
+    ma = memb.select("_h", F.col(id_col).alias("doc_a"))
+    mb = memb.select("_h", F.col(id_col).alias("doc_b"))
     same = (
         ma.join(mb, "_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -764,7 +802,9 @@ def _hamming_pairs_lossless(
     pa = members.select(F.col("_h").alias("_ha"), F.col(id_col).alias("_da"))
     pb = members.select(F.col("_h").alias("_hb"), F.col(id_col).alias("_db"))
     cross = (
-        hpairs.join(pa, "_ha")
+        hpairs.repartition(par, "_ha")
+        .join(pa, "_ha")
+        .repartition(par, "_hb")
         .join(pb, "_hb")
         .select(
             F.least("_da", "_db").alias("doc_a"),
@@ -773,6 +813,82 @@ def _hamming_pairs_lossless(
         )
     )
     return same.unionByName(cross)
+
+
+def text_group_graph(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-text QUOTIENT of the MinHash-LSH doc graph:
+    ``(members, group_edges)`` where ``members`` is (``_fp``, id) and
+    ``group_edges`` is the distinct (ga, gb) fingerprint pairs whose
+    representative texts share an LSH band. The doc-level graph is the
+    blow-up of this one (see :func:`dup_clusters_text_quotient`), so
+    graph analytics (components, triangles, PageRank) run on it and
+    expand output-sized."""
+    members, reps, rep_docs = exact_text_groups(docs, id_col, text_col)
+    rep_pairs = minhash_lsh_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        n,
+        sigs=minhash_signatures(rep_docs, id_col, text_col, n),
+    )
+    rep_edges = (
+        rep_pairs.join(
+            reps.select(F.col("_rid").alias("doc_a"), F.col("_fp").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            reps.select(F.col("_rid").alias("doc_b"), F.col("_fp").alias("gb")),
+            "doc_b",
+        )
+        .select("ga", "gb")
+    )
+    return members, rep_edges
+
+
+def dup_clusters_text_quotient(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive MinHash-LSH near-dup clusters computed on the
+    exact-text QUOTIENT graph — same (doc_id, cluster_id) contract as
+    ``dup_clusters(docs, minhash_lsh_pairs(docs))``.
+
+    Why it is exact: the doc-level LSH graph is the blow-up of the
+    distinct-text graph (identical texts share every band, and a
+    cross-text edge holds for all members or none), so connected
+    components expand group-wise, and because each group's
+    representative IS its minimum doc id, the min-id label of a rep
+    component equals the min-id label of the expanded component.
+    Pointer jumping therefore runs on |distinct texts| nodes instead of
+    |corpus| — on a copy-heavy corpus the iterative stage (the scale
+    bottleneck: O(log diameter) rounds of corpus-sized joins) shrinks
+    by the duplication factor, and the corpus-sized work left is one
+    md5 group pass plus one output-sized expansion join."""
+    members, reps, rep_docs = exact_text_groups(docs, id_col, text_col)
+    rep_pairs = minhash_lsh_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        n,
+        sigs=minhash_signatures(rep_docs, id_col, text_col, n),
+    )
+    rep_cl = dup_clusters(rep_docs, rep_pairs, id_col, max_iter=max_iter)
+    return (
+        members.join(reps, "_fp")
+        .join(
+            rep_cl.select(F.col(id_col).alias("_rid"), F.col("cluster_id")),
+            "_rid",
+        )
+        .select(F.col(id_col), "cluster_id")
+    )
 
 
 def decontaminate(

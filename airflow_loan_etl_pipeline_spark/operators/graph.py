@@ -113,6 +113,228 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     )
 
 
+def blowup_pagerank(
+    member_map: DataFrame,
+    group_edges: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "_fp",
+    a_col: str = "ga",
+    b_col: str = "gb",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a BLOWN-UP graph, iterated on the quotient: docs
+    in one exact-text group are structurally symmetric (same
+    neighborhood: s_g−1 co-members + every member of each neighbor
+    group) and start from the same 1/N, so their ranks stay equal
+    through every iteration. The per-group recurrence with
+    d_g = (s_g−1) + Σ_{h∈N(g)} s_h (each member's doc-level degree):
+
+        r_g ← (1−damping)/N + damping·[(s_g−1)·r_g/d_g
+                                       + Σ_{h∈N(g)} s_h·r_h/d_h]
+
+    reproduces :func:`pagerank` on the expanded symmetrized pair list
+    (same fixed iteration count, same dangling-mass simplification;
+    agreement is exact up to float summation order, absorbed by the
+    6-decimal output rounding — hypothesis-pinned). Every iteration
+    frame is group- or group-edge-sized; the corpus appears only in
+    the group pass and the final output-sized expansion."""
+    sizes = _consistent(
+        member_map.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
+    )
+    n1 = member_map.agg(F.count(F.lit(1)).alias("_n"))
+    e = group_edges.select(
+        F.least(a_col, b_col).alias("_a"), F.greatest(a_col, b_col).alias("_b")
+    )
+    es = _consistent(
+        e.join(
+            sizes.select(F.col(group_col).alias("_a"), F.col("_s").alias("_sa")),
+            "_a",
+        ).join(
+            sizes.select(F.col(group_col).alias("_b"), F.col("_s").alias("_sb")),
+            "_b",
+        )
+    )
+    nbr = (
+        es.select(F.col("_a").alias("_g"), F.col("_sb").alias("_hs"))
+        .unionByName(es.select(F.col("_b").alias("_g"), F.col("_sa").alias("_hs")))
+        .groupBy("_g")
+        .agg(F.sum("_hs").alias("_nbr_sz"))
+    )
+    base = _consistent(
+        sizes.join(nbr, sizes[group_col] == nbr["_g"], "left")
+        .drop("_g")
+        .select(
+            group_col,
+            "_s",
+            (F.col("_s") - 1 + F.coalesce(F.col("_nbr_sz"), F.lit(0))).alias(
+                "_d"
+            ),
+        )
+        .crossJoin(F.broadcast(n1))
+    )
+    ranks = base.select(
+        group_col, (F.lit(1.0) / F.col("_n")).alias("_r")
+    )
+    for _ in range(iterations):
+        rd = base.join(ranks, group_col).select(
+            group_col,
+            "_s",
+            "_d",
+            "_n",
+            "_r",
+            F.when(F.col("_d") > 0, F.col("_r") / F.col("_d"))
+            .otherwise(F.lit(0.0))
+            .alias("_rd"),
+        )
+        j = es.join(
+            rd.select(F.col(group_col).alias("_a"), F.col("_rd").alias("_rda")),
+            "_a",
+        ).join(
+            rd.select(F.col(group_col).alias("_b"), F.col("_rd").alias("_rdb")),
+            "_b",
+        )
+        inflow = (
+            j.select(
+                F.col("_a").alias("_g"), (F.col("_sb") * F.col("_rdb")).alias("_c")
+            )
+            .unionByName(
+                j.select(
+                    F.col("_b").alias("_g"),
+                    (F.col("_sa") * F.col("_rda")).alias("_c"),
+                )
+            )
+            .groupBy("_g")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            rd.join(inflow, rd[group_col] == inflow["_g"], "left")
+            .drop("_g")
+            .select(
+                group_col,
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        (F.col("_s") - 1) * F.col("_rd")
+                        + F.coalesce(F.col("_in"), F.lit(0.0))
+                    )
+                ).alias("_r"),
+            )
+            .transform(pin)
+        )
+    return member_map.join(ranks, group_col).select(
+        F.col(id_col), F.round("_r", 6).alias("rank")
+    )
+
+
+def blowup_triangle_participation(
+    member_map: DataFrame,
+    group_edges: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "_fp",
+    a_col: str = "ga",
+    b_col: str = "gb",
+) -> DataFrame:
+    """Per-node triangle counts over a BLOWN-UP graph, computed on the
+    quotient: the doc-level near-dup graph produced by a text-pure pair
+    generator is exactly the blow-up of its exact-text-group graph
+    (every within-group doc pair is an edge — identical texts always
+    match — and cross-group edges are all-or-none, since the verdict
+    depends only on the two texts). So per-doc triangle counts have a
+    closed form over the group graph: for a doc in group g with size
+    s_g, neighbor groups N(g), and group-level triangles T(g),
+
+        tri(doc) = C(s_g−1, 2)                       # two co-members
+                 + (s_g−1) · Σ_{h∈N(g)} s_h          # co-member + neighbor
+                 + Σ_{h∈N(g)} C(s_h, 2)              # two in one neighbor
+                 + Σ_{(h1,h2)∈T(g)} s_h1 · s_h2      # two adjacent neighbors
+
+    where T(g) ranges over group-graph triangles containing g. Every
+    frame here is group- or group-edge-sized except the final member
+    expansion, which is output-sized — the doc-level wedge closure
+    (|clique|³ work on copy-heavy corpora) never materializes.
+    Equals :func:`triangle_participation` on the expanded pair list
+    (hypothesis-pinned in tests/test_properties.py).
+
+    ``member_map``: (group_col, id_col) rows, one per doc.
+    ``group_edges``: distinct unordered group pairs (a_col, b_col),
+    endpoints ≠, each pair once (any orientation)."""
+    sizes = _consistent(
+        member_map.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
+    )
+    e = group_edges.select(
+        F.least(a_col, b_col).alias("_a"), F.greatest(a_col, b_col).alias("_b")
+    )
+    es = _consistent(
+        e.join(
+            sizes.select(F.col(group_col).alias("_a"), F.col("_s").alias("_sa")),
+            "_a",
+        ).join(
+            sizes.select(F.col(group_col).alias("_b"), F.col("_s").alias("_sb")),
+            "_b",
+        )
+    )
+    # Per-group neighbor aggregates (both directions of each edge).
+    nbr = (
+        es.select(F.col("_a").alias("_g"), F.col("_sb").alias("_hs"))
+        .unionByName(es.select(F.col("_b").alias("_g"), F.col("_sa").alias("_hs")))
+        .groupBy("_g")
+        .agg(
+            F.sum("_hs").alias("_deg_sum"),
+            F.sum(F.expr("_hs * (_hs - 1) div 2")).alias("_nbr_pairs"),
+        )
+    )
+    # Weighted group-graph triangles: canonical wedge closure (as in
+    # triangle_participation), each triangle credits every corner with
+    # the product of the OTHER two corners' sizes.
+    ab, bc, ac = es.alias("ab"), es.alias("bc"), es.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab._b") == F.col("bc._a"))
+        .join(
+            ac,
+            (F.col("ac._a") == F.col("ab._a"))
+            & (F.col("ac._b") == F.col("bc._b")),
+        )
+        .select(
+            F.col("ab._a").alias("_x"),
+            F.col("ab._b").alias("_y"),
+            F.col("bc._b").alias("_z"),
+            F.col("ab._sa").alias("_sx"),
+            F.col("ab._sb").alias("_sy"),
+            F.col("bc._sb").alias("_sz"),
+        )
+    )
+    t4 = (
+        tri.select(F.col("_x").alias("_g"), (F.col("_sy") * F.col("_sz")).alias("_w"))
+        .unionByName(
+            tri.select(F.col("_y").alias("_g"), (F.col("_sx") * F.col("_sz")).alias("_w"))
+        )
+        .unionByName(
+            tri.select(F.col("_z").alias("_g"), (F.col("_sx") * F.col("_sy")).alias("_w"))
+        )
+        .groupBy("_g")
+        .agg(F.sum("_w").alias("_t4"))
+    )
+    per_group = (
+        sizes.join(nbr, sizes[group_col] == nbr["_g"], "left")
+        .drop("_g")
+        .join(t4, sizes[group_col] == t4["_g"], "left")
+        .drop("_g")
+        .select(
+            F.col(group_col),
+            (
+                F.expr("(_s - 1) * (_s - 2) div 2")
+                + (F.col("_s") - 1) * F.coalesce(F.col("_deg_sum"), F.lit(0))
+                + F.coalesce(F.col("_nbr_pairs"), F.lit(0))
+                + F.coalesce(F.col("_t4"), F.lit(0))
+            ).cast("bigint").alias("n_triangles"),
+        )
+        .filter(F.col("n_triangles") > 0)
+    )
+    return member_map.join(per_group, group_col).select(id_col, "n_triangles")
+
+
 def k_hop_reach(
     pairs: DataFrame,
     hops: int = 3,

@@ -200,10 +200,19 @@ def docs_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts in the LSH near-dup pair graph —
     high counts flag tight template-spam cliques, not chains of
-    borderline pairs. Canonical-orientation wedge closure: two
-    equi-joins, each triangle found exactly once."""
+    borderline pairs.
+
+    Round 9: computed on the exact-text QUOTIENT graph
+    (G.blowup_triangle_participation) — the doc graph is the blow-up
+    of the distinct-text graph, so per-doc counts follow from a closed
+    form over group sizes plus a wedge closure on the (small) group
+    graph. The definitional doc-level wedge closure is the oracle; on
+    the copy-multiplied 100x sweep it was |clique|³ work (136 s, the
+    steepest curve in the suite) while the quotient form is
+    distinct-text-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    return G.triangle_participation(D.minhash_lsh_pairs(docs))
+    members, rep_edges = D.text_group_graph(docs)
+    return G.blowup_triangle_participation(members, rep_edges)
 
 
 ORACLE["dup_triangles"] = (

@@ -526,10 +526,11 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash-LSH pair graph —
     iterative min-label propagation on Spark vs a recursive CTE in the
     oracle. The step that turns pairwise candidates into keep/drop
-    decisions without over-deleting chained duplicates."""
+    decisions without over-deleting chained duplicates. Round 9: runs
+    on the exact-text quotient (D.dup_clusters_text_quotient) — the
+    pointer-jumping rounds see |distinct texts| nodes, not |corpus|."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs)
-    return D.dup_clusters(docs, pairs)
+    return D.dup_clusters_text_quotient(docs)
 
 
 @query(
@@ -1380,8 +1381,7 @@ def corpus_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     after near-dup analysis (pairs alone over-delete: A~B, B~C must
     keep one of the three, not two pair-winners)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs)
-    clusters = D.dup_clusters(docs, pairs)
+    clusters = D.dup_clusters_text_quotient(docs)
     reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     kept = docs.join(reps, "doc_id", "left_semi")
     return kept.groupBy("lang").agg(
@@ -1475,15 +1475,17 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the near-dup candidate graph: 3 PageRank
     iterations on the (undirected, symmetrized) MinHash-LSH pair graph
     — which document is the most-linked representative of its
-    near-dup neighborhood."""
-    from airflow_loan_etl_pipeline_spark.operators.graph import pagerank
+    near-dup neighborhood. Round 9: iterated on the exact-text
+    quotient (G.blowup_pagerank) — same-text docs are structurally
+    symmetric, so the recurrence runs on |distinct texts| nodes; the
+    oracle stays the definitional doc-level replay."""
+    from airflow_loan_etl_pipeline_spark.operators.graph import (
+        blowup_pagerank,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    p = D.minhash_lsh_pairs(docs)
-    edges = p.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    return pagerank(docs, edges)
+    members, rep_edges = D.text_group_graph(docs)
+    return blowup_pagerank(members, rep_edges)
 
 
 @query(
@@ -1603,10 +1605,11 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate documents can never straddle train and test (the eval-
     leakage bug a doc-id-hashed split allows). Composition: MinHash-LSH
     pairs -> pointer-jumping clusters -> content-addressed split of the
-    cluster representative."""
+    cluster representative. Round 9: clusters come from the exact-text
+    quotient (D.dup_clusters_text_quotient), same labels, corpus-sized
+    work only at the group pass and the final expansion."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs)
-    clusters = D.dup_clusters(docs, pairs)
+    clusters = D.dup_clusters_text_quotient(docs)
     return X.leakage_safe_split(docs, clusters)
 
 

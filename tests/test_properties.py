@@ -1101,6 +1101,108 @@ def test_asof_join_matches_sequential_reference(spark, lefts, rights):
 
 @settings(**SETTINGS)
 @given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=5
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_blowup_triangles_equal_definitional(spark, docs):
+    """The quotient-graph triangle count (blowup_triangle_participation
+    over exact-text groups) equals the definitional doc-level wedge
+    closure for any document multiset — the tiny alphabet forces both
+    duplicate texts (group cliques) and near-dup cross edges."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+    from airflow_loan_etl_pipeline_spark.operators import graph as G
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    definitional = {
+        r.doc_id: r.n_triangles
+        for r in G.triangle_participation(
+            D.minhash_lsh_pairs(df)
+        ).collect()
+    }
+    members, rep_edges = D.text_group_graph(df)
+    got = {
+        r.doc_id: r.n_triangles
+        for r in G.blowup_triangle_participation(members, rep_edges).collect()
+    }
+    assert got == definitional
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=5
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_blowup_pagerank_equals_definitional(spark, docs):
+    """Quotient-iterated PageRank (blowup_pagerank over exact-text
+    groups) matches the doc-level fixed-iteration pagerank on the
+    expanded symmetrized pair list to 6 rounded decimals (the output
+    contract) and to 1e-9 absolute on the raw recurrence."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+    from airflow_loan_etl_pipeline_spark.operators import graph as G
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = D.minhash_lsh_pairs(df)
+    edges = p.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    definitional = {
+        r.doc_id: r.rank for r in G.pagerank(df, edges).collect()
+    }
+    members, rep_edges = D.text_group_graph(df)
+    got = {
+        r.doc_id: r.rank
+        for r in G.blowup_pagerank(members, rep_edges).collect()
+    }
+    assert set(got) == set(definitional)
+    for k, v in got.items():
+        assert abs(v - definitional[k]) < 1e-9, (k, v, definitional[k])
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=5
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_quotient_clusters_equal_definitional(spark, docs):
+    """dup_clusters_text_quotient (pointer jumping on the exact-text
+    quotient graph) assigns the same (doc_id, cluster_id) labels as the
+    definitional doc-level propagation over the expanded pair list."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    definitional = {
+        r.doc_id: r.cluster_id
+        for r in D.dup_clusters(df, D.minhash_lsh_pairs(df)).collect()
+    }
+    got = {
+        r.doc_id: r.cluster_id
+        for r in D.dup_clusters_text_quotient(df).collect()
+    }
+    assert got == definitional
+
+
+@settings(**SETTINGS)
+@given(
     sigs=st.lists(
         # Mix a tiny range (forces duplicate signatures + hamming<=3
         # neighbours — the r9 dedup-first path) with the full 32-bit
