@@ -32,19 +32,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 9 —
-# VERDICT r8 items 1/2/5 and ADVICE r8): dup_reach_3hop consumes the
-# CAPPED LSH pair generator with the capped oracle CTE mirrored;
-# Q11/Q16/Q20 scan the new MATERIALIZED partsupp parquet fixture
-# (oracle re-derives it independently); docs_bpe_tokens encodes under
-# the frozen v1 merge table and gained a recursive-CTE replay oracle
-# (flipped from rows-only) with an exact fixed-point bpe_per_word;
-# audience_overlap_matrix excludes NULL users on BOTH sides; and the
-# streaming events source's layout probe grew an os.path fallback —
-# re-verify its two registry consumers under the driver's PLAIN
-# session. Front-loaded so the external gate re-verifies every changed
-# code path same-round.
+# Queries whose implementation was REWIRED this round (round 9, late):
+# the uncapped pair generators went exact-dedup-first
+# (_exact_group_pairs — lossless, candidates over DISTINCT texts),
+# hamming/simhash pairs moved to signature-dedup + 3-of-6 combo
+# tables, and the near-dup graph analytics (components, triangles,
+# PageRank, exact 3-hop reach) now iterate on the exact-text QUOTIENT
+# graph. Every query whose physical plan changed is front-loaded so
+# the external gate re-verifies the new code paths same-round; the
+# earlier-round-9 rewires (capped dup_reach_3hop, partsupp Q11/16/20,
+# frozen-merge BPE, NULL-safe audience overlap, top-2 q21) keep their
+# slots right after.
 _REWIRED = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "ngram_jaccard_pairs_prefix",
+    "simhash_pairs",
+    "asset_dup_pairs",
+    "dup_clusters",
+    "dup_pagerank",
+    "dup_triangles",
+    "dup_reach_3hop_exact",
+    "corpus_dedup_final",
+    "corpus_split_leakage_safe",
+    "lsh_candidate_recall",
+    "lsh_candidate_precision",
+    "text_embedding_dup_agreement",
+    "quality_vs_dup_rate",
+    "docs_dup_rate_by_source",
+    "dup_degree_histogram",
+    "dedup_funnel_summary",
+    "cluster_best_representative",
+    "dup_provenance",
+    "corpus_build_summary",
     "dup_reach_3hop",
     "q21_last_shipper",
     "q11_important_stock",

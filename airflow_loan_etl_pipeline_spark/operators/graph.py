@@ -364,6 +364,20 @@ def k_hop_reach(
     and the explode is one pair scan instead of two anyway. The edge
     frame is materialized once for its hops+1 consumers.
     """
+    reach = _k_hop_reach_pairs(pairs, hops, a_col, b_col)
+    return (
+        reach.filter(F.col("dst") != F.col("src"))
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.countDistinct("dst").alias("n_reachable"))
+    )
+
+
+def _k_hop_reach_pairs(
+    pairs: DataFrame, hops: int, a_col: str, b_col: str
+) -> DataFrame:
+    """The BFS core of :func:`k_hop_reach`: distinct (src, dst) reach
+    pairs within ≤ ``hops`` undirected hops (src=dst rows may appear;
+    callers filter). Shared with the quotient-graph consumers."""
     if hops < 1:
         raise ValueError("k_hop_reach needs hops >= 1")
     ue = _consistent(
@@ -393,8 +407,84 @@ def k_hop_reach(
             expanded.join(reach, ["src", "dst"], "left_anti")
         )
         reach = _consistent(reach.unionAll(frontier))
-    return (
-        reach.filter(F.col("dst") != F.col("src"))
-        .groupBy(F.col("src").alias("doc_id"))
-        .agg(F.countDistinct("dst").alias("n_reachable"))
+    return reach
+
+
+def blowup_k_hop_reach(
+    member_map: DataFrame,
+    group_edges: DataFrame,
+    hops: int = 3,
+    id_col: str = "doc_id",
+    group_col: str = "_fp",
+    a_col: str = "ga",
+    b_col: str = "gb",
+) -> DataFrame:
+    """k-hop reach counts over a BLOWN-UP graph via the quotient:
+    distance between docs in DIFFERENT groups equals the group-graph
+    distance (any member of an adjacent group is directly reachable),
+    and co-members sit at distance 1 (identical texts always pair), so
+
+        n_reachable(doc in g) = (s_g − 1) + Σ_{h: 0 < d_G(g,h) ≤ hops} s_h.
+
+    The BFS runs on |distinct texts| nodes — the uncapped doc-level
+    closure (clique² frontier rows on copy-heavy corpora, the r8
+    failure the capped dup_reach_3hop works around) never
+    materializes. Equals :func:`k_hop_reach` on the expanded pair list
+    (hypothesis-pinned)."""
+    if hops < 1:
+        raise ValueError("blowup_k_hop_reach needs hops >= 1")
+    sizes = _consistent(
+        member_map.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
     )
+    # Lazy set-closure BFS, NOT _k_hop_reach_pairs: the group graph is
+    # small enough that per-level checkpoints are unnecessary — and
+    # checkpointing a union of LogicalRDDs whose md5-derived keys carry
+    # non-null constraints trips Catalyst's LogicalRDD constraint
+    # rewrite (NoSuchElementException: key not found — reproduced on
+    # Spark 4.1; the doc-level k_hop_reach avoids it only because its
+    # parquet-sourced ids are nullable). One materialization of the
+    # edge frame (hops+1 plan references), then a pure
+    # join-union-distinct closure per hop.
+    ue = _consistent(
+        group_edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
+    reach = ue.distinct()
+    for _ in range(hops - 1):
+        expanded = (
+            reach.alias("r")
+            .join(ue.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        reach = reach.unionAll(expanded).distinct()
+    cross_sum = (
+        reach.filter(F.col("dst") != F.col("src"))
+        .join(
+            sizes.select(F.col(group_col).alias("dst"), F.col("_s").alias("_hs")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("_g"))
+        .agg(F.sum("_hs").alias("_cross"))
+    )
+    per_group = (
+        sizes.join(cross_sum, sizes[group_col] == cross_sum["_g"], "left")
+        .drop("_g")
+        .select(
+            group_col,
+            (
+                F.col("_s") - 1 + F.coalesce(F.col("_cross"), F.lit(0))
+            ).cast("bigint").alias("n_reachable"),
+        )
+        .filter(F.col("n_reachable") > 0)
+    )
+    return member_map.join(per_group, group_col).select(id_col, "n_reachable")

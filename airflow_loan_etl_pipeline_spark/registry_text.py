@@ -1035,6 +1035,47 @@ _OR2["dup_reach_3hop"] = (
 )
 
 
+@query(
+    "dup_reach_3hop_exact",
+    oracle=None,  # assembled below from the uncapped pairs oracle
+)
+def dup_reach_3hop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED ≤3-hop near-dup reach — the exact semantics the capped
+    `dup_reach_3hop` trades away. Affordable now because the BFS runs
+    on the exact-text QUOTIENT graph (G.blowup_k_hop_reach): distance
+    between different-text docs equals group-graph distance and
+    co-members sit at one hop, so the closure is |distinct texts|-sized
+    while a doc-level uncapped closure is clique²-sized on copy-heavy
+    corpora (the r8 failure mode). The oracle is the definitional
+    doc-level reach with per-step DISTINCT (set semantics, not path
+    enumeration, so the differential also survives dup cliques)."""
+    docs = load_table(spark, sf_dir, "documents")
+    members, rep_edges = D.text_group_graph(docs)
+    return G.blowup_k_hop_reach(members, rep_edges, hops=3)
+
+
+_OR2["dup_reach_3hop_exact"] = (
+    "WITH nd_pairs AS ("
+    + _OR2["minhash_lsh_pairs"]
+    + """),
+    ue AS (
+        SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
+    ),
+    h1 AS (SELECT DISTINCT src, dst FROM ue),
+    h2 AS (SELECT DISTINCT h.src, e.dst FROM h1 h JOIN ue e ON h.dst = e.src),
+    h3 AS (SELECT DISTINCT h.src, e.dst FROM h2 h JOIN ue e ON h.dst = e.src),
+    r AS (SELECT src, dst FROM h1
+          UNION SELECT src, dst FROM h2
+          UNION SELECT src, dst FROM h3)
+    SELECT src AS doc_id, count(*) AS n_reachable
+    FROM r WHERE dst != src
+    GROUP BY src
+    """
+)
+
+
 _MIX_RATES = {"en": 80, "zh": 40, "es": 40, "de": 25, "fr": 25}
 
 

@@ -1182,6 +1182,37 @@ def test_blowup_pagerank_equals_definitional(spark, docs):
         max_size=12,
     )
 )
+def test_blowup_k_hop_reach_equals_definitional(spark, docs):
+    """Quotient-BFS 3-hop reach (blowup_k_hop_reach over exact-text
+    groups) equals the doc-level set-semantics BFS on the expanded
+    uncapped pair list."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+    from airflow_loan_etl_pipeline_spark.operators import graph as G
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    definitional = {
+        r.doc_id: r.n_reachable
+        for r in G.k_hop_reach(D.minhash_lsh_pairs(df), hops=3).collect()
+    }
+    members, rep_edges = D.text_group_graph(df)
+    got = {
+        r.doc_id: r.n_reachable
+        for r in G.blowup_k_hop_reach(members, rep_edges, hops=3).collect()
+    }
+    assert got == definitional
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=5
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
 def test_quotient_clusters_equal_definitional(spark, docs):
     """dup_clusters_text_quotient (pointer jumping on the exact-text
     quotient graph) assigns the same (doc_id, cluster_id) labels as the
