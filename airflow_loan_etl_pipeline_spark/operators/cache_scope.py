@@ -138,8 +138,26 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     the ContextCleaner once their RDD is unreferenced
     (``spark.cleaner.referenceTracking.cleanCheckpoints=true``,
     session.py) — iterative loops don't accumulate rounds of dead
-    checkpoint data on durable storage."""
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().checkpointDir().isDefined():
+    checkpoint data on durable storage.
+
+    Spark Connect (round 10): the checkpoint-dir probe goes through
+    the py4j gateway, which a Connect session doesn't have — fall back
+    to the ``spark.checkpoint.dir`` SQL conf (the Connect-era way to
+    configure a reliable checkpoint directory, SPARK-48258 family;
+    df.checkpoint/localCheckpoint themselves are supported over
+    Connect since 4.0). Same guarded-probe pattern as
+    session.engine_parallelism / registry_mm._hadoop_isdir."""
+    try:
+        has_reliable_dir = bool(
+            df.sparkSession.sparkContext._jsc.sc().checkpointDir().isDefined()
+        )
+    except Exception:  # Spark Connect / vendor runtimes: no py4j gateway
+        try:
+            has_reliable_dir = bool(
+                df.sparkSession.conf.get("spark.checkpoint.dir", None)
+            )
+        except Exception:
+            has_reliable_dir = False
+    if has_reliable_dir:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

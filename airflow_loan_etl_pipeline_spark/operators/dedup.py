@@ -67,6 +67,15 @@ NGRAM_MAX_DF = 4
 LSH_MAX_BUCKET = 2
 SIMHASH_MAX_BUCKET = 8
 
+# Distinct-text ratio above which the exact-dedup-first harness routes
+# an uncapped pair generator straight to its direct formulation (see
+# _exact_group_pairs): at >99% distinct texts the quotient is the
+# corpus, so the factorization's constant overhead (~3 extra jobs)
+# buys nothing. Group-size cap for the group² within-group emission
+# when a caller opts into the mega-group valve.
+DEDUP_FIRST_BYPASS_RATIO = 0.99
+PAIR_MAX_GROUP = 8
+
 
 def shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, repartition: bool = True
@@ -248,6 +257,7 @@ def _exact_group_pairs(
     id_col: str,
     text_col: str,
     same_cols: dict | None,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Exact-dedup-first harness for LOSSLESS pair generators (round 9).
 
@@ -270,8 +280,55 @@ def _exact_group_pairs(
     ``pair_fn`` must return (doc_a, doc_b, *score_cols) with
     ``doc_a < doc_b``; member expansion re-canonicalizes with
     least/greatest (groups are disjoint, so each unordered doc pair
-    appears exactly once)."""
+    appears exactly once).
+
+    Adaptive bypass (round 10): the factorization pays a constant
+    multi-job overhead (group build + checkpoint + two expansion joins
+    + the same-pair union) that buys nothing on a corpus with ~no
+    exact duplicates. A one-aggregate probe — count vs count-distinct
+    of the text fingerprint, one partial-aggregated pass over 16-byte
+    md5s, the same cost class as the exact dedup the harness starts
+    with — routes the call straight to ``pair_fn(df)`` when more than
+    :data:`DEDUP_FIRST_BYPASS_RATIO` of texts are distinct. Either
+    route is exact: ``pair_fn`` is lossless by contract, so direct ==
+    harness == brute force (hypothesis-pinned); the probe only picks
+    the cheaper physical plan. On the copy-heavy corpora where the
+    harness matters (the 100x copy-multiplied sweep: ratio 1/copies)
+    the probe keeps the harness.
+
+    ``max_group`` is the mega-group valve (round 10): the within-group
+    emission below is group² — correct, but a 10⁶-copy boilerplate
+    group at real corpus scale is 5·10¹¹ output pairs that identify
+    nothing beyond "this text is boilerplate". With the valve set,
+    every doc whose exact-text group exceeds ``max_group`` members is
+    dropped BEFORE representative selection, so mega-groups contribute
+    neither within-group pairs nor candidates (mirror the same filter
+    in the differential oracle). Size the cap with
+    ``dup_degree_histogram`` — its group-size histogram is exactly the
+    preflight that shows where the group² mass sits. The valve forces
+    the harness (no bypass): its semantics are defined over the group
+    structure."""
+    if max_group is None:
+        fp = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
+        n_docs, n_texts = df.select(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(fp).alias("_d"),
+        ).first()
+        if n_docs == 0 or n_texts >= DEDUP_FIRST_BYPASS_RATIO * n_docs:
+            return pair_fn(df)
     members, reps, rep_docs = exact_text_groups(df, id_col, text_col)
+    if max_group is not None:
+        small = (
+            members.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_gs"))
+            .filter(F.col("_gs") <= max_group)
+            .select("_fp")
+        )
+        members = members.join(small, "_fp", "left_semi")
+        reps = members.groupBy("_fp").agg(F.min(id_col).alias("_rid"))
+        rep_docs = df.join(
+            reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+        )
     rep_pairs = pair_fn(rep_docs)
     score_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
     par = _parallelism(df.sparkSession)
@@ -300,7 +357,6 @@ def _exact_group_pairs(
             ),
             "_fpb",
         )
-        .filter(F.col("_da").isNotNull() & F.col("_db").isNotNull())
         .select(
             F.least("_da", "_db").alias("doc_a"),
             F.greatest("_da", "_db").alias("doc_b"),
@@ -331,6 +387,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     max_bucket: int | None = None,
     sigs: DataFrame | None = None,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band of their MinHash signature. Output: (doc_a, doc_b), doc_a<doc_b.
@@ -354,7 +411,17 @@ def minhash_lsh_pairs(
     recursive call pins ``sigs`` to skip re-dispatch. Callers that pass
     their own ``sigs`` (streaming admission) or a cap keep the direct
     banded join.
+
+    ``max_group`` (round 10) is the exact-text MEGA-GROUP valve: docs
+    whose text occurs more than this many times are dropped before
+    candidate generation (see :func:`_exact_group_pairs`; size it with
+    :func:`dup_degree_histogram`). Mutually exclusive with
+    ``max_bucket``/``sigs`` — the valve is defined over the group
+    structure the direct banded join never builds.
     """
+    if max_group is not None and (max_bucket is not None or sigs is not None):
+        raise ValueError("max_group requires the dedup-first path "
+                         "(no max_bucket / precomputed sigs)")
     if max_bucket is None and sigs is None:
         return _exact_group_pairs(
             df,
@@ -368,6 +435,7 @@ def minhash_lsh_pairs(
             id_col,
             text_col,
             same_cols={},
+            max_group=max_group,
         )
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, n)
@@ -408,6 +476,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -426,7 +495,12 @@ def ngram_jaccard_pairs(
     index join sees only DISTINCT texts. Lossless. The capped form
     keeps the direct join: its df counts are defined over ALL docs
     (oracle-pinned), which dedup would change.
+
+    ``max_group`` (round 10): exact-text mega-group valve, see
+    :func:`minhash_lsh_pairs`. Dedup-first path only.
     """
+    if max_group is not None and max_df is not None:
+        raise ValueError("max_group requires the dedup-first path (no max_df)")
     if max_df is None:
         return _exact_group_pairs(
             df,
@@ -438,6 +512,7 @@ def ngram_jaccard_pairs(
             same_cols=(
                 {"jaccard": F.lit(1.0)} if threshold <= 1.0 else None
             ),
+            max_group=max_group,
         )
     return _ngram_jaccard_core(df, id_col, text_col, n, threshold, max_df)
 
@@ -766,8 +841,15 @@ def _hamming_pairs_lossless(
     m = max_hamming + 3
     sizes = [bits // m + (1 if i < bits % m else 0) for i in range(m)]
     shifts = [sum(sizes[:i]) for i in range(m)]
+    # Bit-field extraction with shiftright + AND mask — bit-exact for
+    # SIGNED signatures too (ADVICE r9: `div`/`%` truncate toward zero
+    # and return negatives for a bigint with the sign bit set, so two
+    # signatures agreeing on a block's bits could land in different
+    # buckets and a within-budget pair would be missed; arithmetic
+    # shift's sign-extension is cut off by the mask).
     block = [
-        f"((_h div {1 << shifts[i]}) % {1 << sizes[i]})" for i in range(m)
+        f"(shiftright(_h, {shifts[i]}) & {(1 << sizes[i]) - 1})"
+        for i in range(m)
     ]
     tables = ", ".join(
         "named_struct('t', {t}, 'k', "

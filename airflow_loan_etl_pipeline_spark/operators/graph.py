@@ -143,9 +143,14 @@ def blowup_pagerank(
         member_map.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
     )
     n1 = member_map.agg(F.count(F.lit(1)).alias("_n"))
+    # Enforce the edge contract (each unordered pair once, no self
+    # loops) rather than assuming it: a duplicate or (a,b)/(b,a) double
+    # edge would silently double-count inflow / _deg_sum / triangles,
+    # and `e` is group-edge-sized so the distinct costs ~nothing
+    # (ADVICE r9).
     e = group_edges.select(
         F.least(a_col, b_col).alias("_a"), F.greatest(a_col, b_col).alias("_b")
-    )
+    ).filter(F.col("_a") != F.col("_b")).distinct()
     es = _consistent(
         e.join(
             sizes.select(F.col(group_col).alias("_a"), F.col("_s").alias("_sa")),
@@ -263,9 +268,14 @@ def blowup_triangle_participation(
     sizes = _consistent(
         member_map.groupBy(group_col).agg(F.count(F.lit(1)).alias("_s"))
     )
+    # Enforce the edge contract (each unordered pair once, no self
+    # loops) rather than assuming it: a duplicate or (a,b)/(b,a) double
+    # edge would silently double-count inflow / _deg_sum / triangles,
+    # and `e` is group-edge-sized so the distinct costs ~nothing
+    # (ADVICE r9).
     e = group_edges.select(
         F.least(a_col, b_col).alias("_a"), F.greatest(a_col, b_col).alias("_b")
-    )
+    ).filter(F.col("_a") != F.col("_b")).distinct()
     es = _consistent(
         e.join(
             sizes.select(F.col(group_col).alias("_a"), F.col("_s").alias("_sa")),

@@ -361,12 +361,38 @@ def kmeans_refine(
     return rebuilt.join(sizes, "cid").select("cid", "n_members", "centroid")
 
 
+#: Default fixed-size training sample for kmeans_train(train_sample_size=...):
+#: k-means needs a REPRESENTATIVE sample, not the corpus — 64 vectors per
+#: centroid at k=16 is well past diminishing returns for a coarse
+#: quantizer, and a fixed size makes training cost scale-INVARIANT
+#: (the corpus only ever sees one final assignment pass).
+TRAIN_SAMPLE_SIZE = 1024
+
+
+def content_sample(
+    df: DataFrame, n: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic content-addressed fixed-SIZE sample: the ``n``
+    rows with the smallest ``(md5(id), id)`` key — the same
+    engine/partitioning/rerun-independence contract as
+    text.corpus_mix_sample's md5-rank trick (a seeded ``sample()``
+    draws an engine-dependent RNG stream and is not oracle-replayable),
+    but sized rather than rated, which is what a training stage needs:
+    the cost of everything downstream of the sample is the same at 1x
+    and 100x. md5 is uniform, so the sample is an unbiased draw;
+    physical shape is TakeOrdered (per-partition top-n heaps + one
+    tiny final merge), never a full sort."""
+    key = F.md5(F.col(id_col).cast("string"))
+    return df.orderBy(key.asc(), F.col(id_col).asc()).limit(n)
+
+
 def kmeans_train(
     df: DataFrame,
     n_centroids: int = 16,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_size: int | None = None,
 ) -> DataFrame:
     """Multi-iteration Lloyd k-means on top of the kmeans_refine step:
     seed with the ``n_centroids`` lowest-id vectors, then repeat
@@ -390,16 +416,34 @@ def kmeans_train(
     locally, reliable ``checkpoint()`` when the session has a
     checkpoint dir — the cluster knob). Means round to 6 dp per
     round — the same edge-rounding as kmeans_refine, which also keeps
-    the fixed-iteration replay bit-identical across engines."""
+    the fixed-iteration replay bit-identical across engines.
+
+    ``train_sample_size`` (round 10) bounds training cost to a
+    SCALE-INVARIANT constant: Lloyd rounds run over a deterministic
+    content-addressed sample (:func:`content_sample` — md5-rank, so
+    the same vectors train on any engine/partitioning/scale) and the
+    full corpus is touched exactly once, by a final map-side
+    assignment against the trained centroids that produces
+    ``n_members``. Seeds come from the sample. This is the production
+    IVF lifecycle — FAISS-style train-on-sample, assign-everything —
+    and it turns the trainer's per-iteration full scans (the former
+    slowest headline: corpus-proportional at 100x) into
+    O(sample x iters) + one corpus pass."""
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
-    cents = seed_centroids(base, n_centroids, id_col).transform(
+    if train_sample_size is not None:
+        train = content_sample(base, train_sample_size, id_col).transform(
+            lambda d: pin(d, eager=False)
+        )
+    else:
+        train = base
+    cents = seed_centroids(train, n_centroids, id_col).transform(
         lambda d: pin(d, eager=False)
     )
     if n_iters < 1:
         raise ValueError("kmeans_train needs n_iters >= 1")
     assigned = None
     for _ in range(n_iters):
-        with_best, _ = _with_best_centroid(base, cents)
+        with_best, _ = _with_best_centroid(train, cents)
         assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
         new_cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -418,6 +462,12 @@ def kmeans_train(
             .select("cid", F.coalesce("_new", "cv").alias("cv"))
             .transform(pin)
         )
+    if train_sample_size is not None:
+        # the one full-corpus pass: map-side assignment against the
+        # FINAL trained centroids (what an index build does after
+        # training) — n_members counts the whole corpus, not the sample
+        with_best, _ = _with_best_centroid(base, cents)
+        assigned = with_best.select(id_col, F.col("best.cid").alias("cid"))
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
     )

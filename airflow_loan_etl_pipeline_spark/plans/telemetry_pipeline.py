@@ -98,21 +98,27 @@ def run_telemetry_pipeline(
     state_dir: str,
     checkpoint_dir: str,
     timeout_s: int = 300,
-) -> None:
+    max_files_per_trigger: int | None = None,
+):
     """Drain all landed CSV event files (AvailableNow) into the OHLC
     state table. Safe to re-run as new files land: the checkpoint
     skips already-ingested files; the merge is associative, so any
     batch slicing is equivalent to one big batch; :func:`fold_batch`
-    makes each epoch idempotent under foreachBatch replay."""
+    makes each epoch idempotent under foreachBatch replay.
+
+    Returns the terminated StreamingQuery so callers can read
+    ``recentProgress`` — per-batch trigger→commit latency is a gated
+    bench artifact (round 10; ``max_files_per_trigger`` slices the
+    drain into multiple micro-batches so there is a per-batch
+    distribution to report)."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         fold_batch(spark, batch_df, epoch_id, state_dir)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("header", True)
-        .csv(landing_dir)
-    )
+    reader = spark.readStream.schema(EVENT_SCHEMA).option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.csv(landing_dir)
     q = (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
@@ -120,6 +126,7 @@ def run_telemetry_pipeline(
         .start()
     )
     q.awaitTermination(timeout_s)
+    return q
 
 
 def read_bars(spark: SparkSession, state_dir: str) -> DataFrame:

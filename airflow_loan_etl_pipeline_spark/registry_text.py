@@ -187,6 +187,48 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-text mega-group valve shared by the *_group_capped oracles:
+# docs whose text occurs more than PAIR_MAX_GROUP times are dropped
+# before candidate generation — the identical filter
+# dedup._exact_group_pairs applies engine-side (NULL text maps to the
+# same '_null_' sentinel group on both sides).
+_KEPT_DOCS_CTE = f"""
+    keepg AS (SELECT coalesce(md5(text), '_null_') AS _fp
+              FROM documents GROUP BY 1
+              HAVING count(*) <= {D.PAIR_MAX_GROUP}),
+    kept AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN keepg g ON coalesce(md5(d.text), '_null_') = g._fp)
+"""
+
+
+@query(
+    "minhash_lsh_pairs_group_capped",
+    oracle=f"""
+    WITH {_KEPT_DOCS_CTE},
+    tok AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM kept),
+    hashed AS (SELECT doc_id,
+        list_transform(shingles, s -> {_HASH32_DUCK.format(x='s')}) AS hh
+        FROM tok),
+    sig AS (SELECT doc_id, [{_SIG_ITEMS_DUCK}] AS sig FROM hashed),
+    bands AS ({_BANDS_DUCK})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    """,
+)
+def minhash_lsh_pairs_group_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs behind the exact-text MEGA-GROUP valve (round 10):
+    docs whose text occurs more than PAIR_MAX_GROUP times contribute
+    neither within-group pairs (group², the quadratic term the
+    dedup-first harness would otherwise emit output-sized) nor
+    candidates. dup_degree_histogram is the sizing preflight: its
+    group-size histogram shows exactly where the group² mass sits."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), max_group=D.PAIR_MAX_GROUP
+    )
+
+
 def _ngram_jaccard_oracle(thr: float = 0.2) -> str:
     """Base n-gram Jaccard pair oracle with the similarity threshold as
     a real parameter — downstream oracles (LSH recall/precision truth
@@ -246,6 +288,38 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     can only lower a pair's score."""
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), max_df=D.NGRAM_MAX_DF
+    )
+
+
+@query(
+    "ngram_jaccard_pairs_group_capped",
+    oracle=f"""
+    WITH {_KEPT_DOCS_CTE},
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM kept),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh,
+                  unnest(list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+           FROM sh),
+    inter AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+        FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+    FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_group_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard behind the exact-text MEGA-GROUP valve
+    (round 10): docs whose text occurs more than PAIR_MAX_GROUP times
+    are dropped before shingling, so a boilerplate text copied 10⁶
+    times contributes neither its 5·10¹¹ identical-pair rows nor its
+    inverted-index postings. Size the cap with dup_degree_histogram.
+    Scores over surviving docs are unchanged (exact definitional
+    Jaccard — the valve removes documents, not shingles)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), max_group=D.PAIR_MAX_GROUP
     )
 
 
@@ -648,26 +722,43 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
-def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
+def _kmeans_train_ctes(
+    n_iters: int = 3, k: int = 16, sample: int | None = None
+) -> str:
     """CTE chain for a fixed-iteration Lloyd replay, ending at
     cents{n_iters} — shared by the trainer oracle and the trained-IVF
     oracle so neither can drift from the operator chain. Mirrors the
     engine's EMPTY-CLUSTER CONTRACT (kmeans_train): a centroid with no
     members keeps its previous position (newc{i} LEFT JOIN onto the
-    previous round's centroid set) — k never shrinks."""
+    previous round's centroid set) — k never shrinks.
+
+    ``sample`` replays the round-10 scale-invariant trainer: Lloyd
+    rounds (and seeds) run over the content-addressed md5-rank sample
+    (similarity.content_sample), the corpus appears only in the final
+    full assignment."""
+    train_src = "base"
     ctes = [
         "base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
         " AS v FROM embeddings)",
-        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
-        f" AS cid, v AS cv FROM (SELECT vec_id, v FROM base"
-        f" ORDER BY vec_id LIMIT {k}))",
     ]
+    if sample is not None:
+        train_src = "train"
+        ctes.append(
+            f"train AS (SELECT vec_id, v FROM base"
+            f" ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC"
+            f" LIMIT {sample})"
+        )
+    ctes.append(
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS cid, v AS cv FROM (SELECT vec_id, v FROM {train_src}"
+        f" ORDER BY vec_id LIMIT {k}))"
+    )
     for i in range(1, n_iters + 1):
         prev = f"cents{i - 1}"
         ctes += [
             f"scored{i} AS (SELECT b.vec_id, b.v, c.cid, "
             + _COS_LR.format(l="b.v", r="c.cv")
-            + f" AS ccos FROM base b, {prev} c)",
+            + f" AS ccos FROM {train_src} b, {prev} c)",
             f"assigned{i} AS (SELECT vec_id, v, cid FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY vec_id"
             f" ORDER BY ccos DESC, cid ASC) AS rn FROM scored{i})"
@@ -685,15 +776,32 @@ def _kmeans_train_ctes(n_iters: int = 3, k: int = 16) -> str:
     return ",\n".join(ctes)
 
 
-def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
+def _kmeans_train_oracle(
+    n_iters: int = 3, k: int = 16, sample: int | None = None
+) -> str:
     """Fixed-iteration Lloyd replay: the oracle re-runs the exact
     per-round (assign → rounded mean) chain as nested CTEs, so the
     multi-iteration trainer cannot drift from the single-step operator
-    it iterates."""
+    it iterates. With ``sample``, n_members replays the trainer's one
+    full-corpus pass: assignment of EVERY vector against the final
+    trained centroids."""
     last = n_iters
+    if sample is None:
+        sizes_src = f"assigned{last}"
+        extra = ""
+    else:
+        sizes_src = "fassigned"
+        extra = f""",
+    fscored AS (SELECT b.vec_id, c.cid, {_COS_LR.format(l='b.v', r='c.cv')}
+                AS ccos FROM base b, cents{last} c),
+    fassigned AS (SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cid ASC) AS rn
+        FROM fscored) WHERE rn = 1)"""
     return (
         "WITH "
-        + _kmeans_train_ctes(n_iters, k)
+        + _kmeans_train_ctes(n_iters, k, sample)
+        + extra
         + f"""
     SELECT c.cid, CAST(coalesce(s.n_members, 0) AS BIGINT) AS n_members,
            CAST(c.pos - 1 AS BIGINT) AS dim,
@@ -701,7 +809,7 @@ def _kmeans_train_oracle(n_iters: int = 3, k: int = 16) -> str:
     FROM (SELECT cid, unnest(generate_series(1, len(cv))) AS pos,
                  unnest(cv) AS m
           FROM cents{last}) c
-    LEFT JOIN (SELECT cid, count(*) AS n_members FROM assigned{last}
+    LEFT JOIN (SELECT cid, count(*) AS n_members FROM {sizes_src}
                GROUP BY cid) s ON s.cid = c.cid
     """
     )
@@ -713,13 +821,14 @@ def _ivf_trained_oracle(
     nprobe: int = 4,
     query_id: int = 0,
     topk: int = 10,
+    sample: int | None = None,
 ) -> str:
     """Trained-IVF replay: the kmeans CTE chain's final centroids feed
     the same assignment/probe SQL as embeddings_ivf_topk."""
     last = n_iters
     return (
         "WITH "
-        + _kmeans_train_ctes(n_iters, k)
+        + _kmeans_train_ctes(n_iters, k, sample)
         + f""",
     tsc AS (
         SELECT vec_id, v, cid, ccos,
@@ -743,7 +852,9 @@ def _ivf_trained_oracle(
 
 @query(
     "embeddings_ivf_trained_topk",
-    oracle=_ivf_trained_oracle(n_iters=2, k=16, nprobe=4),
+    oracle=_ivf_trained_oracle(
+        n_iters=2, k=16, nprobe=4, sample=S.TRAIN_SAMPLE_SIZE
+    ),
 )
 def embeddings_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full train → index → query ANN path: two Lloyd iterations
@@ -751,25 +862,37 @@ def embeddings_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TRAINED centroids (ivf_topk's `centroids` parameter) instead
     of the lowest-id seeds — the production IVF lifecycle, still fully
     deterministic and replayed exactly by the oracle's CTE chain.
-    Scale shape unchanged: per-round broadcast assignment, zero corpus
-    shuffles, probe prunes to nprobe inverted lists."""
+    Round 10: training runs on the fixed-size content-addressed sample
+    (scale-invariant — FAISS-style train-on-sample); the corpus is
+    scanned once for assignment + probe. Scale shape otherwise
+    unchanged: broadcast assignment, zero corpus shuffles, probe
+    prunes to nprobe inverted lists."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.kmeans_train(emb, n_centroids=16, n_iters=2).select(
-        "cid", F.col("centroid").alias("cv")
-    )
+    cents = S.kmeans_train(
+        emb, n_centroids=16, n_iters=2,
+        train_sample_size=S.TRAIN_SAMPLE_SIZE,
+    ).select("cid", F.col("centroid").alias("cv"))
     return S.ivf_topk(emb, query_id=0, centroids=cents)
 
 
-@query("kmeans_train_k16", oracle=_kmeans_train_oracle(n_iters=3, k=16))
+@query(
+    "kmeans_train_k16",
+    oracle=_kmeans_train_oracle(n_iters=3, k=16, sample=S.TRAIN_SAMPLE_SIZE),
+)
 def kmeans_train_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three Lloyd iterations over the embedding corpus (k=16): the
-    multi-round trainer built on the kmeans_refine step — broadcast
-    assignment (zero corpus shuffles per round), per-round lineage
-    truncation via localCheckpoint, 6-dp edge rounding keeping the
-    fixed-iteration replay bit-identical across engines. Gate shape
-    exploded to (cid, n_members, dim, centroid_val) scalar rows."""
+    """Three Lloyd iterations at k=16: the multi-round trainer built on
+    the kmeans_refine step — broadcast assignment (zero corpus shuffles
+    per round), per-round lineage truncation via localCheckpoint, 6-dp
+    edge rounding keeping the fixed-iteration replay bit-identical
+    across engines. Round 10: Lloyd rounds run over the fixed-size
+    content-addressed sample (TRAIN_SAMPLE_SIZE — training cost is now
+    scale-invariant; the former slowest headline grew with the corpus)
+    and n_members comes from the one full-corpus assignment against the
+    trained centroids. Gate shape exploded to
+    (cid, n_members, dim, centroid_val) scalar rows."""
     out = S.kmeans_train(
-        load_table(spark, sf_dir, "embeddings"), n_centroids=16, n_iters=3
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16, n_iters=3,
+        train_sample_size=S.TRAIN_SAMPLE_SIZE,
     )
     return out.select(
         "cid",

@@ -188,10 +188,23 @@ def apply_object_store_conf(spark, conf: dict[str, str]) -> None:
     used yet — Hadoop caches FileSystem instances per scheme on first
     use). Non-``spark.hadoop.`` keys (committer algorithm) go to the
     SQL/runtime conf.
+
+    Spark Connect (round 10): there is no py4j gateway to write the
+    Hadoop conf through — fall back to setting the prefixed keys on
+    the runtime SQL conf. That is functional for the SQL read/write
+    path: ``SessionState.newHadoopConf()`` folds runtime
+    ``spark.hadoop.*`` entries into every per-query Hadoop
+    configuration, which is how file sources/sinks resolve
+    filesystems. Only code that grabs a FileSystem directly via the
+    JVM (none of the engine's Connect-reachable paths) would miss the
+    keys.
     """
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:  # Spark Connect / vendor runtimes: no py4j gateway
+        hconf = None
     for k, v in conf.items():
-        if k.startswith("spark.hadoop."):
+        if k.startswith("spark.hadoop.") and hconf is not None:
             hconf.set(k[len("spark.hadoop."):], v)
         else:
             spark.conf.set(k, v)

