@@ -75,6 +75,13 @@ def test_s3a_parquet_roundtrip_via_minio(spark):
             "(sandbox has no MinIO binary and no network)"
         )
     if not _s3a_jar_present():
+        # HARD BLOCKER, re-verified round 10: pyspark's bundled jars
+        # ship no hadoop-aws/aws-sdk-bundle, a filesystem-wide `find`
+        # locates no copy anywhere in the image, and the sandbox has
+        # no DNS/egress (curl to repo1.maven.org fails name
+        # resolution) — the jar cannot be cached offline. The raw-S3
+        # write path is covered JVM-free by test_object_store_moto;
+        # only this s3a-connector leg is environment-bound.
         pytest.skip("hadoop-aws jar not on the Spark classpath")
     if not _endpoint_alive(ENDPOINT):
         pytest.skip(f"MinIO endpoint {ENDPOINT} not reachable")
