@@ -68,7 +68,16 @@ def pagerank(
             )
             .transform(pin)
         )
-    return ranks.select(F.col("v").alias(id_col), F.round("r", 6).alias("rank"))
+    return ranks.select(
+        F.col("v").alias(id_col),
+        # guard-digit rounding (ADVICE r9): round at 9 dp first, then
+        # 6 — engine and oracle sums differ in the last ulp, and a
+        # single 6-dp round flips whenever that ulp straddles a 6-dp
+        # boundary; the 9-dp pre-round collapses both sides to the
+        # same double except in the ~1000x rarer case where a 9-dp
+        # boundary is itself a 6-dp midpoint. Oracle mirrors.
+        F.round(F.round("r", 9), 6).alias("rank"),
+    )
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:
@@ -229,7 +238,8 @@ def blowup_pagerank(
             .transform(pin)
         )
     return member_map.join(ranks, group_col).select(
-        F.col(id_col), F.round("_r", 6).alias("rank")
+        # guard-digit rounding, mirrored by the oracle (see pagerank)
+        F.col(id_col), F.round(F.round("_r", 9), 6).alias("rank")
     )
 
 

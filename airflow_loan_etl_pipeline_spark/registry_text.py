@@ -1630,7 +1630,8 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + f"\n    SELECT v AS doc_id, round(r, 6) AS rank FROM r{iters}"
+        + f"\n    SELECT v AS doc_id, round(round(r, 9), 6) AS rank"
+        + f" FROM r{iters}"
     )
 
 

@@ -415,16 +415,34 @@ def test_prefix_filter_verification_not_inverted_index(spark, sf_dir):
     )
     assert "array_intersect" in plan
     mats = cache_scope.recent_materialization_plans()
-    # r9: two materializations — the exact-dedup member map (md5
-    # fingerprint -> doc id, from _exact_group_pairs) plus the per-doc
-    # (set, prefix) frame the PPJoin core builds over representatives.
-    assert len(mats) == 2
+    # r10: on the all-distinct fixture the adaptive probe BYPASSES the
+    # exact-dedup harness, so only the per-doc (set, prefix) frame the
+    # PPJoin core builds is materialized. The harness route (dup-heavy
+    # input) is pinned separately below.
+    assert len(mats) == 1
     assert any("collect_list" in m for m in mats)
-    assert any("md5" in m for m in mats)
     # prefix + verification set come from ONE doc-keyed aggregate —
     # no per-doc window sort anywhere, in any plan
     assert "Window" not in plan
     assert all("Window" not in m for m in mats)
+
+    # harness route: a copy-heavy frame (ratio far below the bypass
+    # cutoff) must add the exact-dedup member-map materialization (md5
+    # fingerprint -> doc id) in front of the PPJoin core.
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+
+    heavy = (
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+            + [(100 + i, f"zeta eta theta iota tok{i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+    )
+    cache_scope.clear_materialization_plans()
+    _plan(D.prefix_filter_jaccard_pairs(heavy))
+    mats2 = cache_scope.recent_materialization_plans()
+    assert len(mats2) == 2
+    assert any("md5" in m for m in mats2)
 
 
 def test_feature_matrix_is_single_scan_no_shuffle(spark, sf_dir):
