@@ -241,6 +241,39 @@ def _with_best_centroid(base: DataFrame, cents: DataFrame) -> tuple[DataFrame, s
     return with_best, scores
 
 
+def _with_best_centroid_literal(
+    base: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """Map-side argmax against DRIVER-HELD centroids: the centroid
+    array rides into the plan as a CONSTANT literal (k x dims doubles
+    — a few KB), so assignment is a pure codegen projection with no
+    broadcast build, no extra plan branch, no per-iteration
+    checkpoint. Same scores expression (cosine DESC, cid ASC
+    tie-break) as :func:`_broadcast_centroid_scores`, so the
+    assignment rule cannot drift between the DataFrame-centroid and
+    literal-centroid paths. This is the Lloyd-loop shape Spark's own
+    MLlib KMeans uses (centers collected to the driver each round) —
+    correct at any corpus scale because centroids are k x d, not
+    data-sized. Literal doubles round-trip py4j bit-exactly."""
+    lit_arr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("long").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+        )
+        for cid, vec in sorted(cents.items())
+    ])
+    scores = (
+        "transform(cents, c -> named_struct("
+        f"'ccos', {cosine_expr('v', 'c.cv')}, "
+        "'negcid', -c.cid, 'cid', c.cid))"
+    )
+    return (
+        base.withColumn("cents", lit_arr)
+        .withColumn("best", F.expr(f"array_max({scores})"))
+        .drop("cents")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -408,15 +441,15 @@ def kmeans_train(
     ``n_members = 0`` and their carried-over centroid, so a trained
     index always has exactly ``n_centroids`` inverted lists.
 
-    Scale shape: the corpus is re-scanned once per iteration and NEVER
-    shuffled — assignment is a broadcast argmax, the mean is a hash
-    aggregate emitting centroids×dims rows; the keep-previous fallback
-    is a k-row left join on the tiny centroid frame. That frame is
-    lineage-pinned every round (cache_scope.pin: localCheckpoint
-    locally, reliable ``checkpoint()`` when the session has a
-    checkpoint dir — the cluster knob). Means round to 6 dp per
-    round — the same edge-rounding as kmeans_refine, which also keeps
-    the fixed-iteration replay bit-identical across engines.
+    Scale shape: the training frame is re-scanned once per iteration
+    and NEVER shuffled wider than the centroids×dims mean aggregate —
+    assignment is a map-side argmax against a LITERAL centroid array
+    (centroids live on the driver between rounds, the MLlib KMeans
+    shape: k×dims doubles, collected each round, so there is no
+    per-round centroid-frame checkpoint or keep-previous join in the
+    plan at all; round 10). Means round to 6 dp per round — the same
+    edge-rounding as kmeans_refine, which also keeps the
+    fixed-iteration replay bit-identical across engines.
 
     ``train_sample_size`` (round 10) bounds training cost to a
     SCALE-INVARIANT constant: Lloyd rounds run over a deterministic
@@ -436,47 +469,70 @@ def kmeans_train(
         )
     else:
         train = base
-    cents = seed_centroids(train, n_centroids, id_col).transform(
-        lambda d: pin(d, eager=False)
-    )
     if n_iters < 1:
         raise ValueError("kmeans_train needs n_iters >= 1")
-    assigned = None
+    # Centroids live on the DRIVER between rounds (round 10, the MLlib
+    # KMeans shape): they are k x dims doubles, so collecting them is
+    # free, every Lloyd round becomes ONE job (assignment + per-dim
+    # mean collect) against a literal centroid array, and the
+    # per-round centroid-frame localCheckpoint + keep-previous join of
+    # the DataFrame formulation disappears. Values are bit-identical:
+    # same scores expression, same grouped rounded means, and literal
+    # doubles round-trip py4j exactly.
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in seed_centroids(train, n_centroids, id_col).collect()
+    }
+    prev_cents = cents
     for _ in range(n_iters):
-        with_best, _ = _with_best_centroid(train, cents)
-        assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
-        new_cents = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        prev_cents = cents
+        wb = _with_best_centroid_literal(train, cents)
+        rows = (
+            wb.select(
+                F.col("best.cid").alias("cid"),
+                F.posexplode("v").alias("pos", "x"),
+            )
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))),"
-                    " s -> s.m)"
-                ).alias("_new")
-            )
+            .collect()
         )
-        cents = (
-            cents.join(new_cents, "cid", "left")
-            .select("cid", F.coalesce("_new", "cv").alias("cv"))
-            .transform(pin)
-        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["m"]
+        # EMPTY-CLUSTER CONTRACT: a cid that captured no members keeps
+        # its previous position — k never shrinks.
+        cents = {
+            cid: ([by_cid[cid][p] for p in range(len(vec))]
+                  if cid in by_cid else vec)
+            for cid, vec in cents.items()
+        }
     if train_sample_size is not None:
         # the one full-corpus pass: map-side assignment against the
         # FINAL trained centroids (what an index build does after
         # training) — n_members counts the whole corpus, not the sample
-        with_best, _ = _with_best_centroid(base, cents)
-        assigned = with_best.select(id_col, F.col("best.cid").alias("cid"))
-    sizes = assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_members")
+        size_frame, size_cents = base, cents
+    else:
+        # unchanged contract: n_members reflects the assignment under
+        # the PENULTIMATE centroids (the assignment that produced the
+        # final means), exactly as the DataFrame formulation reported
+        size_frame, size_cents = train, prev_cents
+    sizes = (
+        _with_best_centroid_literal(size_frame, size_cents)
+        .select(F.col("best.cid").alias("cid"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
     )
-    return cents.join(sizes, "cid", "left").select(
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        "cid long, centroid array<double>",
+    )
+    return cents_df.join(F.broadcast(sizes), "cid", "left").select(
         "cid",
         F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
             "n_members"
         ),
-        F.col("cv").alias("centroid"),
+        "centroid",
     )
 
 

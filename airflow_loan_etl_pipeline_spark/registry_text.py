@@ -881,14 +881,15 @@ def embeddings_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_train_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd iterations at k=16: the multi-round trainer built on
-    the kmeans_refine step — broadcast assignment (zero corpus shuffles
-    per round), per-round lineage truncation via localCheckpoint, 6-dp
-    edge rounding keeping the fixed-iteration replay bit-identical
-    across engines. Round 10: Lloyd rounds run over the fixed-size
-    content-addressed sample (TRAIN_SAMPLE_SIZE — training cost is now
-    scale-invariant; the former slowest headline grew with the corpus)
-    and n_members comes from the one full-corpus assignment against the
-    trained centroids. Gate shape exploded to
+    the kmeans_refine step — map-side assignment against driver-held
+    literal centroids (zero corpus shuffles per round, no per-round
+    checkpoint; the MLlib KMeans loop shape), 6-dp edge rounding
+    keeping the fixed-iteration replay bit-identical across engines.
+    Round 10: Lloyd rounds run over the fixed-size content-addressed
+    sample (TRAIN_SAMPLE_SIZE — training cost is now scale-invariant;
+    the former slowest headline grew with the corpus) and n_members
+    comes from the one full-corpus assignment against the trained
+    centroids. Gate shape exploded to
     (cid, n_members, dim, centroid_val) scalar rows."""
     out = S.kmeans_train(
         load_table(spark, sf_dir, "embeddings"), n_centroids=16, n_iters=3,
