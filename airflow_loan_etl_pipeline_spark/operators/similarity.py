@@ -255,10 +255,22 @@ def _with_best_centroid_literal(
     MLlib KMeans uses (centers collected to the driver each round) —
     correct at any corpus scale because centroids are k x d, not
     data-sized. Literal doubles round-trip py4j bit-exactly."""
+    def _cv_lit(vec):
+        # NULL-payload tolerance (PERMISSIVE ingest): a NULL seed vector
+        # or NULL element stays NULL in the literal, exactly as it sat
+        # in the DataFrame formulation — its cosine is NULL and it never
+        # wins the argmax.
+        if vec is None:
+            return F.lit(None).cast("array<double>")
+        return F.array(*[
+            F.lit(None).cast("double") if x is None else F.lit(float(x))
+            for x in vec
+        ])
+
     lit_arr = F.array(*[
         F.struct(
             F.lit(int(cid)).cast("long").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            _cv_lit(vec).alias("cv"),
         )
         for cid, vec in sorted(cents.items())
     ])
@@ -480,9 +492,16 @@ def kmeans_train(
     # same scores expression, same grouped rounded means, and literal
     # doubles round-trip py4j exactly.
     cents = {
-        int(r["cid"]): [float(x) for x in r["cv"]]
+        int(r["cid"]): (None if r["cv"] is None else list(r["cv"]))
         for r in seed_centroids(train, n_centroids, id_col).collect()
     }
+    spark = df.sparkSession
+    if not cents:
+        # empty input seeds nothing — same empty (cid, n_members,
+        # centroid) frame the DataFrame formulation produced
+        return spark.createDataFrame(
+            [], "cid long, n_members long, centroid array<double>"
+        )
     prev_cents = cents
     for _ in range(n_iters):
         prev_cents = cents
@@ -500,9 +519,12 @@ def kmeans_train(
         for r in rows:
             by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["m"]
         # EMPTY-CLUSTER CONTRACT: a cid that captured no members keeps
-        # its previous position — k never shrinks.
+        # its previous position — k never shrinks. Dims come from the
+        # observed positions (posexplode emits every index a member
+        # vector carries), matching the DataFrame formulation's
+        # array_sort(collect_list(struct(pos, m))) rebuild.
         cents = {
-            cid: ([by_cid[cid][p] for p in range(len(vec))]
+            cid: ([by_cid[cid][p] for p in sorted(by_cid[cid])]
                   if cid in by_cid else vec)
             for cid, vec in cents.items()
         }
@@ -522,7 +544,6 @@ def kmeans_train(
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
-    spark = df.sparkSession
     cents_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in sorted(cents.items())],
         "cid long, centroid array<double>",
