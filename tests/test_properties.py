@@ -1532,3 +1532,146 @@ def test_q21_top2_rewrite_matches_exists_semantics(spark, rows, statuses):
         for r in spark.sql(_Q21_SPARK).collect()
     ]
     assert got == [(n, c) for n, c in expected]
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5).map(float),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=14,
+    ),
+    sample=st.sampled_from([None, 4, 8]),
+)
+def test_kmeans_train_matches_pure_python_lloyd(spark, vecs, sample):
+    """The driver-side Lloyd loop (round 10) must equal a sequential
+    pure-python replay of the SAME recurrence for ANY vector multiset:
+    seeds = k lowest-id vectors (of the md5-rank sample when sampling),
+    assignment = argmax cosine with cid-ascending tie-break (zero-norm
+    vectors have NULL cosine and never beat a real score), means
+    rounded to 6 dp, empty clusters keep their previous centroid,
+    n_members from the final full assignment (sampled) or the
+    penultimate-centroid assignment (unsampled) — pinning the
+    operator's semantics independently of BOTH Spark plan shape and
+    the DuckDB oracle."""
+    import hashlib
+    import math
+
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    k, iters = 3, 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cid"]: (r["n_members"], list(r["centroid"]))
+        for r in S.kmeans_train(
+            df, n_centroids=k, n_iters=iters, train_sample_size=sample
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return None if na == 0 else dot / na
+
+    def assign(data, cents):
+        out = {}
+        for i, v in data:
+            best = None  # (ccos, -cid) lexicographic max, None ccos loses
+            for cid in sorted(cents):
+                c = cents[cid]
+                s = None if c is None else cos(v, c)
+                key = ((s is not None, s if s is not None else 0.0), -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid)
+            out[i] = best[1]
+        return out
+
+    if sample is not None:
+        train = sorted(
+            rows,
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )[:sample]
+    else:
+        train = rows
+    cents = {
+        cid: v
+        for cid, (_i, v) in enumerate(sorted(train)[:k])
+    }
+    prev = cents
+    for _ in range(iters):
+        prev = cents
+        a = assign(train, cents)
+        new = {}
+        for cid in cents:
+            members = [v for i, v in train if a[i] == cid]
+            if members:
+                new[cid] = [
+                    round(sum(m[d] for m in members) / len(members), 6)
+                    for d in range(3)
+                ]
+            else:
+                new[cid] = cents[cid]
+        cents = new
+    if sample is not None:
+        final_assign = assign(rows, cents)
+    else:
+        final_assign = assign(rows, prev)
+    expect = {
+        cid: (
+            sum(1 for i in final_assign.values() if i == cid),
+            cents[cid],
+        )
+        for cid in cents
+    }
+    assert set(got) == set(expect)
+    for cid in expect:
+        assert got[cid][0] == expect[cid][0], (cid, got, expect)
+        for gx, ex in zip(got[cid][1], expect[cid][1]):
+            assert abs(gx - ex) < 1e-9, (cid, got, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.sampled_from([
+            "alpha beta gamma delta",
+            "alpha beta gamma epsilon",
+            "zeta eta theta iota kappa",
+            "mu nu xi omicron pi rho",
+        ]),
+        min_size=2, max_size=24,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_max_group_valve_equals_filtered_bruteforce(spark, texts, cap):
+    """Mega-group valve semantics for ANY corpus and cap: the
+    group-capped generator equals the uncapped generator run over the
+    corpus with every text occurring more than ``cap`` times removed."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts: dict[str, int] = {}
+    for _i, t in rows:
+        counts[t] = counts.get(t, 0) + 1
+    kept = [(i, t) for i, t in rows if counts[t] <= cap]
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_group=cap
+        ).collect()
+    }
+    if kept:
+        kept_df = spark.createDataFrame(kept, "doc_id long, text string")
+        expect = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                kept_df, n=2, threshold=0.0
+            ).collect()
+        }
+    else:
+        expect = set()
+    assert got == expect
