@@ -241,25 +241,20 @@ def _with_best_centroid(base: DataFrame, cents: DataFrame) -> tuple[DataFrame, s
     return with_best, scores
 
 
-def _with_best_centroid_literal(
-    base: DataFrame, cents: dict[int, list[float]]
-) -> DataFrame:
-    """Map-side argmax against DRIVER-HELD centroids: the centroid
-    array rides into the plan as a CONSTANT literal (k x dims doubles
-    — a few KB), so assignment is a pure codegen projection with no
-    broadcast build, no extra plan branch, no per-iteration
-    checkpoint. Same scores expression (cosine DESC, cid ASC
-    tie-break) as :func:`_broadcast_centroid_scores`, so the
-    assignment rule cannot drift between the DataFrame-centroid and
-    literal-centroid paths. This is the Lloyd-loop shape Spark's own
-    MLlib KMeans uses (centers collected to the driver each round) —
-    correct at any corpus scale because centroids are k x d, not
-    data-sized. Literal doubles round-trip py4j bit-exactly."""
+def _literal_centroid_scores(
+    cents: dict[int, list[float] | None],
+) -> tuple["F.Column", str]:
+    """(literal centroid-array column, scores expression) for
+    DRIVER-HELD centroids: the centroid array rides into the plan as a
+    CONSTANT literal (k x dims doubles — a few KB), so assignment is a
+    pure codegen projection with no broadcast build and no extra plan
+    branch. Same scores expression (cosine DESC, cid ASC tie-break) as
+    :func:`_broadcast_centroid_scores`, so the assignment rule cannot
+    drift between the DataFrame-centroid and literal-centroid paths.
+    Literal doubles round-trip py4j bit-exactly; NULL vectors/elements
+    (PERMISSIVE ingest) stay NULL — their cosine is NULL and they never
+    win the argmax, exactly as in the DataFrame formulation."""
     def _cv_lit(vec):
-        # NULL-payload tolerance (PERMISSIVE ingest): a NULL seed vector
-        # or NULL element stays NULL in the literal, exactly as it sat
-        # in the DataFrame formulation — its cosine is NULL and it never
-        # wins the argmax.
         if vec is None:
             return F.lit(None).cast("array<double>")
         return F.array(*[
@@ -279,6 +274,17 @@ def _with_best_centroid_literal(
         f"'ccos', {cosine_expr('v', 'c.cv')}, "
         "'negcid', -c.cid, 'cid', c.cid))"
     )
+    return lit_arr, scores
+
+
+def _with_best_centroid_literal(
+    base: DataFrame, cents: dict[int, list[float] | None]
+) -> DataFrame:
+    """``base`` + a ``best`` column, assigned map-side against
+    driver-held literal centroids (:func:`_literal_centroid_scores`)
+    — the MLlib KMeans loop shape, correct at any corpus scale because
+    centroids are k x d, never data-sized."""
+    lit_arr, scores = _literal_centroid_scores(cents)
     return (
         base.withColumn("cents", lit_arr)
         .withColumn("best", F.expr(f"array_max({scores})"))
@@ -294,7 +300,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | dict | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize to the nearest centroid,
     probe only the query's ``nprobe`` nearest inverted lists.
@@ -319,15 +325,32 @@ def ivf_topk(
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
     if centroids is not None:
-        # externally trained index — accepts either (cid, cv) or
-        # kmeans_train's (cid, n_members, centroid) directly, so
+        # externally trained index — accepts a {cid: vector} dict
+        # (kmeans_train's internal form) or a DataFrame with (cid, cv)
+        # or kmeans_train's (cid, n_members, centroid), so
         # ivf_topk(centroids=kmeans_train(...)) composes without a
-        # rename shim (VERDICT r4 item 3b)
-        cvec = "cv" if "cv" in centroids.columns else "centroid"
-        cents = centroids.select("cid", F.col(cvec).alias("cv"))
+        # rename shim (VERDICT r4 item 3b). A DataFrame is COLLECTED
+        # (k rows by contract) and assigned as driver-held literals:
+        # broadcasting the trained-centroid frame executed its whole
+        # subtree — including corpus-sized aggregates like
+        # kmeans_train's n_members — through the slow driver
+        # broadcast-build path (the documented F.broadcast(one_row_df)
+        # trap), for columns the probe never reads.
+        if isinstance(centroids, dict):
+            cdict = centroids
+        else:
+            cvec = "cv" if "cv" in centroids.columns else "centroid"
+            cdict = {
+                int(r[0]): (None if r[1] is None else list(r[1]))
+                for r in centroids.select("cid", F.col(cvec)).collect()
+            }
+        lit_arr, scores = _literal_centroid_scores(cdict)
+        with_best = base.withColumn("cents", lit_arr).withColumn(
+            "best", F.expr(f"array_max({scores})")
+        )
     else:
         cents = seed_centroids(base, n_centroids, id_col)
-    with_best, scores = _with_best_centroid(base, cents)
+        with_best, scores = _with_best_centroid(base, cents)
     assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
     # The probe list is computed from the query's single row: explode its
     # per-centroid scores and TakeOrdered nprobe of them (tiny).
@@ -438,6 +461,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample_size: int | None = None,
+    include_sizes: bool = True,
 ) -> DataFrame:
     """Multi-iteration Lloyd k-means on top of the kmeans_refine step:
     seed with the ``n_centroids`` lowest-id vectors, then repeat
@@ -500,7 +524,9 @@ def kmeans_train(
         # empty input seeds nothing — same empty (cid, n_members,
         # centroid) frame the DataFrame formulation produced
         return spark.createDataFrame(
-            [], "cid long, n_members long, centroid array<double>"
+            [],
+            "cid long, centroid array<double>" if not include_sizes
+            else "cid long, n_members long, centroid array<double>",
         )
     prev_cents = cents
     for _ in range(n_iters):
@@ -528,6 +554,14 @@ def kmeans_train(
                   if cid in by_cid else vec)
             for cid, vec in cents.items()
         }
+    if not include_sizes:
+        # centroids-only consumers (a trained index handed to
+        # ivf_topk) skip the n_members corpus pass entirely — the
+        # trained codebook is already on the driver
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            "cid long, centroid array<double>",
+        )
     if train_sample_size is not None:
         # the one full-corpus pass: map-side assignment against the
         # FINAL trained centroids (what an index build does after

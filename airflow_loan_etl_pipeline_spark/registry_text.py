@@ -871,7 +871,8 @@ def embeddings_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_train(
         emb, n_centroids=16, n_iters=2,
         train_sample_size=S.TRAIN_SAMPLE_SIZE,
-    ).select("cid", F.col("centroid").alias("cv"))
+        include_sizes=False,  # the probe never reads n_members
+    )
     return S.ivf_topk(emb, query_id=0, centroids=cents)
 
 
