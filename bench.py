@@ -297,6 +297,8 @@ def main() -> None:
     for name in (
         "ngram_jaccard_pairs_capped",
         "minhash_lsh_pairs_capped",
+        "ngram_jaccard_pairs_group_capped",
+        "minhash_lsh_pairs_group_capped",
         "simhash_pairs_capped",
         "docs_tfidf_top_terms",
         "kmeans_refine_step",
