@@ -258,6 +258,7 @@ def _exact_group_pairs(
     text_col: str,
     same_cols: dict | None,
     max_group: int | None = None,
+    bypass: bool | str = "auto",
 ) -> DataFrame:
     """Exact-dedup-first harness for LOSSLESS pair generators (round 9).
 
@@ -307,8 +308,19 @@ def _exact_group_pairs(
     ``dup_degree_histogram`` — its group-size histogram is exactly the
     preflight that shows where the group² mass sits. The valve forces
     the harness (no bypass): its semantics are defined over the group
-    structure."""
-    if max_group is None:
+    structure.
+
+    ``bypass`` makes the route an explicit tri-state (round 11, per
+    advice): ``"auto"`` runs the one-aggregate probe above — note the
+    probe is EAGER (a Spark job at plan-construction time), which is
+    right for the registry entries that always execute the result but
+    wrong for explain-only or composed pipelines; those pass ``True``
+    (straight to ``pair_fn``, no probe, no harness) or ``False``
+    (harness, no probe). All three routes are exact — the parameter
+    only picks the physical plan."""
+    if bypass is True and max_group is None:
+        return pair_fn(df)
+    if bypass == "auto" and max_group is None:
         fp = F.coalesce(F.md5(F.col(text_col)), F.lit("_null_"))
         n_docs, n_texts = df.select(
             F.count(F.lit(1)).alias("_n"),
@@ -357,6 +369,10 @@ def _exact_group_pairs(
             ),
             "_fpb",
         )
+        # NULL doc ids never survive the direct path (pair_fn's
+        # doc_a < doc_b is NULL-rejecting) — drop them here too so the
+        # expansion route stays equivalent under PERMISSIVE ingest.
+        .filter(F.col("_da").isNotNull() & F.col("_db").isNotNull())
         .select(
             F.least("_da", "_db").alias("doc_a"),
             F.greatest("_da", "_db").alias("doc_b"),
@@ -388,6 +404,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
     sigs: DataFrame | None = None,
     max_group: int | None = None,
+    bypass: bool | str = "auto",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     band of their MinHash signature. Output: (doc_a, doc_b), doc_a<doc_b.
@@ -436,6 +453,7 @@ def minhash_lsh_pairs(
             text_col,
             same_cols={},
             max_group=max_group,
+            bypass=bypass,
         )
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, n)
@@ -477,6 +495,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_df: int | None = None,
     max_group: int | None = None,
+    bypass: bool | str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -513,6 +532,7 @@ def ngram_jaccard_pairs(
                 {"jaccard": F.lit(1.0)} if threshold <= 1.0 else None
             ),
             max_group=max_group,
+            bypass=bypass,
         )
     return _ngram_jaccard_core(df, id_col, text_col, n, threshold, max_df)
 
@@ -586,6 +606,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    bypass: bool | str = "auto",
 ) -> DataFrame:
     """Asymmetric near-dup detection: n-gram CONTAINMENT of the smaller
     shingle set in the larger — ``inter / least(na, nb)``.
@@ -621,6 +642,7 @@ def ngram_containment_pairs(
             same_cols=(
                 {"containment": F.lit(1.0)} if threshold <= 1.0 else None
             ),
+            bypass=bypass,
         )
     return _ngram_containment_core(df, id_col, text_col, n, threshold, max_df)
 
@@ -1413,6 +1435,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    bypass: bool | str = "auto",
 ) -> DataFrame:
     """Exact threshold-Jaccard pairs via PREFIX FILTERING (AllPairs /
     PPJoin family, Bayardo et al. 2007; Xiao et al. 2008) — the
@@ -1455,6 +1478,7 @@ def prefix_filter_jaccard_pairs(
         id_col,
         text_col,
         same_cols=same_cols,
+        bypass=bypass,
     )
 
 

@@ -572,22 +572,25 @@ def kmeans_train(
         # the PENULTIMATE centroids (the assignment that produced the
         # final means), exactly as the DataFrame formulation reported
         size_frame, size_cents = train, prev_cents
-    sizes = (
+    # Collect the ≤k (cid, n_members) rows and assemble the result as a
+    # LOCAL relation. Broadcasting `sizes` instead would build the
+    # broadcast relation from its full-corpus assignment subtree through
+    # the driver broadcast path — the same trap the ivf_topk probe fix
+    # avoids (see _with_best_centroid_literal). This way the corpus pass
+    # runs once as a normal job and only k counter rows cross the wire.
+    size_rows = dict(
         _with_best_centroid_literal(size_frame, size_cents)
         .select(F.col("best.cid").alias("cid"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .collect()
     )
-    cents_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(cents.items())],
-        "cid long, centroid array<double>",
-    )
-    return cents_df.join(F.broadcast(sizes), "cid", "left").select(
-        "cid",
-        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
-            "n_members"
-        ),
-        "centroid",
+    return spark.createDataFrame(
+        [
+            (cid, int(size_rows.get(cid, 0)), vec)
+            for cid, vec in sorted(cents.items())
+        ],
+        "cid long, n_members long, centroid array<double>",
     )
 
 

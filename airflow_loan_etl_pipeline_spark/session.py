@@ -20,9 +20,12 @@ shared, config-pinned session:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
 
 # Upper bound for shuffle parallelism; AQE coalesces downward at runtime.
 # Local default: ~cores. On a real cluster this should be set to
@@ -207,4 +210,10 @@ def apply_object_store_conf(spark, conf: dict[str, str]) -> None:
         if k.startswith("spark.hadoop.") and hconf is not None:
             hconf.set(k[len("spark.hadoop."):], v)
         else:
-            spark.conf.set(k, v)
+            # A real Connect server may reject static/hadoop-prefixed
+            # keys (CANNOT_MODIFY_CONFIG) — apply the rest anyway so one
+            # rejected key doesn't abort the whole object-store conf.
+            try:
+                spark.conf.set(k, v)
+            except Exception as exc:
+                logger.warning("conf.set(%s) rejected: %s", k, exc)

@@ -80,6 +80,45 @@ PROMOTED_R9 = [
 HEADLINE = HEADLINE + PROMOTED_R9
 
 
+def noise_probe_block(spark, sf_dir: str, reps: int = 5) -> dict:
+    """Host-drift accounting embedded in the driver bench artifact
+    (VERDICT r10 item 2): re-time the pinned pure-scan probe query
+    (same query/protocol as tools/record_solo_bench.py) and report its
+    median next to the archived solo probe value, so a reader of
+    BENCH_r{N}.json can tell a loaded-host inflation from a real
+    regression without digging through ROUNDLOG. Unlike the solo
+    recorder this never refuses — the driver run happens regardless —
+    it just stamps the drift factor into the artifact."""
+    import statistics
+
+    from airflow_loan_etl_pipeline_spark import registry as _reg
+
+    fn = _reg.QUERIES["nation_revenue"]
+    fn(spark, sf_dir).count()  # JIT/codegen warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times.append(time.perf_counter() - t0)
+    block = {
+        "q": "nation_revenue",
+        "reps": reps,
+        "median_s": round(statistics.median(times), 3),
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SOLO.json")
+        ) as fh:
+            ref = (json.load(fh).get("noise_probe") or {}).get("median_s")
+        if ref:
+            block["solo_ref_s"] = ref
+            block["drift_x"] = round(block["median_s"] / ref, 2)
+    except Exception:
+        pass
+    return block
+
+
 def streaming_e2e(spark, sf_dir: str) -> dict:
     """End-to-end Structured Streaming latency (VERDICT r1 item 9):
     land events as CSV files → AvailableNow file source with a
@@ -184,6 +223,10 @@ def streaming_capstones(spark, sf_dir: str) -> dict:
 
     dirs = [tempfile.mkdtemp(prefix=f"bench_cap_{i}_") for i in range(5)]
     tel_land, tel_state, tel_ckpt, adm_land, adm_state = dirs
+    # recentProgress is a bounded ring (default ~100 entries); a drain
+    # with more micro-batches would silently truncate the latency
+    # distribution the p50/max below are computed from (ADVICE r10).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
@@ -239,6 +282,9 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
+
+    probe = noise_probe_block(spark, sf_dir)
+    print(f"# noise_probe: {probe}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -516,6 +562,10 @@ def main() -> None:
             "e2e": stream_metrics,
             **capstones,
         },
+        # round 11: in-artifact drift accounting — the probe median and
+        # its factor vs the archived solo probe (BENCH_SOLO.json), so a
+        # BENCH_r{N} reader sees host drift without external context.
+        "noise_probe": probe,
     }
     # Like-for-like anchor (VERDICT r7 item 1): if the builder recorded
     # a SOLO run of this same code (tools/record_solo_bench.py →
