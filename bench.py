@@ -345,6 +345,8 @@ def main() -> None:
         "minhash_lsh_pairs_capped",
         "ngram_jaccard_pairs_group_capped",
         "minhash_lsh_pairs_group_capped",
+        "ngram_jaccard_pairs_group_auto",
+        "minhash_lsh_pairs_group_auto",
         "simhash_pairs_capped",
         "docs_tfidf_top_terms",
         "kmeans_refine_step",

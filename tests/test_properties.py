@@ -1675,3 +1675,57 @@ def test_max_group_valve_equals_filtered_bruteforce(spark, texts, cap):
     else:
         expect = set()
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    mults=st.lists(st.integers(min_value=1, max_value=6), min_size=1,
+                   max_size=6),
+    ppd=st.sampled_from([0.0, 0.5, 1.0, 3.0]),
+)
+def test_auto_max_group_equals_hand_cap_at_derived_cap(spark, mults, ppd):
+    """The auto-sized valve (round 11) is pure policy sugar: for ANY
+    corpus and pair-mass budget, max_group="auto" equals the hand-capped
+    generator at the cap auto_max_group derives — and that cap satisfies
+    the policy (cumulative within-group pair mass of admitted sizes
+    within pairs_per_doc x N; the next size, if any, exceeds it)."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+
+    # distinct base texts, each duplicated mults[k] times
+    rows = []
+    for k, m in enumerate(mults):
+        text = f"alpha bravo text{k} charlie delta echo{k}"
+        for c in range(m):
+            rows.append((k * 10 + c, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = D.auto_max_group(df, pairs_per_doc=ppd)
+
+    # policy invariants, recomputed in pure python
+    n = len(rows)
+    hist: dict[int, int] = {}
+    for m in mults:
+        hist[m] = hist.get(m, 0) + 1
+    cum, expect_cap = 0, 1
+    for g in sorted(hist):
+        cum += hist[g] * g * (g - 1) // 2
+        if cum > ppd * n:
+            break
+        expect_cap = g
+    assert cap == expect_cap
+
+    auto = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_group="auto"
+        ).collect()
+    }
+    # operator default budget is PAIR_MASS_PER_DOC; recompute the cap
+    # it derives and compare against the hand-capped run at that cap
+    default_cap = D.auto_max_group(df)
+    hand = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            df, n=2, threshold=0.0, max_group=default_cap
+        ).collect()
+    }
+    assert auto == hand
