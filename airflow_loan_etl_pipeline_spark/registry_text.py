@@ -1177,6 +1177,130 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions
 
 
+def admission_state_dir(sf_dir: str) -> str:
+    """Deterministic persisted-state location for the stateful
+    admission entry, keyed to the FIXTURE IDENTITY (path + documents
+    mtime) so a driver fixture regeneration auto-invalidates stale
+    state instead of silently screening against the old corpus."""
+    import hashlib
+    import os
+
+    try:
+        tag = f"{os.path.getmtime(os.path.join(sf_dir, 'documents.parquet')):.0f}"
+    except OSError:
+        tag = "0"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{tag}".encode()
+    ).hexdigest()[:12]
+    return f"/tmp/sparkgraft_admit_state/{key}"
+
+
+@query(
+    "dedup_incremental_neardup_stateful",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    fresh_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    stand_b AS (SELECT b.* FROM bands b
+                WHERE b.doc_id NOT IN (SELECT doc_id FROM fresh_ids)),
+    -- replay of the standing corpus through the admission policy
+    -- (one batch, empty initial state): cluster standing docs by
+    -- shared band keys, admit the min-id representative per cluster —
+    -- exactly what streaming/admission.admit_batch persisted
+    spairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM stand_b l JOIN stand_b r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    ),
+    sue AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),
+    sreach(a, b) AS (
+        SELECT a, b FROM sue
+        UNION
+        SELECT sreach.a, sue.b FROM sreach JOIN sue ON sreach.b = sue.a
+    ),
+    slbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+             FROM sreach GROUP BY a),
+    state_keys AS (
+        SELECT band_id, band_key FROM stand_b s
+        WHERE coalesce((SELECT l.cluster_id FROM slbl l
+                        WHERE l.node = s.doc_id), s.doc_id) = s.doc_id
+    ),
+    -- screen the fresh batch against the persisted admitted keys
+    fresh_b AS (SELECT b.* FROM bands b
+                WHERE b.doc_id IN (SELECT doc_id FROM fresh_ids)),
+    corpus_dup AS (
+        SELECT DISTINCT f.doc_id
+        FROM fresh_b f JOIN state_keys e
+          ON f.band_id = e.band_id AND f.band_key = e.band_key
+    ),
+    surv_b AS (SELECT * FROM fresh_b
+               WHERE doc_id NOT IN (SELECT doc_id FROM corpus_dup)),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM surv_b l JOIN surv_b r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    ),
+    ue AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    r(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+            FROM r GROUP BY a)
+    SELECT f.doc_id,
+           CASE WHEN f.doc_id IN (SELECT doc_id FROM corpus_dup)
+                THEN 'dup_of_corpus'
+                WHEN coalesce(l.cluster_id, f.doc_id) = f.doc_id
+                THEN 'admitted'
+                ELSE 'dup_in_batch' END AS admission
+    FROM fresh_ids f LEFT JOIN lbl l ON l.node = f.doc_id
+    """,
+)
+def dedup_incremental_neardup_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental admission from PERSISTED state (round 11, VERDICT
+    r10 item 5): the incoming batch ('src0') is screened against the
+    ``admitted_keys`` parquet table streaming/admission.py writes —
+    NOT against a re-MinHash of the standing corpus. The query's own
+    work is one signature pass over the BATCH plus an equi semi-join
+    of its 16 band keys/doc against the state table; at 100 TB the
+    state lives bucketed by (band_id, band_key) and only the batch
+    shuffles — the production shape the batch-formulation docstring of
+    dedup_incremental_neardup could only describe.
+
+    The state is built ONCE per fixture (admit_batch replaying the
+    standing corpus as one batch into an empty state dir — the
+    streaming path's own writer) and reused across calls; a fixture
+    regeneration re-keys the state path and rebuilds. Because the
+    standing replay admits one representative per near-dup cluster,
+    the state holds only ADMITTED docs' band keys — the oracle replays
+    the identical policy in SQL."""
+    import os
+
+    from airflow_loan_etl_pipeline_spark.streaming.admission import (
+        admission_decisions,
+        admit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = docs.filter(F.col("source") == "src0")
+    state_dir = admission_state_dir(sf_dir)
+    if not os.path.isdir(state_dir):
+        standing = docs.filter(F.col("source") != "src0")
+        admit_batch(spark, standing, state_dir, batch_tag=0)
+    state = spark.read.parquet(state_dir)
+    decisions, _keys, _cached = admission_decisions(fresh, state)
+    return decisions
+
+
 _REACH_RECURSION = """
     ue AS (
         SELECT doc_a AS src, doc_b AS dst FROM nd_pairs

@@ -347,6 +347,7 @@ def main() -> None:
         "minhash_lsh_pairs_group_capped",
         "ngram_jaccard_pairs_group_auto",
         "minhash_lsh_pairs_group_auto",
+        "dedup_incremental_neardup_stateful",
         "simhash_pairs_capped",
         "docs_tfidf_top_terms",
         "kmeans_refine_step",
