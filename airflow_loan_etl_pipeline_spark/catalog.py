@@ -27,34 +27,59 @@ TABLE_NAMES = (
 
 
 def table_path(sf_dir: str, name: str) -> str:
+    if sf_dir.startswith("s3://"):
+        return f"{sf_dir.rstrip('/')}/{name}.parquet"
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One table as a DataFrame (lazy parquet scan).
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """``events.ts`` has shipped in two physical encodings across
+    fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    parquet reader rejects — read as long, rebuild a microsecond
+    timestamp with integer division; double division would lose
+    precision above 2^53 ns) and plain TIMESTAMP(MICROS) (pass
+    through). Dispatch on the dtype the reader actually surfaces so
+    both generations load."""
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Downstream operators cast ts to bigint/double (epoch math),
+        # which TIMESTAMP_NTZ forbids; normalize to session-tz LTZ
+        # TIMESTAMP — the exact dtype the nanos rebuild produced.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
-    ``events.ts`` has shipped in two physical encodings across fixture
-    generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet
-    reader rejects — read as long, rebuild a microsecond timestamp with
-    integer division; double division would lose precision above
-    2^53 ns) and plain TIMESTAMP(MICROS) (pass through). Dispatch on the
-    dtype the reader actually surfaces so both generations load.
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table as a DataFrame.
+
+    Local ``sf_dir``: a lazy parquet scan (full Catalyst pushdown).
+
+    ``s3://bucket/prefix`` (round 11, VERDICT r10 item 4): the table is
+    a manifest dataset under ``prefix/<name>.parquet/`` as written by
+    :func:`sources.object_store.write_parquet_s3api` — keys come from
+    the manifest (complete-writes-only semantics), each partition GETs
+    and decodes its own object executor-side through the raw S3 API.
+    This is the no-hadoop-aws fallback path; with the s3a jar present
+    prefer ``session.object_store_conf`` + a plain parquet scan, which
+    additionally keeps parquet footer pushdown. The endpoint resolves
+    via :func:`sources.object_store.default_endpoint`.
     """
+    if sf_dir.startswith("s3://"):
+        from airflow_loan_etl_pipeline_spark.sources.object_store import (
+            default_endpoint,
+            parse_s3_uri,
+            read_parquet_s3api,
+        )
+
+        bucket, prefix = parse_s3_uri(table_path(sf_dir, name))
+        df = read_parquet_s3api(spark, bucket, prefix, default_endpoint())
+        return _normalize_events_ts(df) if name == "events" else df
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts", "")
-        if ts_type in ("bigint", "long"):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            # Downstream operators cast ts to bigint/double (epoch math),
-            # which TIMESTAMP_NTZ forbids; normalize to session-tz LTZ
-            # TIMESTAMP — the exact dtype the nanos rebuild produced.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return _normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
@@ -63,7 +88,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         p = table_path(sf_dir, name)
-        if os.path.exists(p):
+        if sf_dir.startswith("s3://"):
+            try:
+                # via load_table: manifest fetch doubles as existence
+                out[name] = load_table(spark, sf_dir, name)
+            except Exception:
+                continue
+        elif os.path.exists(p):
             # via load_table: events needs the TIMESTAMP(NANOS) rebuild.
             out[name] = load_table(spark, sf_dir, name)
     return out

@@ -40,6 +40,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_MANIFEST.json"
 
+# Process-default endpoint for s3:// dataset URIs resolved by
+# catalog.load_table (round 11, VERDICT r10 item 4). Set explicitly by
+# the embedding application (tests point it at moto / MinIO); falls
+# back to env (SPARK_GRAFT_S3_ENDPOINT + the standard AWS key vars) and
+# finally to the boto3 provider chain for AWS-native S3.
+_DEFAULT_ENDPOINT: "S3Endpoint | None" = None
+
+
+def set_default_endpoint(ep: "S3Endpoint | None") -> None:
+    global _DEFAULT_ENDPOINT
+    _DEFAULT_ENDPOINT = ep
+
+
+def default_endpoint() -> "S3Endpoint":
+    if _DEFAULT_ENDPOINT is not None:
+        return _DEFAULT_ENDPOINT
+    import os
+
+    url = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    if url:
+        return S3Endpoint(
+            endpoint=url,
+            access_key=os.environ.get("AWS_ACCESS_KEY_ID"),
+            secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY"),
+            region=os.environ.get("AWS_REGION", "us-east-1"),
+        )
+    return S3Endpoint()
+
+
+def parse_s3_uri(uri: str) -> tuple[str, str]:
+    """``s3://bucket/pre/fix`` -> ``("bucket", "pre/fix")``."""
+    rest = uri.split("://", 1)[1]
+    bucket, _, prefix = rest.partition("/")
+    if not bucket:
+        raise ValueError(f"no bucket in {uri!r}")
+    return bucket, prefix.strip("/")
+
 
 @dataclass(frozen=True)
 class S3Endpoint:
