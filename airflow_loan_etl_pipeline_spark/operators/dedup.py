@@ -240,7 +240,11 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    repartition: bool = True,
 ) -> DataFrame:
     """(id, sig array of 16 minhashes).
 
@@ -251,7 +255,7 @@ def minhash_signatures(
     slower measured). The groupBy shuffle is ~1 row/doc: each doc's
     shingles are co-located (exploded from one row), so map-side
     partial aggregation collapses them before the exchange."""
-    sh = shingle_rows(df, id_col, text_col, n)
+    sh = shingle_rows(df, id_col, text_col, n, repartition=repartition)
     hashed = sh.select(id_col, F.expr(HASH32.format(x="s_str")).alias("h"))
     mins = [
         F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))).alias(f"m{i}")
