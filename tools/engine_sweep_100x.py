@@ -36,8 +36,39 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--copies", type=int, default=100)
 ap.add_argument("--timeout", type=float, default=600.0)
 ap.add_argument("--disk-pct", type=float, default=80.0)
+ap.add_argument("--merge", action="store_true",
+                help="re-run only the named queries and update their "
+                     "rows in the existing SCALESWEEP_100x.md (keeps "
+                     "every other row) instead of rewriting the table "
+                     "from this run alone")
 ap.add_argument("queries", nargs="*")
 ARGS = ap.parse_args()
+
+MD_PATH = "/root/repo/SCALESWEEP_100x.md"
+
+
+def parse_existing_rows(path: str) -> list[dict]:
+    """Rows of the current SCALESWEEP table as result dicts."""
+    import re
+
+    out = []
+    try:
+        with open(path) as fh:
+            for ln in fh:
+                m = re.match(
+                    r"\| `([^`]+)` \| (\S+) \| ([^|]*) \| ([^|]*) \|", ln
+                )
+                if m:
+                    rec = {"query": m.group(1), "status": m.group(2)}
+                    rows_s, sec_s = m.group(3).strip(), m.group(4).strip()
+                    if rows_s:
+                        rec["rows"] = int(rows_s)
+                    if sec_s:
+                        rec["sec"] = float(sec_s)
+                    out.append(rec)
+    except OSError:
+        pass
+    return out
 
 BIG_DIR = f"/tmp/sparkgraft_sf0.1x{ARGS.copies}"
 
@@ -101,6 +132,12 @@ def main() -> None:
         print(json.dumps(out), flush=True)
         results.append(out)
 
+    if ARGS.merge:
+        fresh = {r["query"]: r for r in results}
+        merged = [
+            fresh.pop(r["query"], r) for r in parse_existing_rows(MD_PATH)
+        ]
+        results = merged + list(fresh.values())
     ok = [r for r in results if r["status"] == "ok"]
     lines = [
         "# SCALESWEEP — full-registry ENGINE run at the derived "
@@ -120,7 +157,7 @@ def main() -> None:
             f"| `{r['query']}` | {r['status']} | "
             f"{r.get('rows', '')} | {r.get('sec', '')} |"
         )
-    with open("/root/repo/SCALESWEEP_100x.md", "w") as fh:
+    with open(MD_PATH, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"# wrote SCALESWEEP_100x.md ({len(ok)}/{len(results)} ok)",
           file=sys.stderr)

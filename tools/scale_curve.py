@@ -45,6 +45,10 @@ _ap.add_argument("--rebuild", action="store_true")
 _ap.add_argument("--copies", type=int, default=10)
 _ap.add_argument("--queries", type=str, default="")
 _ap.add_argument("--out", type=str, default="SCALECURVE.md")
+_ap.add_argument("--merge", action="store_true",
+                 help="re-run only --queries and update their rows in "
+                      "the existing output table (keeps every other "
+                      "row)")
 ARGS, _ = _ap.parse_known_args()
 
 COPIES = ARGS.copies
@@ -163,6 +167,39 @@ def main() -> None:
             )
         rows.append(rec)
         print(json.dumps(rec), flush=True)
+    if ARGS.merge:
+        import re
+
+        out_path = os.path.join(os.path.dirname(__file__), "..", ARGS.out)
+        fresh = {r["query"]: r for r in rows}
+        merged = []
+        try:
+            with open(out_path) as fh:
+                for ln in fh:
+                    m = re.match(
+                        r"\| `([^`]+)` \| ([^|]*) \| ([^|]*) \|"
+                        r" ([^|]*) \| ([^|]*) \|",
+                        ln,
+                    )
+                    if not m:
+                        continue
+                    name = m.group(1)
+                    if name in fresh:
+                        merged.append(fresh.pop(name))
+                    else:
+                        rec = {
+                            "query": name,
+                            "sf0.01": float(m.group(2)),
+                            "sf0.1": float(m.group(3)),
+                            big_label: float(m.group(4)),
+                        }
+                        exp_s = m.group(5).strip()
+                        if exp_s:
+                            rec["exp_big"] = float(exp_s)
+                        merged.append(rec)
+        except OSError:
+            pass
+        rows = merged + list(fresh.values())
     lines = [
         "# SCALECURVE — measured runtime scaling (local[32])",
         "",
