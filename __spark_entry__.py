@@ -54,6 +54,7 @@ _REWIRED = [
     "minhash_lsh_pairs_group_auto",
     "ngram_jaccard_pairs_group_auto",
     "dedup_incremental_neardup_stateful",
+    "dedup_incremental_neardup",
     "kmeans_train_k16",
     "embeddings_ivf_trained_topk",
     "corpus_dedup_final",

@@ -565,26 +565,27 @@ def test_equidepth_hist_plan_scale_shape(spark, sf_dir):
 
 def test_incremental_neardup_shares_band_key_derivation(spark, sf_dir):
     """The admission pipeline (dedup_incremental_neardup) derives the
-    batch band keys and the corpus-dup id set ONCE each via eager
-    materialization — the r7 plan re-derived the shingle->minhash pass
-    per consuming branch (22 scans). Contract: exactly two
-    materializations, one parquet scan each (fresh-side keys;
-    corpus screen over the existing side), and the RESULT plan reads
-    stored frames plus at most the cheap id-only document scans."""
+    batch band keys ONCE via eager materialization — the r7 plan
+    re-derived the shingle->minhash pass per consuming branch (22
+    scans). Round 11 (driver-bounded fast path): the corpus screen and
+    the within-batch pair graph are COLLECTED, so the contract is ONE
+    materialization (the fresh-side band keys, one parquet scan) and a
+    RESULT plan that is a pure projection over the fresh id scan plus
+    broadcast local id relations — no shuffle, no stored-frame scan,
+    and the expensive text column never leaves the materialization."""
     from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 
     cache_scope.clear_materialization_plans()
     plan = _plan(registry.QUERIES["dedup_incremental_neardup"](spark, sf_dir))
     mats = cache_scope.recent_materialization_plans()
-    assert len(mats) == 2
-    for m in mats:
-        assert m.count("Location: InMemoryFileIndex") == 1
-        assert "CartesianProduct" not in m
-    # result plan: the two id-only lookups plus the survivors anti-join
-    # may scan documents (column-pruned to doc_id), but the expensive
-    # text column never leaves the materializations
-    assert plan.count("Location: InMemoryFileIndex") <= 3
-    assert "Scan ExistingRDD" in plan  # stored band keys / corpus dups
+    assert len(mats) == 1
+    assert mats[0].count("Location: InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in mats[0]
+    # result plan: one column-pruned fresh scan, decisions via
+    # broadcast lookups of driver-local id sets
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+    assert "LocalTableScan" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
 
 
