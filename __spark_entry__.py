@@ -57,6 +57,9 @@ _REWIRED = [
     "dedup_incremental_neardup",
     "kmeans_train_k16",
     "embeddings_ivf_trained_topk",
+    "semdedup_prune",
+    "docs_decontaminate_bloom",
+    "decontaminate_bloom_fp_rate",
     "corpus_dedup_final",
     "dedup_funnel_summary",
 ]

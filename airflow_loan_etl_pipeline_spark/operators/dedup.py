@@ -1096,6 +1096,115 @@ def decontaminate(
     )
 
 
+# Bloom-filter decontamination parameters, shared with the oracle SQL
+# (registry_text.py) so both engines derive the identical bit positions.
+# m = 2^14 bits packs into 256 longs — ONE broadcast row regardless of
+# corpus size. Two hash functions from disjoint md5 slices (15 hex
+# chars each → non-negative < 2^60, so `%` needs no pmod dance).
+BLOOM_M_BITS = 16384
+BLOOM_H1 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint) % {m}"
+BLOOM_H2 = "cast(conv(substr(md5({x}), 16, 15), 16, 10) AS bigint) % {m}"
+
+
+def benchmark_bloom_words(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+) -> list[int]:
+    """Build the benchmark's Bloom bitmap: every distinct benchmark
+    shingle sets its two hash bits; the bitmap returns packed as
+    ``m_bits / 64`` signed longs (word ``w`` bit ``k`` = position
+    ``64*w + k``). The distinct set-bit positions are collected —
+    bounded by ``m_bits`` (2 KB here), never by the corpus. At
+    production scale (m ~ 2³³ for billion-shingle suites) the packing
+    itself would run as a per-word ``bit_or`` aggregate and ship as a
+    words frame instead of a driver list; the probe side is unchanged."""
+    ev = shingle_rows(benchmark, id_col, text_col, n, repartition=False)
+    pos_rows = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.expr(BLOOM_H1.format(x="s_str", m=m_bits)),
+                    F.expr(BLOOM_H2.format(x="s_str", m=m_bits)),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # pack as SIGNED 64-bit (bit 63 set → negative long); the probe's
+    # `(w >> k) & 1` is sign-safe — arithmetic shift only pollutes HIGH
+    # bits, and `& 1` reads the lowest
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory
+    scale path next to :func:`decontaminate`'s exact broadcast join.
+
+    The benchmark's distinct shingles set bits in an ``m_bits`` Bloom
+    bitmap (:func:`benchmark_bloom_words`); every training shingle then
+    probes the bitmap with two O(1) bit tests — ``element_at`` into the
+    broadcast word array + ``shiftright & 1`` — entirely scan-local,
+    whole-stage-codegen'd, no join at all on the probe side. Bloom
+    semantics exactly: NO false negatives (every truly-overlapping
+    shingle hits), tunable false positives (a clean shingle whose two
+    positions happen to be set) — ``decontaminate_bloom_fp_rate``
+    measures the realized rate against the exact join.
+
+    Output mirrors :func:`decontaminate`: ``(doc_id, n_sh,
+    n_overlap_bloom, overlap_frac_bloom)`` for docs with ≥1 hit.
+
+    Why this exists at 100 TB: the exact path broadcasts the full
+    distinct benchmark-shingle hash set (8 bytes/shingle — GBs for a
+    large eval-suite union); the bitmap is ``m_bits/8`` bytes FOREVER,
+    and the probe is two ALU ops instead of a hash-table lookup. The
+    oracle replays it relationally — the bitmap is definitionally the
+    indicator of the set-bit position set, so ``bit test`` ≡
+    ``position IN set`` and DuckDB needs no bit arithmetic."""
+    words = benchmark_bloom_words(benchmark, id_col, text_col, n, m_bits)
+    spark = train.sparkSession
+    bloom_df = spark.createDataFrame([(words,)], "bloom array<bigint>")
+    tr = shingle_rows(train, id_col, text_col, n).select(
+        id_col,
+        "n_sh",
+        F.expr(BLOOM_H1.format(x="s_str", m=m_bits)).alias("_p1"),
+        F.expr(BLOOM_H2.format(x="s_str", m=m_bits)).alias("_p2"),
+    )
+    bit = (
+        "((element_at(bloom, cast({p} / 64 AS int) + 1)"
+        " >> cast({p} % 64 AS int)) & 1) = 1"
+    )
+    hit = F.expr(bit.format(p="_p1")) & F.expr(bit.format(p="_p2"))
+    return (
+        tr.crossJoin(F.broadcast(bloom_df))
+        .filter(hit)
+        .groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_overlap_bloom"))
+        .select(
+            id_col,
+            "n_sh",
+            "n_overlap_bloom",
+            F.round(F.col("n_overlap_bloom") / F.col("n_sh"), 4).alias(
+                "overlap_frac_bloom"
+            ),
+        )
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

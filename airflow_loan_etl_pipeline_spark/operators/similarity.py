@@ -254,21 +254,42 @@ def _literal_centroid_scores(
     Literal doubles round-trip py4j bit-exactly; NULL vectors/elements
     (PERMISSIVE ingest) stay NULL — their cosine is NULL and they never
     win the argmax, exactly as in the DataFrame formulation."""
-    def _cv_lit(vec):
-        if vec is None:
-            return F.lit(None).cast("array<double>")
-        return F.array(*[
-            F.lit(None).cast("double") if x is None else F.lit(float(x))
-            for x in vec
-        ])
+    # The literal is assembled as ONE SQL string parsed by a single
+    # F.expr call, NOT as a tree of F.lit/F.struct/F.array Column
+    # objects: k=16 x dims=64 doubles is ~1000 py4j round-trips per
+    # build (~5 s of pure driver overhead, measured), and kmeans_train
+    # rebuilds the literal every Lloyd round. repr() emits the shortest
+    # round-trip decimal and Java's parser is correctly rounded, so the
+    # parsed doubles are BIT-IDENTICAL to the py4j-shipped ones.
+    import math
 
-    lit_arr = F.array(*[
-        F.struct(
-            F.lit(int(cid)).cast("long").alias("cid"),
-            _cv_lit(vec).alias("cv"),
+    def _sql_double(x) -> str:
+        if x is None:
+            return "CAST(NULL AS DOUBLE)"
+        x = float(x)
+        if math.isfinite(x):
+            return repr(x) + "D"
+        name = "NaN" if math.isnan(x) else (
+            "Infinity" if x > 0 else "-Infinity"
         )
-        for cid, vec in sorted(cents.items())
-    ])
+        return f"CAST('{name}' AS DOUBLE)"
+
+    def _cv_sql(vec) -> str:
+        if vec is None:
+            return "CAST(NULL AS array<double>)"
+        if not vec:
+            return "CAST(array() AS array<double>)"
+        return "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+
+    lit_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', CAST({int(cid)} AS BIGINT),"
+            f" 'cv', {_cv_sql(vec)})"
+            for cid, vec in sorted(cents.items())
+        )
+        + ")"
+    )
     scores = (
         "transform(cents, c -> named_struct("
         f"'ccos', {cosine_expr('v', 'c.cv')}, "
@@ -687,6 +708,148 @@ def cosine_dup_pairs(
             F.round(F.expr(cosine_expr("_va", "_vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_size: int | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means blocking — cluster the embedding corpus
+    with a TRAINED quantizer, then prune, within each cluster, every
+    member of a near-duplicate pair that sits CLOSER to the cluster
+    centroid (the paper's diversity-keeping rule: the kept extreme of
+    a duplicate neighborhood is its least-typical member). Returns the
+    per-cluster prune summary ``(cid, n_vectors, n_pruned, n_kept)``.
+
+    Composition of this repo's existing primitives, in the paper's
+    exact shape: :func:`kmeans_train` (fixed-size content-addressed
+    sample, driver-side Lloyd) provides the blocks; assignment is the
+    same map-side literal-centroid argmax as the trained-IVF path
+    (zero corpus shuffles); pair generation is a cid-keyed
+    SELF-EQUI-JOIN — identical physical shape to
+    :func:`cosine_dup_pairs`, but blocked by the trained quantizer
+    instead of random hyperplanes, which is what lets the paper run at
+    web scale: candidates are confined to semantically-coherent cells.
+
+    Determinism note (vs the paper): the paper prunes greedily inside
+    each duplicate neighborhood; this operator prunes any vector that
+    loses at least one pairwise contest (higher centroid-cosine loses;
+    ties prune the higher id). Set-valued and order-free, hence
+    engine/partitioning-independent and oracle-replayable; it agrees
+    with the greedy rule on mutually-similar duplicate groups.
+
+    Scale shape: the within-cluster join's fan-out is Σ|cluster|² —
+    the paper's dial is k (they train k=50k on LAION so n/k stays
+    bounded); ``max_cluster`` is the same safety valve as
+    ``cosine_dup_pairs``'s ``max_bucket`` — clusters above the cap are
+    dropped before the self-join. At 100 TB the ``assigned`` relation
+    (this plan re-derives it per branch — scan-local projection) would
+    persist once as the cid-partitioned index table the IVF path
+    already maintains, making each branch a pruned partition scan."""
+    base = df.select(F.col(id_col), F.expr(_as_double(vec_col)).alias("v"))
+    cents = kmeans_train(
+        df, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, train_sample_size=train_sample_size,
+        include_sizes=False,
+    )
+    cdict = {
+        int(r[0]): (None if r[1] is None else list(r[1]))
+        for r in cents.collect()
+    }
+    if not cdict:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "cid long, n_vectors long, n_pruned long, n_kept long"
+        )
+    # The assignment feeds THREE consumers (both self-join branches and
+    # the summary); the argmax transform is an interpreted HOF, so
+    # re-deriving it per branch triples the most expensive projection.
+    # pin() materializes it once — which is also the production shape:
+    # at scale `assigned` IS the persisted cid-partitioned index table.
+    # The assignment feeds THREE consumers (both self-join branches and
+    # the summary); the argmax transform is an interpreted HOF, so
+    # re-deriving it per branch triples the most expensive projection.
+    # pin() materializes it once — which is also the production shape:
+    # at scale `assigned` IS the persisted cid-partitioned index table.
+    # `n2` (the squared norm) rides along so each PAIR evaluates one
+    # interpreted dot product instead of three: cos(a,b) =
+    # try_divide(dot(a,b), sqrt(n2_a * n2_b)) multiplies the identical
+    # doubles cosine_expr would — bit-identical result, 3x less HOF
+    # work on the quadratic term.
+    assigned = pin(
+        _with_best_centroid_literal(base, cdict).select(
+            id_col,
+            "v",
+            F.expr(DOT.format(a="v", b="v")).alias("n2"),
+            F.col("best.cid").alias("cid"),
+            F.col("best.ccos").alias("ccos"),
+        ),
+        eager=False,
+    )
+    pairable = assigned
+    if max_cluster is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .filter(F.col("_csz") <= max_cluster)
+            .select("cid")
+        )
+        pairable = assigned.join(small, "cid", "left_semi")
+    a = pairable.select(
+        "cid",
+        F.col(id_col).alias("_ia"),
+        F.col("v").alias("_va"),
+        F.col("n2").alias("_n2a"),
+        F.col("ccos").alias("_ca"),
+    )
+    b = pairable.select(
+        "cid",
+        F.col(id_col).alias("_ib"),
+        F.col("v").alias("_vb"),
+        F.col("n2").alias("_n2b"),
+        F.col("ccos").alias("_cb"),
+    )
+    loser = F.when(
+        (F.col("_ca") > F.col("_cb"))
+        | ((F.col("_ca") == F.col("_cb")) & (F.col("_ia") > F.col("_ib"))),
+        F.col("_ia"),
+    ).otherwise(F.col("_ib"))
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(
+            F.round(
+                F.expr(
+                    f"try_divide({DOT.format(a='_va', b='_vb')}, "
+                    f"sqrt(_n2a * _n2b))"
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(loser.alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, id_col, "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("_pruned").alias("n_pruned"),
+        )
+        .withColumn("n_kept", F.col("n_vectors") - F.col("n_pruned"))
     )
 
 

@@ -977,6 +977,77 @@ def kmeans_train_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
+def _semdedup_oracle(
+    n_iters: int = 2,
+    k: int = 16,
+    threshold: float = 0.3,
+    sample: int | None = None,
+) -> str:
+    """SemDeDup replay: the kmeans CTE chain's final centroids block
+    the corpus; within-cluster pairs at ``threshold`` prune their
+    closer-to-centroid member (ties prune the higher id) — the same
+    rule, CTE for CTE, as operators/similarity.semdedup."""
+    last = n_iters
+    return (
+        "WITH "
+        + _kmeans_train_ctes(n_iters, k, sample)
+        + f""",
+    ssc AS (
+        SELECT vec_id, v, cid, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid,
+                     {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
+              FROM base b, cents{last} c)
+    ),
+    sassigned AS (SELECT vec_id, v, cid, ccos FROM ssc WHERE rn = 1),
+    spairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.ccos AS ca, b.ccos AS cb
+        FROM sassigned a JOIN sassigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round({_COS_LR.format(l='a.v', r='b.v')}, 6) >= {threshold}
+    ),
+    spruned AS (
+        SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND ia > ib)
+                             THEN ia ELSE ib END AS vec_id
+        FROM spairs
+    )
+    SELECT a.cid, count(*) AS n_vectors,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(p.vec_id) AS BIGINT) AS n_kept
+    FROM sassigned a LEFT JOIN spruned p ON p.vec_id = a.vec_id
+    GROUP BY a.cid
+    """
+    )
+
+
+@query(
+    "semdedup_prune",
+    oracle=_semdedup_oracle(
+        n_iters=2, k=16, threshold=S.SEMDEDUP_THRESHOLD,
+        sample=S.TRAIN_SAMPLE_SIZE,
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a first-class
+    corpus op: embeddings k-means-blocked by the TRAINED quantizer
+    (same scale-invariant sampled trainer as the IVF path), then each
+    within-cluster near-dup pair prunes its closer-to-centroid member
+    — semantic dedup that catches paraphrases text-level MinHash
+    misses. Per-cluster summary rows (cid, n_vectors, n_pruned,
+    n_kept); at the fixture's τ=0.3 the corpus prunes ~30% (sf0.01) /
+    ~59% (sf0.1) — the paper's LAION operating range. Scale shape:
+    zero corpus shuffles for assignment (literal centroids), one
+    cid-keyed self-equi-join bounded by cluster size (the paper's dial
+    is k; ``max_cluster`` is the valve)."""
+    return S.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=16, n_iters=2,
+        threshold=S.SEMDEDUP_THRESHOLD,
+        train_sample_size=S.TRAIN_SAMPLE_SIZE,
+    )
+
+
 @query(
     "embeddings_quantized_int8",
     oracle="""
@@ -1522,6 +1593,122 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return D.decontaminate(train, bench)
+
+
+# Bloom decontamination oracle plumbing: the engine probes a packed
+# broadcast bitmap (element_at + shiftright — real O(1) bit tests); the
+# oracle replays the SEMANTICS relationally. The bitmap is
+# definitionally the indicator of the set-bit position set, so
+# `bit test(p1) AND bit test(p2)` ≡ `p1 IN positions AND p2 IN
+# positions` — DuckDB needs no bit arithmetic and the two sides share
+# the hash/positions definition through these f-string constants.
+_BLOOM_P1_DUCK = f"('0x' || substr(md5({{s}}), 1, 15))::BIGINT % {D.BLOOM_M_BITS}"
+_BLOOM_P2_DUCK = f"('0x' || substr(md5({{s}}), 16, 15))::BIGINT % {D.BLOOM_M_BITS}"
+
+_BLOOM_CTES = f"""
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+           FROM sh),
+    evp AS (SELECT DISTINCT pos FROM (
+            SELECT unnest([{_BLOOM_P1_DUCK.format(s='s')},
+                           {_BLOOM_P2_DUCK.format(s='s')}]) AS pos
+            FROM ex WHERE doc_id % 20 = 0)),
+    trb AS (SELECT doc_id, n_sh,
+                   {_BLOOM_P1_DUCK.format(s='s')} AS p1,
+                   {_BLOOM_P2_DUCK.format(s='s')} AS p2
+            FROM ex WHERE doc_id % 20 <> 0),
+    bhits AS (
+        SELECT doc_id, n_sh, count(*) AS n_overlap_bloom
+        FROM trb
+        WHERE p1 IN (SELECT pos FROM evp) AND p2 IN (SELECT pos FROM evp)
+        GROUP BY 1, 2)
+"""
+
+
+@query(
+    "docs_decontaminate_bloom",
+    oracle=f"""
+    WITH {_BLOOM_CTES}
+    SELECT doc_id, n_sh, n_overlap_bloom,
+           round(n_overlap_bloom / n_sh, 4) AS overlap_frac_bloom
+    FROM bhits
+    """,
+)
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination over the same train/benchmark split
+    as docs_decontaminate: the benchmark's shingles pack into ONE
+    broadcast 2 KB bitmap and every training shingle probes it with two
+    scan-local bit tests (element_at + shiftright — no join on the
+    probe side at all). No false negatives by construction; the
+    companion fp_rate entry prices the false positives. The 100 TB
+    story: the exact path's broadcast set grows with the benchmark
+    suite, the bitmap is m/8 bytes forever and the probe is two ALU
+    ops inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.decontaminate_bloom(train, bench)
+
+
+@query(
+    "decontaminate_bloom_fp_rate",
+    oracle=f"""
+    WITH {_BLOOM_CTES},
+    ehits AS (
+        SELECT tr.doc_id
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+              FROM ex WHERE doc_id % 20 <> 0) tr
+        WHERE tr.h IN (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT
+                       FROM ex WHERE doc_id % 20 = 0)
+        GROUP BY 1),
+    j AS (SELECT b.doc_id AS bid, e.doc_id AS eid
+          FROM bhits b LEFT JOIN ehits e ON e.doc_id = b.doc_id)
+    SELECT (SELECT count(DISTINCT doc_id) FROM ex WHERE doc_id % 20 <> 0)
+               AS n_train_docs,
+           count(bid) AS n_flagged_bloom,
+           count(eid) AS n_flagged_exact,
+           CAST(count(bid) - count(eid) AS BIGINT) AS n_false_pos,
+           round((count(bid) - count(eid)) * 1.0 /
+                 NULLIF(count(bid), 0), 4) AS fp_rate
+    FROM j
+    """,
+)
+def decontaminate_bloom_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom decontamination calibration row: doc-level flags from
+    the bitmap vs the exact broadcast join. Bloom guarantees
+    exact ⊆ bloom (no false negatives), so the LEFT join's unmatched
+    side IS the false-positive count — the number the m_bits/n_hashes
+    dial trades against the bitmap's constant memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bloomed = D.decontaminate_bloom(train, bench).select("doc_id")
+    exact = D.decontaminate(train, bench).select("doc_id").withColumn(
+        "_e", F.lit(1)
+    )
+    n_train = train.select(
+        F.countDistinct("doc_id").alias("n_train_docs")
+    )
+    flags = bloomed.join(exact, "doc_id", "left").agg(
+        F.count(F.lit(1)).alias("n_flagged_bloom"),
+        F.count("_e").alias("n_flagged_exact"),
+    )
+    return (
+        n_train.crossJoin(flags)
+        .withColumn(
+            "n_false_pos",
+            F.col("n_flagged_bloom") - F.col("n_flagged_exact"),
+        )
+        .withColumn(
+            "fp_rate",
+            F.round(
+                F.col("n_false_pos")
+                / F.nullif(F.col("n_flagged_bloom"), F.lit(0)),
+                4,
+            ),
+        )
+    )
 
 
 @query(

@@ -348,6 +348,9 @@ def main() -> None:
         "ngram_jaccard_pairs_group_auto",
         "minhash_lsh_pairs_group_auto",
         "dedup_incremental_neardup_stateful",
+        "semdedup_prune",
+        "docs_decontaminate_bloom",
+        "decontaminate_bloom_fp_rate",
         "simhash_pairs_capped",
         "docs_tfidf_top_terms",
         "kmeans_refine_step",

@@ -552,3 +552,78 @@ def test_dedup_funnel_is_monotone(spark):
     assert r.n_docs >= r.n_after_exact >= r.n_after_normalized
     assert r.n_after_neardup <= r.n_after_exact
     assert r.n_after_neardup >= 1
+
+
+def _bloom_positions_py(texts, m):
+    """Pure-python mirror of the bloom hash/shingle definition: distinct
+    3-gram shingles (whole text if short), two md5-slice positions."""
+    import hashlib
+
+    pos = set()
+    for t in texts:
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            sh = dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        else:
+            sh = {t: None}
+        for s in sh:
+            h = hashlib.md5(s.encode()).hexdigest()
+            pos.add(int(h[0:15], 16) % m)
+            pos.add(int(h[15:30], 16) % m)
+    return pos
+
+
+def test_bloom_words_pack_exactly(spark):
+    """benchmark_bloom_words packs exactly the independently-computed
+    md5 position set, stays signed-64 safe, and the empty benchmark
+    packs an all-zero bitmap."""
+    texts = [
+        "the quick brown fox jumps high",
+        "one two three four five",
+        "xy",  # short doc: whole text is the shingle
+    ]
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m = D.BLOOM_M_BITS
+    words = D.benchmark_bloom_words(bench)
+    assert len(words) == m // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    unpacked = {
+        64 * wi + k
+        for wi, w in enumerate(words)
+        for k in range(64)
+        if ((w % (1 << 64)) >> k) & 1
+    }
+    assert unpacked == _bloom_positions_py(texts, m)
+
+    empty = bench.filter("doc_id < 0")
+    assert all(w == 0 for w in D.benchmark_bloom_words(empty))
+
+
+def test_decontaminate_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom contract on the real fixture: every doc the exact join
+    flags is bloom-flagged with n_overlap_bloom >= the exact overlap
+    (bit tests can only add hits, never lose one)."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r.doc_id: r for r in D.decontaminate(train, bench).collect()}
+    bloom = {
+        r.doc_id: r for r in D.decontaminate_bloom(train, bench).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for did, r in exact.items():
+        assert bloom[did].n_overlap_bloom >= r.n_overlap, did
+        assert bloom[did].n_sh == r.n_sh, did
+    # and the calibration row agrees with the set difference
+    from airflow_loan_etl_pipeline_spark.registry import QUERIES
+
+    cal = QUERIES["decontaminate_bloom_fp_rate"](spark, sf_dir).collect()[0]
+    assert cal.n_flagged_exact == len(exact)
+    assert cal.n_flagged_bloom == len(bloom)
+    assert cal.n_false_pos == len(set(bloom) - set(exact))

@@ -689,3 +689,122 @@ def test_hard_negatives_bucket_cap(spark):
     assert {r.vec_id for r in hard_negatives(df).collect()} == {
         0, 1, 2, 3, 4, 10, 11,
     }
+
+
+def _semdedup_bruteforce(assigned, threshold):
+    """Pure-python replay of the semdedup prune rule over a collected
+    (vec_id, v, cid, ccos) assignment: within-cluster pairs at
+    round(cos, 6) >= threshold prune their higher-ccos member (ties
+    prune the higher id)."""
+    import math
+    from collections import defaultdict
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na * nb else None
+
+    by_cid = defaultdict(list)
+    for r in assigned:
+        by_cid[r["cid"]].append(r)
+    pruned = set()
+    for members in by_cid.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                ia, ib = a["vec_id"], b["vec_id"]
+                if ia > ib:
+                    a, b, ia, ib = b, a, ib, ia
+                s = cos(a["v"], b["v"])
+                if s is None or round(s, 6) < threshold:
+                    continue
+                if a["ccos"] > b["ccos"] or (
+                    a["ccos"] == b["ccos"] and ia > ib
+                ):
+                    pruned.add(ia)
+                else:
+                    pruned.add(ib)
+    return {
+        cid: (
+            len(ms),
+            sum(1 for m in ms if m["vec_id"] in pruned),
+        )
+        for cid, ms in by_cid.items()
+    }
+
+
+def test_semdedup_matches_bruteforce(spark, sf_dir):
+    """The distributed prune (cid-keyed self-join + loser rule +
+    distinct + summary agg) must equal an O(n²) python replay of the
+    SemDeDup rule over the same assignment."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {
+        r["cid"]: (r["n_vectors"], r["n_pruned"], r["n_kept"])
+        for r in S.semdedup(emb, n_iters=2, threshold=0.3).collect()
+    }
+    # rebuild the assignment with the same (already-tested) helpers
+    cdict = {
+        int(r["cid"]): list(r["centroid"])
+        for r in S.kmeans_train(
+            emb, n_centroids=16, n_iters=2, include_sizes=False
+        ).collect()
+    }
+    base = emb.select("vec_id", F.expr(S._as_double("embedding")).alias("v"))
+    assigned = [
+        {
+            "vec_id": r["vec_id"],
+            "v": list(r["v"]),
+            "cid": r["best"]["cid"],
+            "ccos": r["best"]["ccos"],
+        }
+        for r in S._with_best_centroid_literal(base, cdict).collect()
+    ]
+    expect = _semdedup_bruteforce(assigned, 0.3)
+    assert set(out) == set(expect)
+    total = 0
+    for cid, (n_vec, n_pruned) in expect.items():
+        assert out[cid] == (n_vec, n_pruned, n_vec - n_pruned), cid
+        total += n_vec
+    assert total == emb.count()
+    # the fixture actually exercises pruning
+    assert sum(p for _v, p, _k in out.values()) > 0
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """Threshold monotonicity, the max_cluster valve, partitioning
+    independence, and the empty-input contract."""
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo = {r["cid"]: r["n_pruned"]
+          for r in S.semdedup(emb, threshold=0.3).collect()}
+    hi = {r["cid"]: r["n_pruned"]
+          for r in S.semdedup(emb, threshold=0.6).collect()}
+    assert set(lo) == set(hi)
+    assert all(hi[c] <= lo[c] for c in lo)
+
+    # max_cluster=0 drops every cluster from pairing: nothing prunes,
+    # but the summary still counts the whole corpus
+    v0 = {
+        r["cid"]: (r["n_vectors"], r["n_pruned"])
+        for r in S.semdedup(emb, threshold=0.3, max_cluster=0).collect()
+    }
+    assert sum(v for v, _p in v0.values()) == emb.count()
+    assert all(p == 0 for _v, p in v0.values())
+
+    seven = {
+        r["cid"]: (r["n_vectors"], r["n_pruned"], r["n_kept"])
+        for r in S.semdedup(emb.repartition(7), threshold=0.3).collect()
+    }
+    base = {
+        r["cid"]: (r["n_vectors"], r["n_pruned"], r["n_kept"])
+        for r in S.semdedup(emb, threshold=0.3).collect()
+    }
+    assert seven == base
+
+    empty = emb.filter(F.lit(False))
+    assert S.semdedup(empty).collect() == []
