@@ -59,6 +59,11 @@ def parse_existing_rows(path: str) -> list[dict]:
                     r"\| `([^`]+)` \| (\S+) \| ([^|]*) \| ([^|]*) \|", ln
                 )
                 if m:
+                    # one row per query even if the artifact carries
+                    # historical re-measure tables — first wins here,
+                    # and the fresh-run merge overrides by name anyway
+                    if any(r["query"] == m.group(1) for r in out):
+                        continue
                     rec = {"query": m.group(1), "status": m.group(2)}
                     rows_s, sec_s = m.group(3).strip(), m.group(4).strip()
                     if rows_s:

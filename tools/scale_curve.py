@@ -184,6 +184,11 @@ def main() -> None:
                     if not m:
                         continue
                     name = m.group(1)
+                    # the artifact can carry the same query in more
+                    # than one table (historical re-measure sections);
+                    # keep ONE row per query — fresh wins, else first
+                    if any(r["query"] == name for r in merged):
+                        continue
                     if name in fresh:
                         merged.append(fresh.pop(name))
                     else:
