@@ -66,10 +66,15 @@ def parse_existing_rows(path: str) -> list[dict]:
                         continue
                     rec = {"query": m.group(1), "status": m.group(2)}
                     rows_s, sec_s = m.group(3).strip(), m.group(4).strip()
-                    if rows_s:
-                        rec["rows"] = int(rows_s)
-                    if sec_s:
-                        rec["sec"] = float(sec_s)
+                    try:
+                        if rows_s:
+                            rec["rows"] = int(rows_s)
+                        if sec_s:
+                            rec["sec"] = float(sec_s)
+                    except ValueError:
+                        # non-sweep table row (other artifacts share
+                        # the 4-column shape) — not ours to merge
+                        continue
                     out.append(rec)
     except OSError:
         pass

@@ -192,15 +192,22 @@ def main() -> None:
                     if name in fresh:
                         merged.append(fresh.pop(name))
                     else:
-                        rec = {
-                            "query": name,
-                            "sf0.01": float(m.group(2)),
-                            "sf0.1": float(m.group(3)),
-                            big_label: float(m.group(4)),
-                        }
-                        exp_s = m.group(5).strip()
-                        if exp_s:
-                            rec["exp_big"] = float(exp_s)
+                        # the artifact carries non-curve tables too
+                        # (checksum differentials with thousands
+                        # separators / EXACT cells) — rows that don't
+                        # parse as curve measurements are not ours
+                        try:
+                            rec = {
+                                "query": name,
+                                "sf0.01": float(m.group(2)),
+                                "sf0.1": float(m.group(3)),
+                                big_label: float(m.group(4)),
+                            }
+                            exp_s = m.group(5).strip()
+                            if exp_s:
+                                rec["exp_big"] = float(exp_s)
+                        except ValueError:
+                            continue
                         merged.append(rec)
         except OSError:
             pass
@@ -223,22 +230,44 @@ def main() -> None:
             f"| `{r['query']}` | {r['sf0.01']} | {r['sf0.1']} |"
             f" {r[big_label]} | {r.get('exp_big', '')} |"
         )
-    lines += [
-        "",
-        "Readings (from the 2026-08 run):",
-        "",
-        "- No exponent above ~0.7: nothing in the suite carries a",
-        "  surviving quadratic term through a 10x fact scale-up.",
-        "- The capped pair generators can scale SUB-linearly or even",
-        "  negatively: at 10x the planted-duplicate shingles' document",
-        "  frequencies cross `max_df`, the cap drops them before the",
-        "  self-join, and the would-be 100x join fan-out never happens —",
-        "  the hot-shingle cap doing exactly its 100 TB job.",
-        "- Sub-0.2 exponents (scan-local text metrics, window/rollup,",
-        "  ANN probes) are fixed-overhead-dominated at these sizes —",
-        "  per-stage scheduling, not data, is the cost floor on",
-        "  local[32].",
-    ]
+    # In merge mode, PRESERVE everything after the main table — the
+    # artifact accumulates narrative sections and checksum-differential
+    # tables other tools append; a row-refresh must not wipe them.
+    tail: list[str] | None = None
+    if ARGS.merge:
+        try:
+            txt = open(
+                os.path.join(os.path.dirname(__file__), "..", ARGS.out)
+            ).read().splitlines()
+            i = 0
+            while i < len(txt) and not txt[i].startswith("| `"):
+                i += 1
+            j = i
+            while j < len(txt) and txt[j].startswith("| `"):
+                j += 1
+            if i < len(txt):
+                tail = txt[j:]
+        except OSError:
+            pass
+    if tail is not None:
+        lines += tail
+    else:
+        lines += [
+            "",
+            "Readings (from the 2026-08 run):",
+            "",
+            "- No exponent above ~0.7: nothing in the suite carries a",
+            "  surviving quadratic term through a 10x fact scale-up.",
+            "- The capped pair generators can scale SUB-linearly or even",
+            "  negatively: at 10x the planted-duplicate shingles' document",
+            "  frequencies cross `max_df`, the cap drops them before the",
+            "  self-join, and the would-be 100x join fan-out never happens —",
+            "  the hot-shingle cap doing exactly its 100 TB job.",
+            "- Sub-0.2 exponents (scan-local text metrics, window/rollup,",
+            "  ANN probes) are fixed-overhead-dominated at these sizes —",
+            "  per-stage scheduling, not data, is the cost floor on",
+            "  local[32].",
+        ]
     with open(os.path.join(os.path.dirname(__file__), "..", ARGS.out), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"# wrote {ARGS.out}", file=sys.stderr)
