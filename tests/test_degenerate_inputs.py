@@ -54,6 +54,8 @@ REPRESENTATIVE = (
     "dup_reach_3hop",
     "events_autocorr_lag1",
     "embedding_dim_correlations",
+    "semdedup_prune",
+    "docs_decontaminate_bloom",
 )
 
 
