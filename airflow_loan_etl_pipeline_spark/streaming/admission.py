@@ -136,67 +136,84 @@ def admission_decisions(
     # map-side admitted-key filter. Anything over the caps (a
     # non-micro "batch" — the batch-face registry entries at scale)
     # falls back to the fully distributed formulation below.
-    cd_rows = corpus_dups.limit(SCREEN_DRIVER_MAX + 1).collect()
-    if len(cd_rows) <= SCREEN_DRIVER_MAX:
-        dup_ids = frozenset(r[id_col] for r in cd_rows)
-        if dup_ids:
-            cd_local = F.broadcast(
+    #
+    # BOTH screens ride ONE collect (one Spark job, not two): corpus-dup
+    # ids and band-pair edges come back as one tagged union, with the
+    # survivor filter applied DRIVER-side — edges incident to a
+    # corpus-dup id are dropped in Python, which is exactly the
+    # anti-join the two-collect form ran as a separate job. Pairs are
+    # generated over ALL batch keys (superset of survivor pairs), so
+    # the cap guard stays conservative.
+    all_pairs = _band_pairs(keys, id_col)
+    tagged = corpus_dups.select(
+        F.lit(0).alias("_k"),
+        F.col(id_col).alias("_a"),
+        F.lit(None).cast(id_type).alias("_b"),
+    ).unionAll(
+        all_pairs.select(
+            F.lit(1).alias("_k"),
+            F.col("doc_a").alias("_a"),
+            F.col("doc_b").alias("_b"),
+        )
+    )
+    cap = SCREEN_DRIVER_MAX + PAIRS_DRIVER_MAX
+    rows = tagged.limit(cap + 1).collect()
+    cd_rows = [r for r in rows if r["_k"] == 0]
+    edge_rows = [r for r in rows if r["_k"] == 1]
+    if (
+        len(rows) <= cap
+        and len(cd_rows) <= SCREEN_DRIVER_MAX
+        and len(edge_rows) <= PAIRS_DRIVER_MAX
+    ):
+        dup_ids = frozenset(r["_a"] for r in cd_rows)
+        label = _min_label_components(
+            [
+                (r["_a"], r["_b"])
+                for r in edge_rows
+                if r["_a"] not in dup_ids and r["_b"] not in dup_ids
+            ]
+        )
+        non_reps = frozenset(n for n, root in label.items() if root != n)
+        # decision as broadcast lookups of the two (small) local id
+        # sets — no shuffle anywhere downstream of the pair join
+        cd_l = F.broadcast(
+            spark.createDataFrame(
+                [(i,) for i in sorted(dup_ids)], f"_cid {id_type}"
+            )
+        )
+        nr_l = F.broadcast(
+            spark.createDataFrame(
+                [(i,) for i in sorted(non_reps)], f"_nid {id_type}"
+            )
+        )
+        out = (
+            batch_df.select(id_col)
+            .join(cd_l, F.col(id_col) == F.col("_cid"), "left")
+            .join(nr_l, F.col(id_col) == F.col("_nid"), "left")
+            .select(
+                id_col,
+                F.when(F.col("_cid").isNotNull(),
+                       F.lit("dup_of_corpus"))
+                .when(F.col("_nid").isNotNull(), F.lit("dup_in_batch"))
+                .otherwise(F.lit("admitted"))
+                .alias("admission"),
+            )
+        )
+        rejected = dup_ids | non_reps
+        if rejected:
+            rej_l = F.broadcast(
                 spark.createDataFrame(
-                    [(i,) for i in sorted(dup_ids)], f"{id_col} {id_type}"
+                    [(i,) for i in sorted(rejected)],
+                    f"{id_col} {id_type}",
                 )
             )
-            surv_keys = keys.join(cd_local, id_col, "left_anti")
+            admitted_keys = keys.join(rej_l, id_col, "left_anti")
         else:
-            surv_keys = keys
-        pairs = _band_pairs(surv_keys, id_col)
-        edge_rows = pairs.limit(PAIRS_DRIVER_MAX + 1).collect()
-        if len(edge_rows) <= PAIRS_DRIVER_MAX:
-            label = _min_label_components(
-                [(r["doc_a"], r["doc_b"]) for r in edge_rows]
-            )
-            non_reps = frozenset(
-                n for n, root in label.items() if root != n
-            )
-            # decision as broadcast lookups of the two (small) local id
-            # sets — no shuffle anywhere downstream of the pair join
-            cd_l = F.broadcast(
-                spark.createDataFrame(
-                    [(i,) for i in sorted(dup_ids)], f"_cid {id_type}"
-                )
-            )
-            nr_l = F.broadcast(
-                spark.createDataFrame(
-                    [(i,) for i in sorted(non_reps)], f"_nid {id_type}"
-                )
-            )
-            out = (
-                batch_df.select(id_col)
-                .join(cd_l, F.col(id_col) == F.col("_cid"), "left")
-                .join(nr_l, F.col(id_col) == F.col("_nid"), "left")
-                .select(
-                    id_col,
-                    F.when(F.col("_cid").isNotNull(),
-                           F.lit("dup_of_corpus"))
-                    .when(F.col("_nid").isNotNull(), F.lit("dup_in_batch"))
-                    .otherwise(F.lit("admitted"))
-                    .alias("admission"),
-                )
-            )
-            rejected = dup_ids | non_reps
-            if rejected:
-                rej_l = F.broadcast(
-                    spark.createDataFrame(
-                        [(i,) for i in sorted(rejected)],
-                        f"{id_col} {id_type}",
-                    )
-                )
-                admitted_keys = keys.join(rej_l, id_col, "left_anti")
-            else:
-                admitted_keys = keys
-            admitted_keys = admitted_keys.select(
-                "band_id", "band_key", F.col(id_col)
-            )
-            return out, admitted_keys, []
+            admitted_keys = keys
+        admitted_keys = admitted_keys.select(
+            "band_id", "band_key", F.col(id_col)
+        )
+        return out, admitted_keys, []
 
     # DISTRIBUTED fallback: the original formulation, correct at any
     # batch size.
