@@ -145,25 +145,43 @@ def admission_decisions(
     # generated over ALL batch keys (superset of survivor pairs), so
     # the cap guard stays conservative.
     all_pairs = _band_pairs(keys, id_col)
-    tagged = corpus_dups.select(
-        F.lit(0).alias("_k"),
-        F.col(id_col).alias("_a"),
-        F.lit(None).cast(id_type).alias("_b"),
-    ).unionAll(
-        all_pairs.select(
-            F.lit(1).alias("_k"),
-            F.col("doc_a").alias("_a"),
-            F.col("doc_b").alias("_b"),
+    # the batch's own id set rides the same collect (kind=2: one row
+    # per doc — every doc emits band keys, shingles are never empty),
+    # so the DECISION frame can be assembled as a pure local relation:
+    # no joins, no broadcast builds, no batch_df re-scan
+    tagged = (
+        corpus_dups.select(
+            F.lit(0).alias("_k"),
+            F.col(id_col).alias("_a"),
+            F.lit(None).cast(id_type).alias("_b"),
+        )
+        .unionAll(
+            all_pairs.select(
+                F.lit(1).alias("_k"),
+                F.col("doc_a").alias("_a"),
+                F.col("doc_b").alias("_b"),
+            )
+        )
+        .unionAll(
+            keys.select(
+                F.lit(2).alias("_k"),
+                F.col(id_col).alias("_a"),
+                F.lit(None).cast(id_type).alias("_b"),
+            ).distinct()
         )
     )
-    cap = SCREEN_DRIVER_MAX + PAIRS_DRIVER_MAX
+    # ids ≤ corpus-dup cap by construction (dup ids ⊆ batch ids), so
+    # the combined cap allows one SCREEN allowance for each id-kind
+    cap = 2 * SCREEN_DRIVER_MAX + PAIRS_DRIVER_MAX
     rows = tagged.limit(cap + 1).collect()
     cd_rows = [r for r in rows if r["_k"] == 0]
     edge_rows = [r for r in rows if r["_k"] == 1]
+    id_rows = [r for r in rows if r["_k"] == 2]
     if (
         len(rows) <= cap
         and len(cd_rows) <= SCREEN_DRIVER_MAX
         and len(edge_rows) <= PAIRS_DRIVER_MAX
+        and len(id_rows) <= SCREEN_DRIVER_MAX
     ):
         dup_ids = frozenset(r["_a"] for r in cd_rows)
         label = _min_label_components(
@@ -174,30 +192,21 @@ def admission_decisions(
             ]
         )
         non_reps = frozenset(n for n, root in label.items() if root != n)
-        # decision as broadcast lookups of the two (small) local id
-        # sets — no shuffle anywhere downstream of the pair join
-        cd_l = F.broadcast(
-            spark.createDataFrame(
-                [(i,) for i in sorted(dup_ids)], f"_cid {id_type}"
-            )
-        )
-        nr_l = F.broadcast(
-            spark.createDataFrame(
-                [(i,) for i in sorted(non_reps)], f"_nid {id_type}"
-            )
-        )
-        out = (
-            batch_df.select(id_col)
-            .join(cd_l, F.col(id_col) == F.col("_cid"), "left")
-            .join(nr_l, F.col(id_col) == F.col("_nid"), "left")
-            .select(
-                id_col,
-                F.when(F.col("_cid").isNotNull(),
-                       F.lit("dup_of_corpus"))
-                .when(F.col("_nid").isNotNull(), F.lit("dup_in_batch"))
-                .otherwise(F.lit("admitted"))
-                .alias("admission"),
-            )
+        out = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "dup_of_corpus" if i in dup_ids
+                    else ("dup_in_batch" if i in non_reps else "admitted"),
+                )
+                for i in (
+                    sorted(
+                        r["_a"] for r in id_rows if r["_a"] is not None
+                    )
+                    + [r["_a"] for r in id_rows if r["_a"] is None]
+                )
+            ],
+            f"{id_col} {id_type}, admission string",
         )
         rejected = dup_ids | non_reps
         if rejected:

@@ -802,3 +802,54 @@ def test_admission_batch_job_count_budget(spark, tmp_path):
         f"admission batch ran {len(jobs)} Spark jobs (budget 24 — the "
         "driver-bounded fast path runs ~18; the distributed loop 49)"
     )
+
+
+def test_admission_fast_path_equals_distributed_fallback(spark, tmp_path):
+    """The driver-bounded fast path and the distributed fallback are
+    the SAME admission function: forcing the fallback (caps
+    monkeypatched to 0) must produce identical decisions and identical
+    admitted state keys on a batch that exercises all three outcomes
+    (corpus dup, in-batch dup cluster, clean admit)."""
+    from airflow_loan_etl_pipeline_spark.streaming import admission as A
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight"
+    t_c = "red green blue yellow purple orange pink white"
+    standing_df = spark.createDataFrame(
+        [(100, t_a)], "doc_id long, text string"
+    )
+    # standing keys as the state loop would persist them
+    _dec, standing_keys, _ = A.admission_decisions(standing_df, None)
+    standing_keys = standing_keys.localCheckpoint()
+    batch = spark.createDataFrame(
+        [(1, t_a), (2, t_b), (3, t_b), (4, t_c)],
+        "doc_id long, text string",
+    )
+
+    def run():
+        out, keys, _ = A.admission_decisions(batch, standing_keys)
+        return (
+            {r["doc_id"]: r["admission"] for r in out.collect()},
+            {
+                (r["band_id"], r["band_key"], r["doc_id"])
+                for r in keys.collect()
+            },
+        )
+
+    fast_dec, fast_keys = run()
+    orig = (A.SCREEN_DRIVER_MAX, A.PAIRS_DRIVER_MAX)
+    try:
+        A.SCREEN_DRIVER_MAX = 0
+        A.PAIRS_DRIVER_MAX = 0
+        slow_dec, slow_keys = run()
+    finally:
+        A.SCREEN_DRIVER_MAX, A.PAIRS_DRIVER_MAX = orig
+
+    assert fast_dec == slow_dec
+    assert fast_keys == slow_keys
+    assert fast_dec[1] == "dup_of_corpus"
+    assert sorted(v for k, v in fast_dec.items() if k in (2, 3)) == [
+        "admitted",
+        "dup_in_batch",
+    ]
+    assert fast_dec[4] == "admitted"
