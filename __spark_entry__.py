@@ -60,6 +60,7 @@ _REWIRED = [
     "semdedup_prune",
     "docs_decontaminate_bloom",
     "decontaminate_bloom_fp_rate",
+    "dedup_token_savings",
     "corpus_dedup_final",
     "dedup_funnel_summary",
 ]

@@ -3240,6 +3240,82 @@ _OR["dedup_funnel_summary"] = f"""
 """
 
 
+@query(
+    "dedup_token_savings",
+    oracle=None,  # spliced below from the registered stage oracles
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ECONOMICS per source: the token counts a training budget
+    actually pays — total corpus tokens, tokens surviving as exact-dedup
+    representatives, and tokens surviving as near-dup cluster
+    representatives. The funnel reports document counts; this reports
+    the quantity billed (compute scales with tokens, not docs — a
+    boilerplate source whose doc count halves but whose surviving docs
+    are long saves less than it appears). Stages are the registered
+    operators (exact_dedup min-id reps; dup_clusters min-id cluster
+    reps), so the savings cannot drift from the dedup that produces
+    them. One doc-keyed projection + two id-set left joins + a
+    per-source aggregate; at 100 TB the rep id sets are the dedup
+    outputs already materialized by the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    exact_keep = (
+        D.exact_dedup(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("_e", F.lit(1))
+    )
+    near_keep = (
+        dup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        toks.join(exact_keep, "doc_id", "left")
+        .join(near_keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_e") == 1, F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_exact_reps"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") == 1, F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_neardup_reps"),
+        )
+    )
+
+
+_OR["dedup_token_savings"] = f"""
+    WITH cl AS ({_OR["dup_clusters"]}),
+         ex AS ({_OR["dedup_exact"]}),
+    tok AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents)
+    SELECT t.source, count(*) AS n_docs,
+           CAST(coalesce(sum(t.n_tok), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(CASE WHEN t.doc_id IN (SELECT keep_id FROM ex)
+                                  THEN t.n_tok END), 0) AS BIGINT)
+               AS tokens_exact_reps,
+           CAST(coalesce(sum(CASE WHEN t.doc_id IN
+                                  (SELECT doc_id FROM cl
+                                   WHERE cluster_id = doc_id)
+                                  THEN t.n_tok END), 0) AS BIGINT)
+               AS tokens_neardup_reps
+    FROM tok t
+    GROUP BY t.source
+"""
+
+
 @query("text_embedding_dup_agreement", oracle=None)  # assembled below
 def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal consistency dial: over the TRUE text near-dup pairs

@@ -351,6 +351,7 @@ def main() -> None:
         "semdedup_prune",
         "docs_decontaminate_bloom",
         "decontaminate_bloom_fp_rate",
+        "dedup_token_savings",
         "simhash_pairs_capped",
         "docs_tfidf_top_terms",
         "kmeans_refine_step",

@@ -627,3 +627,27 @@ def test_decontaminate_bloom_no_false_negatives(spark, sf_dir):
     assert cal.n_flagged_exact == len(exact)
     assert cal.n_flagged_bloom == len(bloom)
     assert cal.n_false_pos == len(set(bloom) - set(exact))
+
+
+def test_dedup_token_savings_funnel_monotone(spark, sf_dir):
+    """Token-economics funnel: per source, surviving-representative
+    tokens can only shrink down the funnel (every near-dup cluster rep
+    is also an exact rep: identical texts share all bands, so the
+    cluster min-id is its own exact-group keeper), and doc counts
+    reconcile with the corpus."""
+    from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
+    from airflow_loan_etl_pipeline_spark.catalog import load_table
+    from airflow_loan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_token_savings"](
+        spark, sf_dir
+    ).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len(rows) > 0
+    for r in rows:
+        assert (
+            r.tokens_neardup_reps <= r.tokens_exact_reps <= r.total_tokens
+        ), r.source
+    # dedup actually binds somewhere on the fixture
+    assert any(r.tokens_neardup_reps < r.total_tokens for r in rows)
