@@ -567,12 +567,13 @@ def test_incremental_neardup_shares_band_key_derivation(spark, sf_dir):
     """The admission pipeline (dedup_incremental_neardup) derives the
     batch band keys ONCE via eager materialization — the r7 plan
     re-derived the shingle->minhash pass per consuming branch (22
-    scans). Round 11 (driver-bounded fast path): the corpus screen and
-    the within-batch pair graph are COLLECTED, so the contract is ONE
-    materialization (the fresh-side band keys, one parquet scan) and a
-    RESULT plan that is a pure projection over the fresh id scan plus
-    broadcast local id relations — no shuffle, no stored-frame scan,
-    and the expensive text column never leaves the materialization."""
+    scans). Round 11 (driver-bounded fast path): the corpus screen,
+    the within-batch pair graph, AND the batch id set ride ONE
+    collect, so the contract is ONE materialization (the fresh-side
+    band keys, one parquet scan) and a RESULT plan that is a LOCAL
+    RELATION — the decisions are assembled on the driver, so the plan
+    holds no file scan, no join, no shuffle at all; the expensive text
+    column never leaves the materialization."""
     from airflow_loan_etl_pipeline_spark import registry_text  # noqa: F401
 
     cache_scope.clear_materialization_plans()
@@ -581,12 +582,15 @@ def test_incremental_neardup_shares_band_key_derivation(spark, sf_dir):
     assert len(mats) == 1
     assert mats[0].count("Location: InMemoryFileIndex") == 1
     assert "CartesianProduct" not in mats[0]
-    # result plan: one column-pruned fresh scan, decisions via
-    # broadcast lookups of driver-local id sets
-    assert plan.count("Location: InMemoryFileIndex") <= 1
-    assert "LocalTableScan" in plan or "BroadcastExchange" in plan
+    # result plan: a driver-assembled local relation (LocalTableScan
+    # when small enough to stay literal, Scan ExistingRDD via the
+    # parallelized local-relation path) — never a file re-scan,
+    # shuffle, or join
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
 
 
 def test_corpus_build_shares_stage_survivor_sets(spark, sf_dir):
