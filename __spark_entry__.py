@@ -35,34 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 11): the
-# exact-dedup-first harness gained the tri-state bypass and a NULL-id
-# guard on the member expansion (every uncapped pair generator's plan
-# changed), kmeans_train assembles its n_members result as a local
-# relation instead of broadcasting the corpus-assignment subtree, and
-# the new round-11 entries (persisted-state incremental admission,
-# auto-sized mega-group valve) need their first external row. Every
-# query whose physical plan changed is front-loaded so the external
-# gate re-verifies the new code paths same-round.
+# Queries whose implementation was REWIRED this round (round 12): the
+# Bloom probe switched to integer word indexing and gained the
+# distributed bit_or packing (bloom entries), the driver-held centroid
+# assignment grew the auto-routed numpy path (its consumers re-checked
+# even though the default stays literal), and the new round-12 entries
+# (IVF-PQ composition + recall dial, m=2^20 bit_or bloom) need their
+# first external row. Every query whose physical plan changed is
+# front-loaded so the external gate re-verifies the new code paths
+# same-round.
 _REWIRED = [
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "ngram_containment_pairs",
-    "ngram_jaccard_pairs_prefix",
-    "minhash_lsh_pairs_group_capped",
-    "ngram_jaccard_pairs_group_capped",
-    "minhash_lsh_pairs_group_auto",
-    "ngram_jaccard_pairs_group_auto",
-    "dedup_incremental_neardup_stateful",
-    "dedup_incremental_neardup",
+    "docs_decontaminate_bloom",
+    "docs_decontaminate_bloom_m20",
+    "decontaminate_bloom_fp_rate",
+    "embeddings_ivfpq_topk",
+    "ivfpq_recall_at_10",
     "kmeans_train_k16",
     "embeddings_ivf_trained_topk",
+    "embeddings_ivf_topk",
     "semdedup_prune",
-    "docs_decontaminate_bloom",
-    "decontaminate_bloom_fp_rate",
-    "dedup_token_savings",
-    "corpus_dedup_final",
-    "dedup_funnel_summary",
+    "embeddings_pq_codes",
+    "embeddings_pq_adc_topk",
+    "pq_recall_at_10",
 ]
 
 # The driver's correctness gate samples a fixed-size PREFIX of the
@@ -84,34 +78,58 @@ def _current_round() -> int:
     return max(rounds) + 1 if rounds else 1
 
 
-def _rotated_order(round_no: int) -> list[str]:
-    """Deterministic driver-sample rotation (VERDICT r10 item 8).
+def _last_verified_round() -> dict[str, int]:
+    """Per-query round of the most recent EXTERNAL verification: the
+    highest N whose CORRECTNESS_r{N}.json contains the query. Entries
+    the driver has never sampled map to 0 (stalest possible)."""
+    import json
 
-    The registry holds ~260 oracle-backed entries but the driver gate
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(f) as fh:
+                names = list(json.load(fh))
+        except Exception:
+            continue
+        for q in names:
+            last[q] = max(last.get(q, 0), n)
+    return last
+
+
+def _rotated_order(round_no: int) -> list[str]:
+    """Deterministic driver-sample ordering (VERDICT r10 item 8, made
+    STALEST-FIRST per VERDICT r11 item 6).
+
+    The registry holds ~270 oracle-backed entries but the driver gate
     hashes only the first ``_DRIVER_SAMPLE``; a static ordering lets
     most entries' last driver-green row age indefinitely. Ordering:
 
     1. ``_REWIRED`` — this round's plan changes, re-verified same-round.
-    2. The full sorted registry, ROTATED by round number: each round's
-       prefix window starts exactly where the previous round's ended
-       (step = sample size minus the rewired slots), so consecutive
-       windows tile the list and every entry cycles through the gate
-       within ceil(len / step) ≈ 6-7 rounds no matter what the rewired
-       list does.
+    2. Everything else sorted by (round of last external verification
+       ASC, rows-only after oracle-backed, name) — the driver's prefix
+       sample is therefore drawn from the cohort whose last external
+       check is OLDEST (entries never sampled sort first of all), and
+       every sampled entry's staleness resets, so the tail provably
+       cycles: after each round the stalest ``step`` entries move to
+       the back, bounding any entry's staleness by
+       ceil(len / step) rounds.
 
-    Oracle-backed entries sort before rows-only ones inside the
-    rotation so the strong check is what cycles fastest.
+    ``round_no`` only picks the _REWIRED head; the tail order depends
+    on the accumulated CORRECTNESS artifacts (deterministic within a
+    round — the running round's file appears only after the gate).
     """
     rewired = [k for k in _REWIRED if k in registry.QUERIES]
+    last = _last_verified_round()
     rest = sorted(
         (k for k in registry.QUERIES if k not in set(rewired)),
-        key=lambda k: (k not in registry.ORACLE, k),
+        key=lambda k: (last.get(k, 0), k not in registry.ORACLE, k),
     )
-    if not rest:
-        return rewired
-    step = max(1, _DRIVER_SAMPLE - len(rewired))
-    start = ((round_no - 1) * step) % len(rest)
-    return rewired + rest[start:] + rest[:start]
+    return rewired + rest
 
 
 def queries(

@@ -1106,35 +1106,82 @@ BLOOM_H1 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint) % {m}"
 BLOOM_H2 = "cast(conv(substr(md5({x}), 16, 15), 16, 10) AS bigint) % {m}"
 
 
+#: Hard ceiling on ``m_bits``: the probe indexes the broadcast word
+#: array with an INT (element_at + ``p div 64`` cast), so the word
+#: index must stay below 2³¹ → m_bits < 2³⁷; memory caps it first —
+#: 2³⁴ bits is already a 2 GiB broadcast bitmap. Larger filters need a
+#: words-FRAME probe join, not a broadcast array.
+BLOOM_M_BITS_MAX = 1 << 34
+
+
 def benchmark_bloom_words(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     m_bits: int = BLOOM_M_BITS,
+    packing: str = "auto",
 ) -> list[int]:
     """Build the benchmark's Bloom bitmap: every distinct benchmark
     shingle sets its two hash bits; the bitmap returns packed as
     ``m_bits / 64`` signed longs (word ``w`` bit ``k`` = position
-    ``64*w + k``). The distinct set-bit positions are collected —
-    bounded by ``m_bits`` (2 KB here), never by the corpus. At
-    production scale (m ~ 2³³ for billion-shingle suites) the packing
-    itself would run as a per-word ``bit_or`` aggregate and ship as a
-    words frame instead of a driver list; the probe side is unchanged."""
-    ev = shingle_rows(benchmark, id_col, text_col, n, repartition=False)
-    pos_rows = (
-        ev.select(
-            F.explode(
-                F.array(
-                    F.expr(BLOOM_H1.format(x="s_str", m=m_bits)),
-                    F.expr(BLOOM_H2.format(x="s_str", m=m_bits)),
-                )
-            ).alias("pos")
+    ``64*w + k``).
+
+    Two packing strategies, value-identical (pinned by test):
+
+    - ``driver`` — collect the DISTINCT set-bit positions and pack in
+      Python. Collect size is bounded by ``m_bits`` (2 KB of longs at
+      the 2¹⁴ default), but the distinct runs a shuffle whose key
+      cardinality is min(shingles, m) and the driver loop touches every
+      position.
+    - ``bit_or`` — the production shape the driver path's old docstring
+      promised: positions reduce EXECUTOR-side with a per-word
+      ``bit_or(shiftleft(1L, pos % 64))`` hash aggregate (map-side
+      partial bit_or, no distinct pass at all — OR is idempotent, so
+      duplicate positions are free), and only the ≤ ``m_bits/64``
+      non-zero (word_index, word) rows cross to the driver. At
+      m = 2²⁰ that is ≤ 16 Ki rows regardless of benchmark size; at the
+      2³³-bit scale of a billion-shingle suite union the same aggregate
+      ships as a words frame (see ``BLOOM_M_BITS_MAX``).
+
+    ``auto`` picks ``driver`` at the compact default (the distinct of
+    ≤ 2¹⁴ positions is cheaper than an extra aggregate on tiny
+    suites) and ``bit_or`` for anything larger."""
+    if m_bits > BLOOM_M_BITS_MAX:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the broadcast-array probe ceiling "
+            f"{BLOOM_M_BITS_MAX} (int word index + broadcast memory); "
+            "ship the filter as a words frame instead"
         )
-        .distinct()
-        .collect()
+    if packing == "auto":
+        packing = "driver" if m_bits <= BLOOM_M_BITS else "bit_or"
+    ev = shingle_rows(benchmark, id_col, text_col, n, repartition=False)
+    pos = ev.select(
+        F.explode(
+            F.array(
+                F.expr(BLOOM_H1.format(x="s_str", m=m_bits)),
+                F.expr(BLOOM_H2.format(x="s_str", m=m_bits)),
+            )
+        ).alias("pos")
     )
     words = [0] * ((m_bits + 63) // 64)
+    if packing == "bit_or":
+        word_rows = (
+            pos.select(
+                F.expr("pos div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(b)").alias("word"))
+            .collect()
+        )
+        for r in word_rows:
+            # already SIGNED 64-bit from the JVM — no re-pack needed
+            words[int(r["w"])] = int(r["word"])
+        return words
+    if packing != "driver":
+        raise ValueError(f"unknown packing {packing!r}")
+    pos_rows = pos.distinct().collect()
     for r in pos_rows:
         p = int(r["pos"])
         words[p // 64] |= 1 << (p % 64)
@@ -1151,6 +1198,7 @@ def decontaminate_bloom(
     text_col: str = "text",
     n: int = 3,
     m_bits: int = BLOOM_M_BITS,
+    packing: str = "auto",
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the constant-memory
     scale path next to :func:`decontaminate`'s exact broadcast join.
@@ -1175,7 +1223,9 @@ def decontaminate_bloom(
     oracle replays it relationally — the bitmap is definitionally the
     indicator of the set-bit position set, so ``bit test`` ≡
     ``position IN set`` and DuckDB needs no bit arithmetic."""
-    words = benchmark_bloom_words(benchmark, id_col, text_col, n, m_bits)
+    words = benchmark_bloom_words(
+        benchmark, id_col, text_col, n, m_bits, packing
+    )
     spark = train.sparkSession
     bloom_df = spark.createDataFrame([(words,)], "bloom array<bigint>")
     tr = shingle_rows(train, id_col, text_col, n).select(
@@ -1184,8 +1234,12 @@ def decontaminate_bloom(
         F.expr(BLOOM_H1.format(x="s_str", m=m_bits)).alias("_p1"),
         F.expr(BLOOM_H2.format(x="s_str", m=m_bits)).alias("_p2"),
     )
+    # word index via INTEGER division ({p} div 64): the old
+    # `cast({p} / 64 AS int)` ran a double division whose 53-bit
+    # mantissa (and 32-bit cast) silently degrades for huge bitmaps;
+    # `div` is exact at every m_bits ≤ BLOOM_M_BITS_MAX (ADVICE r11)
     bit = (
-        "((element_at(bloom, cast({p} / 64 AS int) + 1)"
+        "((element_at(bloom, cast({p} div 64 AS int) + 1)"
         " >> cast({p} % 64 AS int)) & 1) = 1"
     )
     hit = F.expr(bit.format(p="_p1")) & F.expr(bit.format(p="_p2"))

@@ -313,6 +313,250 @@ def _with_best_centroid_literal(
     )
 
 
+#: k x dims threshold above which driver-held centroid assignment
+#: switches from the literal-SQL argmax to the broadcast-numpy
+#: mapInPandas argmax (VERDICT r11 item 1). The literal path is a pure
+#: codegen projection but its plan text is O(k x dims) and the
+#: interpreted transform evaluates O(k) array lambdas per row — right
+#: at k=16..1024 on d=64 (every registry default stays literal, so the
+#: oracle gate's plans are byte-identical), wrong at SemDeDup's
+#: published operating point (k~50k, d>=512: megabytes of plan, ~50k
+#: interpreted closures per row). Above the threshold the codebook
+#: ships once per executor as an Arrow-broadcast numpy matrix and each
+#: batch scores as ONE BLAS matmul.
+CENTROID_LITERAL_MAX_CELLS = 65536
+
+
+def _regular_dim(cents: dict[int, list[float] | None]) -> int | None:
+    """The codebook's uniform dimensionality, or None if centroids are
+    ragged / all-NULL (the numpy path requires a uniform matrix; the
+    literal path handles ragged codebooks element-wise)."""
+    dims = {len(v) for v in cents.values() if v is not None}
+    return dims.pop() if len(dims) == 1 else None
+
+
+def _centroid_matrix(cents: dict[int, list[float] | None]):
+    """(cids int64[k], C float64[k,d], n2c float64[k], nullcent bool[k])
+    for a uniform-dim codebook — the driver-side artifact the numpy
+    path broadcasts. A NULL centroid or one containing NULL elements is
+    null-class: its cosine is NULL against every vector, exactly as the
+    SQL formulation's NULL-poisoned dot product."""
+    import numpy as np
+
+    items = sorted(cents.items())
+    d = _regular_dim(cents)
+    if d is None:
+        raise ValueError("numpy centroid path needs a uniform-dim codebook")
+    k = len(items)
+    cids = np.array([c for c, _ in items], dtype=np.int64)
+    C = np.zeros((k, d), dtype=np.float64)
+    nullcent = np.zeros(k, dtype=bool)
+    for i, (_, v) in enumerate(items):
+        if v is None or any(x is None for x in v):
+            nullcent[i] = True
+        else:
+            C[i] = v
+    n2c = np.einsum("ij,ij->i", C, C)
+    return cids, C, n2c, nullcent
+
+
+def _cosine_rows(vlist, vnull, C, n2c, nullcent):
+    """(cos float64[n,k], nullm bool[n,k]) — per-(vector, centroid)
+    cosines with the SAME null semantics as :func:`cosine_expr`:
+    NULL vector / NULL element / length mismatch / zero norm → NULL
+    (try_divide); NaN elements propagate to NaN cosines (which WIN a
+    Spark argmax — NaN is largest in Spark's double total order)."""
+    import numpy as np
+
+    n, d = len(vlist), C.shape[1]
+    V = np.zeros((n, d), dtype=np.float64)
+    rownull = np.zeros(n, dtype=bool)
+    for i, (v, vn) in enumerate(zip(vlist, vnull)):
+        if v is None or vn or len(v) != d:
+            rownull[i] = True
+        else:
+            V[i] = v
+    dots = V @ C.T
+    n2v = np.einsum("ij,ij->i", V, V)
+    denom = np.sqrt(n2v[:, None] * n2c[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / denom
+    nullm = (denom == 0) | rownull[:, None] | nullcent[None, :]
+    return cos, nullm
+
+
+def _argmax_spark_order(cos, nullm):
+    """Per-row best-centroid INDEX under Spark's struct-max ordering
+    over (ccos, -cid): NaN beats every value (first NaN index = min cid
+    among NaNs), values beat NULL, ties break to the smallest cid
+    (np.argmax returns the FIRST maximum; centroid columns are
+    cid-sorted). The one undistinguished edge: a REAL -Infinity cosine
+    ties with the NULL class (both encode to -inf) — finite-norm
+    vectors cannot produce one."""
+    import numpy as np
+
+    n = cos.shape[0]
+    key = np.where(nullm, -np.inf, cos)
+    nanm = np.isnan(key)
+    key = np.where(nanm, -np.inf, key)
+    idx = key.argmax(axis=1)
+    first_nan = nanm.argmax(axis=1)
+    return np.where(nanm.any(axis=1), first_nan, idx)
+
+
+def _with_best_centroid_numpy(
+    base: DataFrame, cents: dict[int, list[float] | None]
+) -> DataFrame:
+    """``base`` + the same ``best`` struct as the literal path, assigned
+    by an Arrow-batched mapInPandas argmax against a broadcast numpy
+    codebook — the large-k path (k x dims doubles ride to each executor
+    ONCE; per batch the score matrix is one BLAS matmul instead of k
+    interpreted SQL closures per row). Zero shuffles, zero joins.
+
+    Parity with :func:`_with_best_centroid_literal` (pinned by
+    test_centroid_paths): same cid on every fixture/random vector, same
+    NULL rules (NULL vector/element, length mismatch, zero norm, NULL
+    centroid → that cosine is NULL and never wins; an all-NULL row
+    assigns the minimum cid with NULL ccos), same NaN rule (NaN cosine
+    wins, min cid among NaNs). The ``ccos`` VALUE may differ from the
+    sequential-sum SQL dot in the last ulp (BLAS pairwise summation) —
+    callers compare ccos only between same-path rows (semdedup's
+    contest) or round to 6 dp, where the ulp cannot surface; integer-
+    valued vectors are bit-exact in both paths (exact sums commute).
+
+    NULL-vs-NaN plumbing across the Arrow boundary: NULL-element
+    detection happens JVM-side (an ``exists`` probe rides the plan as
+    ``_vnull``) because Arrow's pandas conversion folds list nulls into
+    NaN on the way OUT, and pyspark's serializer folds float NaN into
+    NULL on the way BACK (pa.Array.from_pandas semantics, probed). So
+    the UDF emits FLAT numpy columns — ``_bccos`` (NaN doubles arrive
+    as NULL, which is exactly what the null class needs) plus a
+    ``_bnan`` mask — and the ``best`` struct is reassembled JVM-side,
+    re-materializing true NaN ccos from the mask. Flat numpy columns
+    are also the fast shape (no per-row dict construction)."""
+    cids, C, n2c, nullcent = _centroid_matrix(cents)
+    flat_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields]
+        + ["_bccos double", "_bnan boolean", "_bcid long"]
+    )
+    staged = base.withColumn(
+        "_vnull", F.expr("coalesce(exists(v, x -> x is null), false)")
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.drop(columns=["_vnull"])
+            n = len(pdf)
+            if n == 0:
+                out["_bccos"] = np.zeros(0, dtype=np.float64)
+                out["_bnan"] = np.zeros(0, dtype=bool)
+                out["_bcid"] = np.zeros(0, dtype=np.int64)
+                yield out
+                continue
+            cos, nullm = _cosine_rows(
+                list(pdf["v"]), pdf["_vnull"].tolist(), C, n2c, nullcent
+            )
+            idx = _argmax_spark_order(cos, nullm)
+            rows = np.arange(n)
+            bc = cos[rows, idx]
+            bn = nullm[rows, idx]
+            out["_bccos"] = np.where(bn, np.nan, bc)
+            out["_bnan"] = (~bn) & np.isnan(bc)
+            out["_bcid"] = cids[idx]
+            yield out
+
+    return (
+        staged.mapInPandas(assign, flat_schema)
+        .withColumn(
+            "best",
+            F.struct(
+                F.when(
+                    F.col("_bnan"), F.expr("cast('NaN' AS double)")
+                )
+                .otherwise(F.col("_bccos"))
+                .alias("ccos"),
+                (-F.col("_bcid")).alias("negcid"),
+                F.col("_bcid").alias("cid"),
+            ),
+        )
+        .drop("_bccos", "_bnan", "_bcid")
+    )
+
+
+def _with_best_centroid_driver(
+    base: DataFrame,
+    cents: dict[int, list[float] | None],
+    assign_path: str | None = None,
+) -> DataFrame:
+    """Driver-held centroid assignment, auto-routed: the literal-SQL
+    argmax below ``CENTROID_LITERAL_MAX_CELLS`` total codebook cells
+    (or for ragged codebooks, which the matrix path can't represent),
+    the broadcast-numpy mapInPandas argmax above it. ``assign_path``
+    ∈ {None, 'literal', 'numpy'} forces a path (tests pin the two
+    paths equal; benches price the crossover)."""
+    if assign_path not in (None, "literal", "numpy"):
+        raise ValueError(f"unknown assign_path {assign_path!r}")
+    d = _regular_dim(cents)
+    if assign_path is None:
+        cells = len(cents) * (d or 0)
+        assign_path = (
+            "numpy"
+            if d is not None and cells > CENTROID_LITERAL_MAX_CELLS
+            else "literal"
+        )
+    if assign_path == "numpy":
+        if d is None:
+            raise ValueError(
+                "numpy centroid path needs a uniform-dim codebook"
+            )
+        return _with_best_centroid_numpy(base, cents)
+    return _with_best_centroid_literal(base, cents)
+
+
+def _numpy_probe(
+    base: DataFrame,
+    cents: dict[int, list[float] | None],
+    query_id: int,
+    nprobe: int,
+    id_col: str,
+) -> DataFrame:
+    """The IVF probe list for the numpy assignment path: the query's
+    single vector is collected (one row) and its ``nprobe`` nearest
+    centroids ranked DRIVER-side with the same ordering the literal
+    path's ``orderBy(ccos desc, cid asc)`` produces — NaN cosines
+    first (Spark: NaN is the largest double), NULL cosines last (desc
+    → nulls last), ties to the smaller cid. Ships back as a tiny
+    (pcid, qv) local relation, exactly the shape the literal probe's
+    TakeOrdered emits — so the downstream broadcast join is
+    identical."""
+    import math
+
+    spark = base.sparkSession
+    schema = "pcid long, qv array<double>"
+    row = base.filter(F.col(id_col) == query_id).select("v").head()
+    if row is None:
+        return spark.createDataFrame([], schema)
+    qv = None if row[0] is None else list(row[0])
+    cids, C, n2c, nullcent = _centroid_matrix(cents)
+    vnull = qv is not None and any(x is None for x in qv)
+    cos, nullm = _cosine_rows([qv], [vnull], C, n2c, nullcent)
+
+    def key(j: int):
+        if nullm[0, j]:
+            return (2, 0.0, int(cids[j]))
+        c = float(cos[0, j])
+        if math.isnan(c):
+            return (0, 0.0, int(cids[j]))
+        return (1, -c, int(cids[j]))
+
+    probe = sorted(range(len(cids)), key=key)[:nprobe]
+    return spark.createDataFrame(
+        [(int(cids[j]), qv) for j in probe], schema
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
@@ -322,6 +566,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | dict | None = None,
+    assign_path: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize to the nearest centroid,
     probe only the query's ``nprobe`` nearest inverted lists.
@@ -365,23 +610,48 @@ def ivf_topk(
                 int(r[0]): (None if r[1] is None else list(r[1]))
                 for r in centroids.select("cid", F.col(cvec)).collect()
             }
-        lit_arr, scores = _literal_centroid_scores(cdict)
-        with_best = base.withColumn("cents", lit_arr).withColumn(
-            "best", F.expr(f"array_max({scores})")
-        )
+        d = _regular_dim(cdict)
+        chosen = assign_path
+        if chosen is None:
+            chosen = (
+                "numpy"
+                if d is not None
+                and len(cdict) * d > CENTROID_LITERAL_MAX_CELLS
+                else "literal"
+            )
+        if chosen == "numpy":
+            with_best = _with_best_centroid_numpy(base, cdict)
+            qprobe = _numpy_probe(
+                base, cdict, query_id, nprobe, id_col
+            )
+        else:
+            lit_arr, scores = _literal_centroid_scores(cdict)
+            with_best = base.withColumn("cents", lit_arr).withColumn(
+                "best", F.expr(f"array_max({scores})")
+            )
+            qprobe = (
+                with_best.filter(F.col(id_col) == query_id)
+                .select(
+                    F.col("v").alias("qv"),
+                    F.explode(F.expr(scores)).alias("s"),
+                )
+                .orderBy(F.col("s.ccos").desc(), F.col("s.cid").asc())
+                .limit(nprobe)
+                .select(F.col("s.cid").alias("pcid"), F.col("qv"))
+            )
     else:
         cents = seed_centroids(base, n_centroids, id_col)
         with_best, scores = _with_best_centroid(base, cents)
+        qprobe = (
+            with_best.filter(F.col(id_col) == query_id)
+            .select(
+                F.col("v").alias("qv"), F.explode(F.expr(scores)).alias("s")
+            )
+            .orderBy(F.col("s.ccos").desc(), F.col("s.cid").asc())
+            .limit(nprobe)
+            .select(F.col("s.cid").alias("pcid"), F.col("qv"))
+        )
     assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
-    # The probe list is computed from the query's single row: explode its
-    # per-centroid scores and TakeOrdered nprobe of them (tiny).
-    qprobe = (
-        with_best.filter(F.col(id_col) == query_id)
-        .select(F.col("v").alias("qv"), F.explode(F.expr(scores)).alias("s"))
-        .orderBy(F.col("s.ccos").desc(), F.col("s.cid").asc())
-        .limit(nprobe)
-        .select(F.col("s.cid").alias("pcid"), F.col("qv"))
-    )
     return (
         assigned.join(F.broadcast(qprobe), F.col("cid") == F.col("pcid"))
         .filter(F.col(id_col) != query_id)
@@ -483,6 +753,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     train_sample_size: int | None = None,
     include_sizes: bool = True,
+    assign_path: str | None = None,
 ) -> DataFrame:
     """Multi-iteration Lloyd k-means on top of the kmeans_refine step:
     seed with the ``n_centroids`` lowest-id vectors, then repeat
@@ -552,7 +823,7 @@ def kmeans_train(
     prev_cents = cents
     for _ in range(n_iters):
         prev_cents = cents
-        wb = _with_best_centroid_literal(train, cents)
+        wb = _with_best_centroid_driver(train, cents, assign_path)
         rows = (
             wb.select(
                 F.col("best.cid").alias("cid"),
@@ -600,7 +871,7 @@ def kmeans_train(
     # avoids (see _with_best_centroid_literal). This way the corpus pass
     # runs once as a normal job and only k counter rows cross the wire.
     size_rows = dict(
-        _with_best_centroid_literal(size_frame, size_cents)
+        _with_best_centroid_driver(size_frame, size_cents, assign_path)
         .select(F.col("best.cid").alias("cid"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -723,6 +994,7 @@ def semdedup(
     vec_col: str = "embedding",
     train_sample_size: int | None = None,
     max_cluster: int | None = None,
+    assign_path: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means blocking — cluster the embedding corpus
@@ -761,7 +1033,7 @@ def semdedup(
     cents = kmeans_train(
         df, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col,
         vec_col=vec_col, train_sample_size=train_sample_size,
-        include_sizes=False,
+        include_sizes=False, assign_path=assign_path,
     )
     cdict = {
         int(r[0]): (None if r[1] is None else list(r[1]))
@@ -777,18 +1049,13 @@ def semdedup(
     # re-deriving it per branch triples the most expensive projection.
     # pin() materializes it once — which is also the production shape:
     # at scale `assigned` IS the persisted cid-partitioned index table.
-    # The assignment feeds THREE consumers (both self-join branches and
-    # the summary); the argmax transform is an interpreted HOF, so
-    # re-deriving it per branch triples the most expensive projection.
-    # pin() materializes it once — which is also the production shape:
-    # at scale `assigned` IS the persisted cid-partitioned index table.
     # `n2` (the squared norm) rides along so each PAIR evaluates one
     # interpreted dot product instead of three: cos(a,b) =
     # try_divide(dot(a,b), sqrt(n2_a * n2_b)) multiplies the identical
     # doubles cosine_expr would — bit-identical result, 3x less HOF
     # work on the quadratic term.
     assigned = pin(
-        _with_best_centroid_literal(base, cdict).select(
+        _with_best_centroid_driver(base, cdict, assign_path).select(
             id_col,
             "v",
             F.expr(DOT.format(a="v", b="v")).alias("n2"),
@@ -1243,3 +1510,81 @@ def pq_adc_topk(
     return scored.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (Jégou et al. 2011;
+    the FAISS ``IVFx,PQy`` index family) — IVF coarse quantization
+    prunes the search to the query's ``nprobe`` inverted lists, then
+    Asymmetric Distance Computation scores ONLY those lists' PQ codes
+    against the query's per-subspace lookup table. This repo's two
+    registered halves (``ivf_topk``'s assignment/probe,
+    ``pq_adc_topk``'s LUT scoring) composed the way an index actually
+    serves queries.
+
+    Deterministic end to end (seed centroids for both quantizers, the
+    no-RNG discipline), so the DuckDB oracle splices the two registered
+    CTE chains verbatim. Returns ``(id, cid, adc_dist)`` — top-k by
+    approximate L2 ascending.
+
+    Scale shape — what each piece costs at 100 TB:
+
+    - assignment: map-side broadcast argmax, zero corpus shuffles
+      (ivf_topk's shape); at rest ``cid`` is the partition column.
+    - codes: 8 B/vector, encoded once at ingest (pq_encode); here the
+      encode runs in-plan because the fixture has no persisted index.
+    - the probe semi-join keys on cid: on a cid-partitioned code table
+      this is partition PRUNING — the scan reads nprobe/n_centroids of
+      the codes and never touches a float.
+    - ADC: per candidate, M=8 lookups into the broadcast M x K LUT.
+    """
+    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    cents = seed_centroids(base, n_centroids, id_col)
+    with_best, scores = _with_best_centroid(base, cents)
+    assigned = with_best.select(id_col, F.col("best.cid").alias("cid"))
+    qprobe = (
+        with_best.filter(F.col(id_col) == query_id)
+        .select(F.explode(F.expr(scores)).alias("s"))
+        .orderBy(F.col("s.ccos").desc(), F.col("s.cid").asc())
+        .limit(nprobe)
+        .select(F.col("s.cid").alias("pcid"))
+    )
+    # candidate code rows: the probed lists only — the pruning that
+    # makes IVF-PQ sublinear (everything downstream is |probed| sized)
+    cand = (
+        pq_encode(df, id_col, vec_col)
+        .join(assigned, id_col)
+        .join(F.broadcast(qprobe), F.col("cid") == F.col("pcid"), "left_semi")
+        .select(id_col, "cid", F.posexplode("codes").alias("j", "code"))
+    )
+    q = base.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    lut = (
+        _pq_codebook(base, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "j",
+            F.col("cid").alias("code"),
+            F.expr(
+                "aggregate(zip_with(subc,"
+                f" slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 AS double), (acc, d) -> acc + d)"
+            ).alias("_lut"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(lut), ["j", "code"])
+        .groupBy(id_col, "cid")
+        .agg(F.round(F.sqrt(F.sum("_lut")), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

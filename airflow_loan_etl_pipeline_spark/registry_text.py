@@ -1711,6 +1711,58 @@ def decontaminate_bloom_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The m = 2^20 configuration exercises the DISTRIBUTED bit_or packing
+# (benchmark_bloom_words packing="bit_or" — per-word executor-side
+# reduce, only non-zero words reach the driver; VERDICT r11 item 2) on
+# a bitmap 64x the default, where positions are near-unique so the
+# bloom count approaches the exact join's. Same CTE shape as the
+# default-m oracle with the modulus swapped.
+_BLOOM_M20 = 1 << 20
+_BLOOM_CTES_M20 = f"""
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s
+           FROM sh),
+    evp AS (SELECT DISTINCT pos FROM (
+            SELECT unnest([('0x' || substr(md5(s), 1, 15))::BIGINT % {_BLOOM_M20},
+                           ('0x' || substr(md5(s), 16, 15))::BIGINT % {_BLOOM_M20}]) AS pos
+            FROM ex WHERE doc_id % 20 = 0)),
+    trb AS (SELECT doc_id, n_sh,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT % {_BLOOM_M20} AS p1,
+                   ('0x' || substr(md5(s), 16, 15))::BIGINT % {_BLOOM_M20} AS p2
+            FROM ex WHERE doc_id % 20 <> 0),
+    bhits AS (
+        SELECT doc_id, n_sh, count(*) AS n_overlap_bloom
+        FROM trb
+        WHERE p1 IN (SELECT pos FROM evp) AND p2 IN (SELECT pos FROM evp)
+        GROUP BY 1, 2)
+"""
+
+
+@query(
+    "docs_decontaminate_bloom_m20",
+    oracle=f"""
+    WITH {_BLOOM_CTES_M20}
+    SELECT doc_id, n_sh, n_overlap_bloom,
+           round(n_overlap_bloom / n_sh, 4) AS overlap_frac_bloom
+    FROM bhits
+    """,
+)
+def docs_decontaminate_bloom_m20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination at m = 2^20 with the distributed bit_or
+    packing forced: the bitmap's 16 Ki words are reduced executor-side
+    (map-side partial ``bit_or`` — duplicate positions never shuffle,
+    no distinct pass) and only non-zero (word, bits) rows reach the
+    driver. The production-m packing path, differentially checked
+    against the relational oracle at a modulus where false positives
+    nearly vanish — so this entry simultaneously pins the packing and
+    the fp-vs-m trend the fp_rate entry prices at the compact m."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.decontaminate_bloom(train, bench, m_bits=_BLOOM_M20,
+                                 packing="bit_or")
+
+
 @query(
     "docs_pack_sequences",
     oracle=f"""
@@ -3045,6 +3097,128 @@ _OR["pq_recall_at_10"] = f"""
            round((SELECT count(*) FROM hit) * 1.0
                  / (SELECT count(*) FROM ex), 4) AS recall_at_10
 """
+
+
+# IVF-PQ: the registered IVF assignment/probe CTEs and PQ code/LUT
+# CTEs spliced the way the index serves queries (VERDICT r11 item 3) —
+# ADC scoring restricted to the query's probed inverted lists.
+_IVFPQ_CTES = f"""
+    base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+    js AS (SELECT unnest(generate_series(0, 7)) AS j),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)),
+    icents AS (SELECT cid, v AS cv FROM seeds),
+    iscored AS (
+        SELECT vec_id, v, cid, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid,
+                     {_COS_LR.format(l='b.v', r='c.cv')} AS ccos
+              FROM base b, icents c)),
+    iassigned AS (SELECT vec_id, cid FROM iscored WHERE rn = 1),
+    iqprobe AS (SELECT cid AS pcid FROM iscored
+                WHERE vec_id = 0 AND rn <= 4),
+    cb AS (SELECT js.j, sd.cid, sd.v[js.j * 8 + 1 : js.j * 8 + 8] AS subc
+           FROM seeds sd, js),
+    vj AS (SELECT vec_id, js.j, v[js.j * 8 + 1 : js.j * 8 + 8] AS subv
+           FROM base, js),
+    pscored AS (SELECT vj.vec_id, vj.j, cb.cid,
+                       list_sum(list_transform(generate_series(1, 8),
+                         k -> (subv[k] - subc[k])
+                              * (subv[k] - subc[k]))) AS d
+                FROM vj JOIN cb ON vj.j = cb.j),
+    pr AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d, cid) AS rn
+           FROM pscored),
+    per AS (SELECT vec_id, j, cid AS code FROM pr WHERE rn = 1),
+    q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+    qsub AS (SELECT js.j, qv[js.j * 8 + 1 : js.j * 8 + 8] AS sq
+             FROM q, js),
+    lut AS (SELECT cb.j, cb.cid AS code,
+                   list_sum(list_transform(generate_series(1, 8),
+                     k -> (subc[k] - sq[k]) * (subc[k] - sq[k]))) AS l
+            FROM cb JOIN qsub ON qsub.j = cb.j),
+    ivfpq AS (SELECT per.vec_id, a.cid,
+                     round(sqrt(sum(l)), 6) AS adc_dist
+              FROM per
+              JOIN iassigned a ON a.vec_id = per.vec_id
+              JOIN iqprobe p ON p.pcid = a.cid
+              JOIN lut ON per.j = lut.j AND per.code = lut.code
+              GROUP BY 1, 2)
+"""
+
+
+@query(
+    "embeddings_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT vec_id, cid, adc_dist FROM ivfpq WHERE vec_id != 0
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def embeddings_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search (FAISS ``IVF16,PQ8`` shape): the coarse
+    quantizer prunes to the query's 4 probed inverted lists, ADC
+    scores only those lists' 8-byte PQ codes against the broadcast
+    query LUT. The production ANN serving path — at rest the code
+    table is cid-partitioned so the probe is partition pruning and the
+    scan never touches a float."""
+    return S.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+@query(
+    "ivfpq_recall_at_10",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    res AS (SELECT vec_id FROM ivfpq WHERE vec_id != 0
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT 10),
+    ex AS (SELECT b.vec_id,
+                  round(list_sum(list_transform(
+                    generate_series(1, len(b.v)),
+                    k -> (b.v[k] - q.qv[k]) * (b.v[k] - q.qv[k]))), 6) AS d
+           FROM base b, q WHERE b.vec_id != 0
+           ORDER BY d ASC, vec_id ASC LIMIT 10),
+    hit AS (SELECT e.vec_id FROM ex e
+            WHERE EXISTS (SELECT 1 FROM res r WHERE r.vec_id = e.vec_id))
+    SELECT (SELECT count(*) FROM ex) AS n_true,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / (SELECT count(*) FROM ex), 4) AS recall_at_10
+    """,
+)
+def ivfpq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ accuracy dial: recall@10 of the composed index
+    against exact squared-L2 — prices BOTH approximations at once
+    (list pruning AND code quantization) the way ``pq_recall_at_10``
+    prices quantization alone; the nprobe/PQ_K knobs trade this number
+    against scan cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ivfpq_topk(emb, query_id=0).select("vec_id")
+    base = emb.withColumn("v", F.expr(S._as_double("embedding")))
+    q = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    d2 = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 AS double), (acc, d) -> acc + d)"
+    )
+    exact = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(d2, 6).alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    rs = res.select(F.col("vec_id").alias("_rvid"), F.lit(1).alias("_hit"))
+    flagged = exact.join(rs, F.col("vec_id") == F.col("_rvid"), "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_at_10"),
+    )
 
 
 @query(

@@ -104,7 +104,13 @@ def admission_decisions(
     expensive shingle→minhash pass runs exactly once instead of once
     per consuming branch: keys feeds the corpus screen, the survivor
     anti-join, AND the admitted-key projection; corpus_dups feeds
-    three branches of its own)."""
+    three branches of its own).
+
+    INGEST CONTRACT: ``batch_df`` ids are UNIQUE within the batch (the
+    standard exactly-once ingest contract admit_batch already leans on
+    for retry idempotence). Decisions are emitted ONE ROW PER DISTINCT
+    id on both the fast and distributed paths — a contract-violating
+    batch with duplicate id rows is collapsed, not fanned out."""
     spark = batch_df.sparkSession
     id_type = dict(batch_df.dtypes)[id_col]
     # no 32-wide pre-shuffle for the signature pass: a micro-batch
@@ -143,7 +149,15 @@ def admission_decisions(
     # corpus-dup id are dropped in Python, which is exactly the
     # anti-join the two-collect form ran as a separate job. Pairs are
     # generated over ALL batch keys (superset of survivor pairs), so
-    # the cap guard stays conservative.
+    # the cap guard stays conservative. PRICED TRADE-OFF (ADVICE r11):
+    # a batch heavily duplicated against the corpus can push the
+    # all-keys pair count past PAIRS_DRIVER_MAX where survivor-only
+    # pairs would have stayed under it, demoting that batch to the
+    # distributed fallback — a latency cost in an adversarial case,
+    # never a correctness one (both paths compute the same decisions).
+    # The one-job fast path wins on every normal micro-batch; retrying
+    # with survivor-only pairs before falling back would re-add the
+    # second collect to the common path's worst case.
     all_pairs = _band_pairs(keys, id_col)
     # the batch's own id set rides the same collect (kind=2: one row
     # per doc — every doc emits band keys, shingles are never empty),
@@ -244,7 +258,11 @@ def admission_decisions(
     )
     ad = admitted.select(F.col(id_col).alias("_aid"), F.lit(1).alias("_a"))
     out = (
+        # distinct: one decision row per id, matching the fast path's
+        # distinct-band-key assembly even if the ids-unique ingest
+        # contract is violated (ADVICE r11)
         batch_df.select(id_col)
+        .distinct()
         .join(cd, F.col(id_col) == F.col("_cid"), "left")
         .join(ad, F.col(id_col) == F.col("_aid"), "left")
         .select(

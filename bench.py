@@ -119,6 +119,60 @@ def noise_probe_block(spark, sf_dir: str, reps: int = 5) -> dict:
     return block
 
 
+def synthetic_scale_block(spark) -> dict:
+    """Large-k / large-d centroid-assignment pricing (VERDICT r11
+    items 1 & 8): fixtures are d=64, but production embedding columns
+    are d=768–4096 and SemDeDup's published k is ~50k — so the bench
+    prices the two driver-held assignment paths on SYNTHETIC corpora
+    at realistic shapes (deterministic hash-generated vectors, no RNG):
+
+    - ``d1024_k16``: literal-SQL vs broadcast-numpy argmax at realistic
+      dims, small k — the dim-scaling comparison that motivated routing
+      high-d consumers through numpy (measured ~5x in numpy's favor).
+    - ``d512_k4096``: the numpy path at a paper-scale codebook
+      (2M cells — far past CENTROID_LITERAL_MAX_CELLS; the literal
+      path would be an ~40 MB plan and is not timed).
+    """
+    from pyspark.sql import functions as F
+
+    from airflow_loan_etl_pipeline_spark.operators import similarity as S
+
+    def corpus(n: int, d: int):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {d}), j -> "
+                "cast(pmod(hash(id, j), 1000) AS double) / 1000.0 + 0.001)"
+            ).alias("v"),
+        )
+
+    def cents(k: int, d: int):
+        return {
+            i: [((i * 31 + j * 7) % 997) / 997.0 + 0.001 for j in range(d)]
+            for i in range(k)
+        }
+
+    def timed(base, cd, path) -> float:
+        t0 = time.perf_counter()
+        S._with_best_centroid_driver(base, cd, path).select(
+            "best.cid"
+        ).groupBy("cid").count().count()
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {}
+    c16 = corpus(20_000, 1024)
+    cd16 = cents(16, 1024)
+    out["assign_d1024_k16_n20k_literal_s"] = timed(c16, cd16, "literal")
+    out["assign_d1024_k16_n20k_numpy_s"] = timed(c16, cd16, "numpy")
+    big = corpus(50_000, 512)
+    cdbig = cents(4096, 512)
+    # one warm rep after a cold rep: the first huge matmul pays BLAS /
+    # allocator spin-up that a standing pipeline never sees again
+    out["assign_d512_k4096_n50k_numpy_cold_s"] = timed(big, cdbig, "numpy")
+    out["assign_d512_k4096_n50k_numpy_s"] = timed(big, cdbig, "numpy")
+    return out
+
+
 def streaming_e2e(spark, sf_dir: str) -> dict:
     """End-to-end Structured Streaming latency (VERDICT r1 item 9):
     land events as CSV files → AvailableNow file source with a
@@ -488,6 +542,9 @@ def main() -> None:
         "embeddings_pq_codes",
         "embeddings_pq_adc_topk",
         "pq_recall_at_10",
+        "embeddings_ivfpq_topk",
+        "ivfpq_recall_at_10",
+        "docs_decontaminate_bloom_m20",
         "orders_sla_breach_by_priority",
         "returns_rate_by_brand",
         "users_winback_monthly",
@@ -515,6 +572,9 @@ def main() -> None:
         print(f"# extra {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()
 
+    synth = synthetic_scale_block(spark)
+    print(f"# synthetic_scale: {synth}", file=sys.stderr)
+
     stream_metrics = streaming_e2e(spark, sf_dir)
     print(f"# streaming_e2e: {stream_metrics}", file=sys.stderr)
     capstones = streaming_capstones(spark, sf_dir)
@@ -534,6 +594,7 @@ def main() -> None:
         "queries_warm_median": warm_median,
         "streaming_e2e": stream_metrics,
         "streaming_capstones": capstones,
+        "synthetic_scale": synth,
         "extra_queries": extra,
     }
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
@@ -573,6 +634,9 @@ def main() -> None:
         # its factor vs the archived solo probe (BENCH_SOLO.json), so a
         # BENCH_r{N} reader sees host drift without external context.
         "noise_probe": probe,
+        # round 12: large-k / large-d centroid-assignment pricing
+        # (4 scalars — the literal-vs-numpy crossover evidence)
+        "synthetic_scale": synth,
     }
     # Like-for-like anchor (VERDICT r7 item 1): if the builder recorded
     # a SOLO run of this same code (tools/record_solo_bench.py →

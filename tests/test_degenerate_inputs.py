@@ -56,6 +56,7 @@ REPRESENTATIVE = (
     "embedding_dim_correlations",
     "semdedup_prune",
     "docs_decontaminate_bloom",
+    "docs_decontaminate_bloom_m20",
 )
 
 

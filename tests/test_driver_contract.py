@@ -10,39 +10,52 @@ import __spark_entry__ as entry
 from airflow_loan_etl_pipeline_spark import registry
 
 
-def test_rotation_covers_every_query_within_cycle():
-    """Simulated multi-round rotation: with the rewired list held
-    fixed, the union of the driver's 50-row prefixes over one full
-    cycle covers EVERY registry entry — nothing ages indefinitely."""
+def test_rotation_covers_every_query_within_cycle(monkeypatch):
+    """Simulated multi-round STALEST-FIRST cycle: each simulated round
+    samples the driver prefix, stamps those entries as externally
+    verified that round, and re-sorts. Every registry entry must be
+    sampled within ceil(rest / step) rounds — nothing ages
+    indefinitely, by construction of the staleness sort."""
     rewired = [k for k in entry._REWIRED if k in registry.QUERIES]
     rest_n = len(registry.QUERIES) - len(rewired)
     step = max(1, entry._DRIVER_SAMPLE - len(rewired))
     cycle = math.ceil(rest_n / step)
     assert cycle <= 8, f"rotation cycle {cycle} rounds is too slow"
+    last = dict(entry._last_verified_round())
     seen: set[str] = set()
-    for rnd in range(11, 11 + cycle):
+    for rnd in range(100, 100 + cycle):
+        monkeypatch.setattr(entry, "_last_verified_round", lambda: last)
         prefix = list(entry.queries(round_no=rnd))[: entry._DRIVER_SAMPLE]
         assert len(prefix) == entry._DRIVER_SAMPLE
         seen.update(prefix)
+        last = dict(last)
+        for q in prefix:
+            last[q] = rnd
     assert seen == set(registry.QUERIES)
 
 
-def test_rotation_prefixes_tile_without_overlap():
-    """Consecutive rounds' post-rewired windows are contiguous slices
-    of the same sorted list — adjacent rounds never waste sample slots
-    re-checking the same non-rewired entry (until the cycle wraps)."""
+def test_rotation_samples_stalest_cohort_first():
+    """The non-rewired part of the driver's prefix window is drawn from
+    the OLDEST-external-check cohort (VERDICT r11 item 6): no entry
+    outside the window has an older last-verified round than any entry
+    inside it, and never-verified entries (round 0) sort first of
+    all."""
     rewired = {k for k in entry._REWIRED if k in registry.QUERIES}
-    w1 = [
+    last = entry._last_verified_round()
+    order = [
         k
-        for k in list(entry.queries(round_no=11))[: entry._DRIVER_SAMPLE]
+        for k in entry.queries(round_no=12)
         if k not in rewired
     ]
-    w2 = [
-        k
-        for k in list(entry.queries(round_no=12))[: entry._DRIVER_SAMPLE]
-        if k not in rewired
-    ]
-    assert not (set(w1) & set(w2))
+    window = order[: entry._DRIVER_SAMPLE - len(rewired)]
+    outside = order[entry._DRIVER_SAMPLE - len(rewired):]
+    assert window and outside
+    assert max(last.get(k, 0) for k in window) <= min(
+        last.get(k, 0) for k in outside
+    )
+    # staleness keys are non-decreasing along the whole tail
+    keys = [last.get(k, 0) for k in order]
+    assert keys == sorted(keys)
 
 
 def test_rotation_is_deterministic_and_complete():
