@@ -127,6 +127,26 @@ def auto_max_group(
     return cap
 
 
+def _spread_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition BEFORE a CPU-heavy Arrow/Python stage —
+    but only when the input actually under-fills the engine (r12,
+    guide §2.4: remove shuffles outright). The fixtures are single
+    small parquet files whose one scan split would pin the whole
+    Python shingle pass to one task, so locally the repartition always
+    fires (bench numbers comparable round-over-round); at real scale
+    the scan's split count already exceeds the engine parallelism and
+    the unconditional form was a full shuffle of RAW TEXT bought for
+    nothing. ``df.rdd.getNumPartitions()`` is plan analysis only — no
+    job runs."""
+    par = _parallelism(df.sparkSession)
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:  # Connect/vendor runtimes without RDD access
+        pass
+    return df.repartition(par)
+
+
 def shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, repartition: bool = True
 ) -> DataFrame:
@@ -142,7 +162,7 @@ def shingles(
     disabled.
     """
     if repartition:
-        df = df.repartition(_parallelism(df.sparkSession))
+        df = _spread_for_python(df)
 
     # Arrow-batched Pandas UDF, NOT a Catalyst higher-order function:
     # `transform(sequence(...), i -> concat_ws(...))` runs as an
@@ -198,7 +218,7 @@ def shingle_rows(
     a self-join over it can reuse one shuffle exchange for both sides.
     """
     if repartition:
-        df = df.repartition(_parallelism(df.sparkSession))
+        df = _spread_for_python(df)
 
     def op(batches):
         for pdf in batches:
@@ -1430,7 +1450,7 @@ def positional_shingle_rows(
     ``pos`` is 1-based; ``n_pos = len(tokens) - n + 1``.
     """
     if repartition:
-        df = df.repartition(_parallelism(df.sparkSession))
+        df = _spread_for_python(df)
 
     def op(batches):
         for pdf in batches:

@@ -73,6 +73,26 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> cast(x AS double))"
 
 
+def _dot_self_py(vec) -> float | None:
+    """Driver-side self-dot replaying the SQL fold bit-for-bit:
+    ``aggregate(zip_with(cv, cv, (x, y) -> x * y), 0.0,
+    (acc, v) -> acc + v)`` is a left-to-right IEEE-double fold; Python
+    floats are IEEE doubles with the same * and + semantics, so the
+    same element order produces the identical bits (NaN/Inf included).
+    A NULL element poisons the SQL fold to NULL from that position on
+    regardless of later elements (acc + NULL = NULL, NULL + v = NULL)
+    — the early return matches that exactly."""
+    if vec is None:
+        return None
+    acc = 0.0
+    for x in vec:
+        if x is None:
+            return None
+        x = float(x)
+        acc = acc + x * x
+    return acc
+
+
 def cosine_expr(a: str, b: str) -> str:
     """cos(a,b) = dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — identical formula
     and evaluation order to the oracle SQL. A ZERO-NORM vector has no
@@ -99,16 +119,27 @@ def brute_force_cosine_topk(
     is a BroadcastNestedLoopJoin — effectively a map-side constant).
     """
     base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    # qn (the query's self-dot) is hoisted into the 1-row broadcast side
+    # — cosine_expr would recompute it per corpus row (r12, guide §1.2:
+    # per-row work drops from 3 interpreted dots to 2). sqrt(dot(v,v) *
+    # qn) multiplies the identical doubles — bit-identical cosines.
     q = (
         base.filter(F.col(id_col) == query_id)
-        .select(F.col("v").alias("qv"))
+        .select(
+            F.col("v").alias("qv"),
+            F.expr(DOT.format(a="v", b="v")).alias("qn"),
+        )
+    )
+    cos = (
+        f"try_divide({DOT.format(a='v', b='qv')}, "
+        f"sqrt({DOT.format(a='v', b='v')} * qn))"
     )
     scored = (
         base.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+            F.round(F.expr(cos), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
@@ -156,13 +187,21 @@ def lsh_bucketed_topk(
     base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
         "bucket", F.expr(bucket_expr("v"))
     )
+    # qn hoisted into the broadcast side (r12) — see
+    # brute_force_cosine_topk; bit-identical cosines.
     q = base.filter(F.col(id_col) == query_id).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+        F.expr(DOT.format(a="v", b="v")).alias("qn"),
     )
     probe = (
         F.col("bucket") == F.col("qbucket")
         if hamming == 0
         else F.expr(f"bit_count(bucket ^ qbucket) <= {int(hamming)}")
+    )
+    cos = (
+        f"try_divide({DOT.format(a='v', b='qv')}, "
+        f"sqrt({DOT.format(a='v', b='v')} * qn))"
     )
     scored = (
         base.filter(F.col(id_col) != query_id)
@@ -171,7 +210,7 @@ def lsh_bucketed_topk(
         .select(
             id_col,
             "bucket",
-            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+            F.round(F.expr(cos), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
@@ -207,6 +246,37 @@ def seed_centroids(
     )
 
 
+def _scores_expr() -> str:
+    """The shared per-vector centroid-scores expression over a
+    ``cents`` array<struct<cid, cv, cn>> column and a double-array
+    ``v`` column: ``array_max`` over it picks the best centroid
+    (cosine DESC, cid ASC tie-break).
+
+    HOISTED NORMS (r12, guide §4.1/§1.2 — do less work per row inside
+    the interpreted HOF): ``cosine_expr`` inlined here would evaluate
+    THREE d-element dot products per (row, centroid) — dot(v, cv) plus
+    dot(v, v) (a per-ROW constant, recomputed k times) and dot(cv, cv)
+    (a per-CENTROID constant, recomputed for every row). The centroid
+    self-dot rides in the struct as ``cn`` (computed once per centroid
+    at build time) and the row self-dot binds ONCE per row as a lambda
+    variable via the single-element-transform let idiom —
+    ``transform(array(dot(v, v)), vn -> ...)[0]`` — which keeps the
+    hoist inside one expression where the optimizer cannot inline it
+    back into the per-centroid lambda. Per (row, centroid) work drops
+    from 3 dots to 1 dot + one multiply + sqrt. Bit-identical values:
+    ``sqrt(vn * c.cn)`` multiplies exactly the doubles
+    ``sqrt(dot(v,v) * dot(cv,cv))`` multiplied, computed by the same
+    fold in the same order."""
+    dot_vv = DOT.format(a="v", b="v")
+    dot_vc = DOT.format(a="v", b="c.cv")
+    return (
+        f"transform(array({dot_vv}), vn -> "
+        "transform(cents, c -> named_struct("
+        f"'ccos', try_divide({dot_vc}, sqrt(vn * c.cn)), "
+        "'negcid', -c.cid, 'cid', c.cid)))[0]"
+    )
+
+
 def _broadcast_centroid_scores(cents: DataFrame) -> tuple[DataFrame, str]:
     """The shared map-side argmax primitive: collapse a (cid, cv)
     centroid frame into ONE row holding the sorted centroid array
@@ -215,18 +285,21 @@ def _broadcast_centroid_scores(cents: DataFrame) -> tuple[DataFrame, str]:
     scores expression whose ``array_max`` picks each vector's best
     centroid (cosine DESC, cid ASC tie-break) with NO shuffle of the
     corpus. Used by ivf_topk, assign_centroids and kmeans_train — one
-    definition, so the assignment rule cannot drift between them."""
+    definition, so the assignment rule cannot drift between them.
+    Each struct carries the centroid's self-dot ``cn`` (evaluated once
+    per centroid here, at build time) for :func:`_scores_expr`."""
     cent_arr = cents.agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.col("cv"),
+                    F.expr(DOT.format(a="cv", b="cv")).alias("cn"),
+                )
+            )
         ).alias("cents")
     )
-    scores = (
-        "transform(cents, c -> named_struct("
-        f"'ccos', {cosine_expr('v', 'c.cv')}, "
-        "'negcid', -c.cid, 'cid', c.cid))"
-    )
-    return cent_arr, scores
+    return cent_arr, _scores_expr()
 
 
 def _with_best_centroid(base: DataFrame, cents: DataFrame) -> tuple[DataFrame, str]:
@@ -253,7 +326,13 @@ def _literal_centroid_scores(
     drift between the DataFrame-centroid and literal-centroid paths.
     Literal doubles round-trip py4j bit-exactly; NULL vectors/elements
     (PERMISSIVE ingest) stay NULL — their cosine is NULL and they never
-    win the argmax, exactly as in the DataFrame formulation."""
+    win the argmax, exactly as in the DataFrame formulation.
+
+    Each literal struct carries the centroid's self-dot ``cn``,
+    computed DRIVER-side by :func:`_dot_self_py` — the same
+    left-to-right IEEE fold the SQL aggregate runs, so the embedded
+    double is bit-identical to what Spark would compute (r12 norm
+    hoist, see :func:`_scores_expr`)."""
     # The literal is assembled as ONE SQL string parsed by a single
     # F.expr call, NOT as a tree of F.lit/F.struct/F.array Column
     # objects: k=16 x dims=64 doubles is ~1000 py4j round-trips per
@@ -285,17 +364,13 @@ def _literal_centroid_scores(
         "array("
         + ",".join(
             f"named_struct('cid', CAST({int(cid)} AS BIGINT),"
-            f" 'cv', {_cv_sql(vec)})"
+            f" 'cv', {_cv_sql(vec)},"
+            f" 'cn', {_sql_double(_dot_self_py(vec))})"
             for cid, vec in sorted(cents.items())
         )
         + ")"
     )
-    scores = (
-        "transform(cents, c -> named_struct("
-        f"'ccos', {cosine_expr('v', 'c.cv')}, "
-        "'negcid', -c.cid, 'cid', c.cid))"
-    )
-    return lit_arr, scores
+    return lit_arr, _scores_expr()
 
 
 def _with_best_centroid_literal(
@@ -652,13 +727,21 @@ def ivf_topk(
             .select(F.col("s.cid").alias("pcid"), F.col("qv"))
         )
     assigned = with_best.select(id_col, "v", F.col("best.cid").alias("cid"))
+    # qn hoisted into the (≤ nprobe)-row broadcast probe side (r12):
+    # cosine_expr would recompute the query's self-dot for every probed
+    # candidate. Same doubles multiplied — bit-identical cosines.
+    qprobe = qprobe.withColumn("qn", F.expr(DOT.format(a="qv", b="qv")))
+    cos = (
+        f"try_divide({DOT.format(a='v', b='qv')}, "
+        f"sqrt({DOT.format(a='v', b='v')} * qn))"
+    )
     return (
         assigned.join(F.broadcast(qprobe), F.col("cid") == F.col("pcid"))
         .filter(F.col(id_col) != query_id)
         .select(
             id_col,
             "cid",
-            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+            F.round(F.expr(cos), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -952,9 +1035,18 @@ def cosine_dup_pairs(
     applies the identical HAVING cutoff. Each vector lands in exactly
     one bucket, so no distinct is needed after the join.
     """
+    # `n2` (the squared norm) is computed ONCE per vector below the
+    # pair join (the same r11 semdedup hoist, applied here in r12):
+    # each of the quadratically-many pairs then evaluates one
+    # interpreted dot product instead of three — sqrt(n2_a * n2_b)
+    # multiplies the identical doubles cosine_expr would, so cosines
+    # are bit-identical. The hoisted norm crosses the bucket shuffle as
+    # 8 bytes/row.
     base = df.select(
         F.col(id_col), F.expr(_as_double(vec_col)).alias("v")
-    ).withColumn("bucket", F.expr(bucket_expr("v")))
+    ).withColumn("bucket", F.expr(bucket_expr("v"))).withColumn(
+        "_n2", F.expr(DOT.format(a="v", b="v"))
+    )
     base = base.repartition(_parallelism(base.sparkSession), "bucket")
     if max_bucket is not None:
         small = (
@@ -965,10 +1057,20 @@ def cosine_dup_pairs(
         )
         base = base.join(small, "bucket", "left_semi")
     a = base.select(
-        "bucket", F.col(id_col).alias("vec_a"), F.col("v").alias("_va")
+        "bucket",
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("_va"),
+        F.col("_n2").alias("_n2a"),
     )
     b = base.select(
-        "bucket", F.col(id_col).alias("vec_b"), F.col("v").alias("_vb")
+        "bucket",
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("_vb"),
+        F.col("_n2").alias("_n2b"),
+    )
+    cos = (
+        f"try_divide({DOT.format(a='_va', b='_vb')}, "
+        "sqrt(_n2a * _n2b))"
     )
     return (
         a.join(b, "bucket")
@@ -976,7 +1078,7 @@ def cosine_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(F.expr(cosine_expr("_va", "_vb")), 6).alias("cosine"),
+            F.round(F.expr(cos), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1142,9 +1244,22 @@ def batch_cosine_topk(
     single-window formulation would funnel the whole corpus into Q
     partitions (the classic top-k skew bottleneck at 100 TB).
     """
-    base = df.withColumn("v", F.expr(_as_double(vec_col)))
+    # self-dots hoisted to both sides of the Q x N score (r12): each
+    # corpus row computes its norm once (not once per query) and each
+    # broadcast query row carries its own — per (row, query) work drops
+    # from 3 interpreted dots to 1 dot + multiply + sqrt, bit-identical
+    # (sqrt(vn * qn) multiplies the same doubles cosine_expr would).
+    base = df.withColumn("v", F.expr(_as_double(vec_col))).withColumn(
+        "_vn", F.expr(DOT.format(a="v", b="v"))
+    )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_vn").alias("_qn"),
+    )
+    cos = (
+        f"try_divide({DOT.format(a='v', b='qv')}, "
+        "sqrt(_vn * _qn))"
     )
     scored = (
         # exclude only each query's SELF pair — excluding every query
@@ -1156,7 +1271,7 @@ def batch_cosine_topk(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(F.expr(cosine_expr("v", "qv")), 6).alias("cosine"),
+            F.round(F.expr(cos), 6).alias("cosine"),
             F.spark_partition_id().alias("_pid"),
         )
     )
@@ -1239,9 +1354,14 @@ def hard_negatives(
         default, anchors in buckets larger than the cap silently lose
         their negatives (intentional, oracle-mirrored; ADVICE r8).
     """
+    # per-vector squared norm hoisted below the pair join (r12, same
+    # bit-identical rewrite as cosine_dup_pairs): pairs evaluate one
+    # dot product, not three.
     base = df.select(
         F.col(id_col), F.col(label_col), F.expr(_as_double(vec_col)).alias("v")
-    ).withColumn("bucket", F.expr(bucket_expr("v")))
+    ).withColumn("bucket", F.expr(bucket_expr("v"))).withColumn(
+        "_n2", F.expr(DOT.format(a="v", b="v"))
+    )
     if max_bucket is not None:
         small = (
             base.groupBy("bucket")
@@ -1255,12 +1375,18 @@ def hard_negatives(
         F.col(id_col).alias("_aid"),
         F.col(label_col).alias("_albl"),
         F.col("v").alias("_av"),
+        F.col("_n2").alias("_n2a"),
     )
     b = base.select(
         "bucket",
         F.col(id_col).alias("_bid"),
         F.col(label_col).alias("_blbl"),
         F.col("v").alias("_bv"),
+        F.col("_n2").alias("_n2b"),
+    )
+    cos = (
+        f"try_divide({DOT.format(a='_av', b='_bv')}, "
+        "sqrt(_n2a * _n2b))"
     )
     scored = (
         a.join(b, "bucket")
@@ -1270,7 +1396,7 @@ def hard_negatives(
             "_albl",
             "_bid",
             "_blbl",
-            F.round(F.expr(cosine_expr("_av", "_bv")), 6).alias("_cos"),
+            F.round(F.expr(cos), 6).alias("_cos"),
         )
     )
     best = scored.groupBy("_aid", "_albl").agg(

@@ -3501,22 +3501,39 @@ def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the embedding table twice by id; cosines are array
     expressions, no re-expansion."""
     docs = load_table(spark, sf_dir, "documents")
+    # per-vector squared norm hoisted below the pair joins (r12, the
+    # semdedup/cosine_dup_pairs rewrite): each pair evaluates one dot
+    # product instead of three; sqrt(n2_a * n2_b) multiplies the
+    # identical doubles cosine_expr would — bit-identical cosines.
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(S._as_double("embedding")).alias("v")
-    )
+        "vec_id",
+        F.expr(S._as_double("embedding")).alias("v"),
+    ).withColumn("_n2", F.expr(S.DOT.format(a="v", b="v")))
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    cos = (
+        f"try_divide({S.DOT.format(a='_va', b='_vb')}, "
+        "sqrt(_n2a * _n2b))"
+    )
     j = (
         pairs.join(
-            emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("_va")),
+            emb.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("v").alias("_va"),
+                F.col("_n2").alias("_n2a"),
+            ),
             "doc_a",
         )
         .join(
-            emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("_vb")),
+            emb.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("v").alias("_vb"),
+                F.col("_n2").alias("_n2b"),
+            ),
             "doc_b",
         )
         .select(
             "jaccard",
-            F.expr(S.cosine_expr("_va", "_vb")).alias("_cos"),
+            F.expr(cos).alias("_cos"),
         )
     )
     c = ST.safe_corr("jaccard", "_cos")

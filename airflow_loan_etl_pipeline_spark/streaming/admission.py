@@ -337,14 +337,36 @@ def admit_batch(
     out, admitted_keys, cached = admission_decisions(
         batch_df, standing, id_col, text_col
     )
-    # materialize BOTH outputs BEFORE mutating state: the decision plan
-    # reads the state table, so any later re-evaluation would see the
-    # batch's own appended keys and flag its admitted docs as
-    # self-collisions. localCheckpoint (eager) pins the computed rows —
-    # persist()+count() was observed to re-evaluate on a post-append
-    # collect.
-    out = out.localCheckpoint()
-    admitted_keys = admitted_keys.localCheckpoint()
+    # materialize BOTH outputs BEFORE mutating state when their plans
+    # could re-read it: the DISTRIBUTED decision plan reads the state
+    # table, so any later re-evaluation would see the batch's own
+    # appended keys and flag its admitted docs as self-collisions.
+    # localCheckpoint (eager) pins the computed rows — persist()+count()
+    # was observed to re-evaluate on a post-append collect.
+    #
+    # FAST-PATH SKIP (r12): when admission_decisions took the driver
+    # fast path, `out` IS a local relation (assembled from collected
+    # rows — scans nothing) and `admitted_keys` derives only from the
+    # already-checkpointed `keys` frame plus a broadcast local reject
+    # list — neither plan can see the state dir, so the two pinning
+    # jobs (2 of the ~5 Spark jobs in a steady-state micro-batch) buy
+    # nothing. Detected structurally from the decision plan itself.
+    def _is_local_relation(df: DataFrame) -> bool:
+        # fast-path decisions analyze to a single LEAF node
+        # (LocalRelation / LogicalRDD from createDataFrame) — a leaf
+        # cannot read the state dir; the distributed plan is a
+        # join/filter tree over the batch and state scans.
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            return plan.children().isEmpty() or (
+                "LocalRelation" in plan.getClass().getName()
+            )
+        except Exception:
+            return False
+
+    if not _is_local_relation(out):
+        out = out.localCheckpoint()
+        admitted_keys = admitted_keys.localCheckpoint()
     for df in cached:  # compat no-op: admission_decisions caches nothing now
         df.unpersist()
     if batch_tag is None:
