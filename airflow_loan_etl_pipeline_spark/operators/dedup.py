@@ -1279,12 +1279,56 @@ def decontaminate_bloom(
     )
 
 
+#: Pair-list size up to which dup_clusters labels components on the
+#: DRIVER (collect + union-find) instead of running the distributed
+#: pointer-jumping loop — the same cap-guarded fast path streaming
+#: admission has used since round 11, generalized to the batch
+#: operator (r12). 100k edges is a few MB collected; the label table
+#: it produces broadcasts back. After the upstream valves
+#: (max_bucket/max_group/max_df) a real corpus's surviving pair list
+#: is routinely this small even at 100 TB; anything larger falls back
+#: to the distributed loop.
+CLUSTERS_DRIVER_MAX_PAIRS = 100_000
+
+
+def _min_label_components(edges: list[tuple]) -> dict:
+    """Union-find with min-id component labels — the same labeling the
+    distributed pointer-jumping loop computes, on a driver-bounded
+    edge list. (Moved here from streaming/admission.py in r12 so the
+    batch and streaming fast paths share one definition.)"""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots: dict = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    label: dict = {}
+    for r, members in roots.items():
+        members.append(r)
+        m = min(members)
+        for n in members:
+            label[n] = m
+    return label
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
     check_every: int = 2,
+    driver_max_pairs: int | None = CLUSTERS_DRIVER_MAX_PAIRS,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: (doc_id, cluster_id) for
     EVERY document, where cluster_id is the minimum doc id in the doc's
@@ -1321,7 +1365,50 @@ def dup_clusters(
     documents, so every per-round join is |dup nodes|-sized, not
     |corpus|-sized; singletons label themselves via one final LEFT
     join after convergence.
+
+    DRIVER FAST PATH (r12, guide §1.2 — the admission-module design
+    generalized): pair lists up to ``driver_max_pairs`` are collected
+    (guarded by limit(cap+1)) and labeled with the union-find above —
+    byte-identical labels (min id per component, pinned by the
+    union-find hypothesis test), one collect job plus a broadcast-join
+    projection instead of ~2 joins + checkpoint + convergence count
+    per pointer-jumping round. Oversized pair lists keep the
+    distributed loop (the fallback pays one extra partial evaluation
+    of the pairs subtree for the failed probe — the rare giant-graph
+    case). ``driver_max_pairs=0``/None forces the loop (tests pin the
+    two paths equal).
     """
+    if driver_max_pairs:
+        rows = (
+            pairs.select("doc_a", "doc_b")
+            .limit(driver_max_pairs + 1)
+            .collect()
+        )
+        if len(rows) <= driver_max_pairs:
+            label = _min_label_components([(r[0], r[1]) for r in rows])
+            if not label:
+                return docs.select(
+                    F.col(id_col),
+                    F.col(id_col).alias("cluster_id"),
+                )
+            spark = docs.sparkSession
+            id_type = dict(docs.dtypes)[id_col]
+            lbl = spark.createDataFrame(
+                sorted(label.items()),
+                f"_node {id_type}, _lbl {id_type}",
+            )
+            return (
+                docs.join(
+                    F.broadcast(lbl),
+                    docs[id_col] == F.col("_node"),
+                    "left",
+                )
+                .select(
+                    F.col(id_col),
+                    F.coalesce("_lbl", F.col(id_col)).alias("cluster_id"),
+                )
+            )
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -3383,23 +3383,40 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster collapse — the shrinking-corpus headline every dedup run
     reports. Each stage is the registered operator; the oracle splices
     their registered oracles, so the funnel cannot drift from the
-    stages it summarizes."""
+    stages it summarizes.
+
+    r12 (guide §2.6 — overlap independent jobs): the four stages are
+    INDEPENDENT scalar counts, but the old 4-way crossJoin plan ran
+    their subtrees as one serialized AQE stage cascade (~45 one-task
+    stage-jobs measured — the near-dup branch alone is the
+    quotient-group build + banded join + pointer-jumping rounds). The
+    counts now run as four CONCURRENT driver-thread actions — later
+    branches back-fill executors freed by earlier branches' tails —
+    and assemble into a one-row local relation. Values identical: each
+    thread counts exactly the frame the crossJoin branch aggregated;
+    wall-clock becomes ~max(branch) instead of ~sum(branch). At 100 TB
+    the same overlap hides each branch's straggler tail behind the
+    others' work."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_exact = (
-        D.exact_dedup(docs).agg(F.count(F.lit(1)).alias("n_after_exact"))
-    )
-    n_norm = X.normalized_exact_dedup(docs).agg(
-        F.count(F.lit(1)).alias("n_after_normalized")
-    )
-    clusters = dup_clusters(spark, sf_dir)
-    n_near = clusters.agg(
-        F.countDistinct("cluster_id").alias("n_after_neardup")
-    )
-    return (
-        n_docs.crossJoin(n_exact)
-        .crossJoin(n_norm)
-        .crossJoin(n_near)
+    branches = {
+        "n_docs": lambda: docs.count(),
+        "n_after_exact": lambda: D.exact_dedup(docs).count(),
+        "n_after_normalized": lambda: X.normalized_exact_dedup(docs).count(),
+        # countDistinct over the propagation's (doc, cluster) rows ==
+        # distinct-count of cluster_id, as the crossJoin branch computed
+        "n_after_neardup": lambda: dup_clusters(spark, sf_dir)
+        .select("cluster_id").distinct().count(),
+    }
+    with ThreadPoolExecutor(max_workers=len(branches)) as pool:
+        futs = {k: pool.submit(fn) for k, fn in branches.items()}
+        vals = {k: f.result() for k, f in futs.items()}
+    return spark.createDataFrame(
+        [(vals["n_docs"], vals["n_after_exact"],
+          vals["n_after_normalized"], vals["n_after_neardup"])],
+        "n_docs long, n_after_exact long, "
+        "n_after_normalized long, n_after_neardup long",
     )
 
 

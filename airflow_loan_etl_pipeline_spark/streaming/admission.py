@@ -36,6 +36,7 @@ from airflow_loan_etl_pipeline_spark.operators.cache_scope import (
     materialize_consistent,
 )
 from airflow_loan_etl_pipeline_spark.operators.dedup import (
+    _min_label_components,
     band_key_rows,
     dup_clusters,
     minhash_signatures,
@@ -54,35 +55,6 @@ PAIRS_DRIVER_MAX = 100_000
 # path (they are ⊆ the batch's ids, so for any real micro-batch this
 # holds by construction).
 SCREEN_DRIVER_MAX = 100_000
-
-
-def _min_label_components(edges: list[tuple]) -> dict:
-    """Union-find with min-id component labels — the same labeling
-    dup_clusters computes, on a driver-bounded edge list."""
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    roots: dict = {}
-    for n in parent:
-        roots.setdefault(find(n), []).append(n)
-    label: dict = {}
-    for r, members in roots.items():
-        members.append(r)
-        m = min(members)
-        for n in members:
-            label[n] = m
-    return label
 
 
 def admission_decisions(
