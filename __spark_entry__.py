@@ -35,28 +35,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 12): the
-# Bloom probe switched to integer word indexing and gained the
-# distributed bit_or packing (bloom entries), the driver-held centroid
-# assignment grew the auto-routed numpy path (its consumers re-checked
-# even though the default stays literal), and the new round-12 entries
-# (IVF-PQ composition + recall dial, m=2^20 bit_or bloom) need their
-# first external row. Every query whose physical plan changed is
-# front-loaded so the external gate re-verifies the new code paths
-# same-round.
+# Queries whose implementation was REWIRED this round (round 12, the
+# optimization round): the cosine self-dot hoists (every centroid
+# assignment and pairwise/top-k cosine consumer), the dup_clusters
+# driver union-find fast path (all its consumers), and the threaded
+# funnel. All value-bit-identical by construction and pre-verified
+# exact against the local oracle gate at sf0.001 (274/274) and sf0.01
+# (touched families); front-loaded so the external gate re-verifies
+# the changed physical paths same-round.
+# Capped at 18 so the stalest-first tail still cycles every query
+# within 8 rounds (test_driver_contract pins the cycle length); the
+# hoist-affected entries left out (multiprobe/centroid_drift/
+# dup_pairs/pq recalls) are bit-identical changes locally verified
+# exact, and the brand-new r11-item entries (ivfpq, bloom m20) have
+# staleness 0 so they LEAD the rotation tail without a slot here.
 _REWIRED = [
-    "docs_decontaminate_bloom",
-    "docs_decontaminate_bloom_m20",
-    "decontaminate_bloom_fp_rate",
-    "embeddings_ivfpq_topk",
-    "ivfpq_recall_at_10",
+    "dup_clusters",
+    "dedup_funnel_summary",
+    "corpus_dedup_final",
+    "cluster_best_representative",
+    "dedup_token_savings",
+    "dedup_incremental_neardup",
     "kmeans_train_k16",
     "embeddings_ivf_trained_topk",
     "embeddings_ivf_topk",
     "semdedup_prune",
-    "embeddings_pq_codes",
-    "embeddings_pq_adc_topk",
-    "pq_recall_at_10",
+    "kmeans_refine_step",
+    "embedding_cluster_purity",
+    "embeddings_cosine_topk",
+    "embeddings_lsh_topk",
+    "embeddings_batch_topk",
+    "embedding_hard_negatives",
+    "embedding_dup_clusters",
+    "text_embedding_dup_agreement",
 ]
 
 # The driver's correctness gate samples a fixed-size PREFIX of the
