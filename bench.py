@@ -561,6 +561,7 @@ def main() -> None:
         "docs_quality_importance_sample",
         "text_embedding_dup_agreement",
         "docs_bpe_tokens",
+        "docs_compressibility_audit",
     ):
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -580,6 +581,21 @@ def main() -> None:
     capstones = streaming_capstones(spark, sf_dir)
     print(f"# streaming_capstones: {capstones}", file=sys.stderr)
 
+    # Post-suite probe rep (VERDICT r12 item 2): the pre-suite probe
+    # cannot see noise bursts that arrive mid-run — one r12 artifact had
+    # warm_median > warm purely from a late burst. Re-time the probe
+    # after the suite and stamp both so a reader can tell whether the
+    # measurement window was quiet end to end; flag when they disagree.
+    probe_post = noise_probe_block(spark, sf_dir)
+    probe["post_median_s"] = probe_post["median_s"]
+    if probe_post.get("drift_x") is not None:
+        probe["post_drift_x"] = probe_post["drift_x"]
+    if probe_post["median_s"] > 1.3 * probe["median_s"] or probe[
+        "median_s"
+    ] > 1.3 * probe_post["median_s"]:
+        probe["unstable_window"] = True
+    print(f"# noise_probe_post: {probe_post}", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver captures a bounded TAIL of stdout: round 2's single
     # JSON line (with queries_warm + 66 extra-query timings inlined)
@@ -596,7 +612,23 @@ def main() -> None:
         "streaming_capstones": capstones,
         "synthetic_scale": synth,
         "extra_queries": extra,
+        "noise_probe": probe,
+        "n_extra_queries": len(extra),
+        "extra_total_sec": round(sum(extra.values()), 3),
     }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SOLO.json")
+        ) as fh:
+            _solo = json.load(fh)
+        detail["solo_ref"] = {
+            "warm_median": _solo.get("value_warm_median"),
+            "commit": _solo.get("commit"),
+            "ts": _solo.get("ts"),
+        }
+    except Exception:
+        pass
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     headline = {
         "metric": "headline_suite_wall_clock",
@@ -620,58 +652,49 @@ def main() -> None:
             sum(v for k, v in warm_median.items() if k not in PROMOTED_R9),
             3,
         ),
-        "n_extra_queries": len(extra),
-        "extra_total_sec": round(sum(extra.values()), 3),
-        # round 10: streaming latency as a gated artifact — per-batch
-        # trigger→commit (p50/max ms) for the two stateful capstones,
-        # plus the e2e drain timings. Compact on purpose (the driver
-        # parses the last ~2000 stdout chars).
-        "streaming": {
-            "e2e": stream_metrics,
-            **capstones,
-        },
-        # round 11: in-artifact drift accounting — the probe median and
-        # its factor vs the archived solo probe (BENCH_SOLO.json), so a
-        # BENCH_r{N} reader sees host drift without external context.
+        # round 11: drift accounting — pre/post-suite probe medians +
+        # factor vs the archived solo probe (VERDICT r12 item 2 added
+        # the post-suite rep and the unstable_window flag). Kept on the
+        # stdout line because it is the one number a BENCH_r{N} reader
+        # needs to judge the others; it is ~100 chars.
         "noise_probe": probe,
-        # round 12: large-k / large-d centroid-assignment pricing
-        # (4 scalars — the literal-vs-numpy crossover evidence)
-        "synthetic_scale": synth,
     }
-    # Like-for-like anchor (VERDICT r7 item 1): if the builder recorded
-    # a SOLO run of this same code (tools/record_solo_bench.py →
-    # BENCH_SOLO.json), embed its warm-median total + commit so a
-    # driver-harness run self-reports how far host load moved it from
-    # the solo measurement.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_SOLO.json")
-        ) as fh:
-            solo = json.load(fh)
-        headline["solo_ref"] = {
-            "warm_median": solo.get("value_warm_median"),
-            "commit": solo.get("commit"),
-            "ts": solo.get("ts"),
-        }
-    except Exception:
-        pass
     # The driver captures the LAST 2000 chars of stdout and parses the
     # final line. Round 6 inlined the per-query warm-median map here
     # too (~3.5 KB line) and the capture front-truncated → parsed:null
-    # (VERDICT r6 item 4). The warm-median MAP lives on the stderr
-    # detail line above; this line keeps the driver-contract fields
-    # (queries = cold per-query map, ~1.4 KB — the exact r5 shape that
-    # parsed fine) plus scalar totals. Belt-and-braces: if the line
-    # ever outgrows the capture window, demote the queries map to
-    # stderr and emit totals-only rather than ship an unparseable tail.
+    # (VERDICT r6 item 4); rounds 11-12 re-overflowed the line with
+    # streaming/synthetic/solo blocks and the fallback shipped
+    # `queries: {}` — blinding the driver's per-query perf gate for two
+    # rounds (VERDICT r12 item 1). Fix: this line now carries ONLY the
+    # driver-contract fields ({metric, value, unit, queries, sf} +
+    # warm totals + the drift probe); `streaming`, `synthetic_scale`,
+    # `extra_*` and `solo_ref` live on the stderr `# detail:` line.
+    # Belt-and-braces: if the line ever outgrows the capture window
+    # again, shed precision first and only then demote the map.
+    print(format_headline_line(headline), flush=True)
+
+
+def format_headline_line(headline: dict, budget: int = 1900) -> str:
+    """Serialize the stdout headline to ONE line that fits the driver's
+    ~2000-char tail capture (VERDICT r12 item 1: an overflowing line
+    previously demoted the per-query map wholesale and blinded the
+    driver's perf gate). Degrade gracefully: full precision → 2-decimal
+    queries → totals-only, never an unparseable tail."""
     line = json.dumps(headline)
-    if len(line) > 1900:
-        print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
+    if len(line) > budget:
+        headline = dict(headline)
+        headline["queries"] = {
+            k: round(v, 2) for k, v in headline["queries"].items()
+        }
+        line = json.dumps(headline)
+    if len(line) > budget:
+        print(
+            f"# queries: {json.dumps(headline['queries'])}", file=sys.stderr
+        )
+        headline = dict(headline)
         headline["queries"] = {}
         line = json.dumps(headline)
-    print(line)
-    sys.stdout.flush()
+    return line
 
 
 if __name__ == "__main__":

@@ -85,6 +85,48 @@ def test_current_round_infers_from_artifacts(tmp_path, monkeypatch):
     assert entry._current_round() == 1
 
 
+def test_bench_headline_line_keeps_queries_map():
+    """VERDICT r12 item 1: the stdout headline must carry the full
+    per-query map within the driver's ~2000-char capture. Build the
+    exact field set main() emits with a worst-case 43-query map and
+    assert the serialized line fits WITHOUT demoting the map."""
+    import json
+
+    import bench
+
+    queries = {name: 12.345 for name in bench.HEADLINE}
+    assert len(queries) == 43
+    headline = {
+        "metric": "headline_suite_wall_clock",
+        "value": 123.456,
+        "unit": "sec",
+        "passes": "queries=cold; warm maps on stderr detail",
+        "queries": queries,
+        "sf": 0.1,
+        "value_warm": 123.456,
+        "value_warm_median": 123.456,
+        "value_warm_median_r1set": 123.456,
+        "noise_probe": {
+            "q": "nation_revenue",
+            "reps": 5,
+            "median_s": 1.207,
+            "solo_ref_s": 0.937,
+            "drift_x": 1.29,
+            "post_median_s": 1.207,
+            "post_drift_x": 1.29,
+            "unstable_window": True,
+        },
+    }
+    line = bench.format_headline_line(headline)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # graceful degradation: a hostile budget sheds precision, then the
+    # map — but the line always stays parseable
+    short = json.loads(bench.format_headline_line(dict(headline), budget=600))
+    assert short["value"] == 123.456
+
+
 def test_bench_noise_probe_block(spark):
     """bench.py's probe block carries the drift-accounting fields the
     BENCH_r{N} artifact needs (probe median + factor vs archived solo

