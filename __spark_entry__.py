@@ -35,39 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggs
 
 
-# Queries whose implementation was REWIRED this round (round 12, the
-# optimization round): the cosine self-dot hoists (every centroid
-# assignment and pairwise/top-k cosine consumer), the dup_clusters
-# driver union-find fast path (all its consumers), and the threaded
-# funnel. All value-bit-identical by construction and pre-verified
-# exact against the local oracle gate at sf0.001 (274/274) and sf0.01
-# (touched families); front-loaded so the external gate re-verifies
-# the changed physical paths same-round.
-# Capped at 18 so the stalest-first tail still cycles every query
-# within 8 rounds (test_driver_contract pins the cycle length); the
-# hoist-affected entries left out (multiprobe/centroid_drift/
-# dup_pairs/pq recalls) are bit-identical changes locally verified
-# exact, and the brand-new r11-item entries (ivfpq, bloom m20) have
-# staleness 0 so they LEAD the rotation tail without a slot here.
+# Queries whose implementation was REWIRED this round (round 13, the
+# second optimization round): the dup_clusters pinned-probe +
+# cached-edge loop (all its consumers), the quotient degree histogram,
+# the bootstrap-CI histogram collapse, the funnel's NULL-excluding
+# distinct count, and the new compressibility audit. All
+# value-identical by construction and pre-verified exact against the
+# local oracle gate at sf0.001/sf0.01 (touched families); front-loaded
+# so the external gate re-verifies the changed physical paths
+# same-round. Kept small so the stalest-first tail still cycles every
+# query within 8 rounds (test_driver_contract pins the cycle length).
 _REWIRED = [
     "dup_clusters",
     "dedup_funnel_summary",
     "corpus_dedup_final",
     "cluster_best_representative",
     "dedup_token_savings",
-    "dedup_incremental_neardup",
-    "kmeans_train_k16",
-    "embeddings_ivf_trained_topk",
-    "embeddings_ivf_topk",
-    "semdedup_prune",
-    "kmeans_refine_step",
-    "embedding_cluster_purity",
-    "embeddings_cosine_topk",
-    "embeddings_lsh_topk",
-    "embeddings_batch_topk",
-    "embedding_hard_negatives",
+    "corpus_build_summary",
     "embedding_dup_clusters",
-    "text_embedding_dup_agreement",
+    "dup_degree_histogram",
+    "orders_median_bootstrap_ci",
+    "docs_compressibility_audit",
+    "docs_compressibility",
 ]
 
 # The driver's correctness gate samples a fixed-size PREFIX of the
